@@ -1,0 +1,37 @@
+"""Parquet table loading for the synthetic star schema.
+
+All tables are columnar parquet; ``spark.read.parquet`` gives us the
+vectorized reader, column pruning, and filter pushdown for free — the
+Spark-native equivalent of the reference's fetch-then-import path
+(/root/reference/bin/fetcher.bash:119-120, sqlite ``.import``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Scans stay columnar + prunable."""
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,83 @@
+"""Dedup / merge operators — the reference's "Compress" stage (SURVEY.md §2.4).
+
+The reference decomposes wide denormalized snapshots into deduplicated
+dimension ("component") tables with
+``CREATE UNIQUE INDEX`` + ``INSERT OR IGNORE INTO comp SELECT DISTINCT …``
+(/root/reference/bin/fetcher.bash:156-160). Spark-first equivalents:
+
+- ``distinct_component``   -> hash aggregate (partial + final, map-side
+  combine), the scalable form of SELECT DISTINCT;
+- ``insert_ignore``        -> left-anti join + append: idempotent merge,
+  the portable batch form of Delta's MERGE WHEN NOT MATCHED;
+- ``multi_source_union``   -> many heterogeneous sources funnel into one
+  component (fetcher.bash:149-161 loop), via unionByName over
+  substitution-projected inputs.
+
+Scale notes (100 TB): distinct over N columns shuffles once on all
+columns; partial aggregation collapses repeats map-side first, so the
+shuffle carries only unique combos (dimension cardinality, not fact
+cardinality). ``insert_ignore`` broadcasts the existing side when small;
+otherwise it is a shuffled anti join on the full key — AQE picks the
+strategy at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.operators.projection import project
+
+
+def distinct_component(
+    df: DataFrame,
+    columns: Sequence[str],
+    subst: Mapping[str, Column | str] | None = None,
+) -> DataFrame:
+    """op-distinct: ``SELECT DISTINCT <subst-cols> FROM t``
+    (/root/reference/bin/fetcher.bash:159)."""
+    return project(df, columns, subst).distinct()
+
+
+def multi_source_union(
+    sources: Sequence[tuple[DataFrame, Mapping[str, Column | str] | None]],
+    columns: Sequence[str],
+) -> DataFrame:
+    """op-multi-source-union: several source tables feed one component
+    (e.g. ``vr_snapshot_*`` and ``ncvoter_statewide`` both feed
+    ``c_voter``; /root/reference/bin/cfg.yaml:12-54). Result is distinct
+    over the component columns (union of INSERT OR IGNORE runs)."""
+    parts = [project(df, columns, subst) for df, subst in sources]
+    return reduce(DataFrame.unionByName, parts).distinct()
+
+
+def insert_ignore(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """op-insert-ignore: idempotent insert-if-absent merge.
+
+    ``INSERT OR IGNORE INTO comp SELECT DISTINCT … FROM t``
+    (/root/reference/bin/fetcher.bash:159): rows already present (full-row
+    match, per the unique index at :158) are silently skipped. Returns
+    the post-merge component. Rerun-safe: applying twice is a no-op.
+    """
+    cols = existing.columns
+    additions = new.select(*cols).distinct().join(existing, on=cols, how="left_anti")
+    return existing.unionByName(additions)
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, content_cols: Sequence[str], order_col: str
+) -> DataFrame:
+    """ext-exact-dedup: keep the first row (min ``order_col``) per
+    distinct content. GroupBy + min avoids a global window sort: one
+    shuffle on the content hash, map-side partial aggregation."""
+    aggs = [F.min(order_col).alias(order_col)]
+    return df.groupBy(*content_cols).agg(*aggs)
+
+
+def content_hash(cols: Sequence[str]) -> Column:
+    """256-bit content hash for hash-based dedup at scale: dedup on a
+    32-byte digest instead of shuffling wide text rows."""
+    return F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]), 256)

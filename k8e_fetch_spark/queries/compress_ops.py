@@ -1,0 +1,201 @@
+"""Queries for the reference's Compress stage + projection/repair ops.
+
+Models the dimensional decomposition of /root/reference/bin/fetcher.bash:124-169
+(cfg /root/reference/bin/cfg.yaml:11-54) on the synthetic star schema:
+``lineitem``/``orders`` play the wide fact snapshots, ``customer``/``supplier``
+play the two heterogeneous sources feeding one shared component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.operators.dedup import distinct_component, insert_ignore, multi_source_union
+from k8e_fetch_spark.operators.projection import add_column, schema_clone
+from k8e_fetch_spark.operators.repair import normalize_headers, quote_repair, quote_repair_sql
+from k8e_fetch_spark.queries.registry import register
+
+
+@register(
+    "compress_distinct_status",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("op-distinct", "op-project"),
+)
+def compress_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-distinct + op-project: the Compress core — distinct projection
+    of a status dimension out of the fact table (SELECT DISTINCT,
+    fetcher.bash:159). Flagship minimum slice."""
+    return distinct_component(load(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "compress_component_union",
+    oracle="""
+        SELECT DISTINCT c_name AS entity_name,
+                        c_nationkey AS nation_key,
+                        c_mktsegment AS segment,
+                        'NA' AS cancellation_dt
+        FROM customer
+        UNION
+        SELECT DISTINCT s_name, s_nationkey, 'NA', 'NA' FROM supplier
+    """,
+    tags=("op-multi-source-union", "op-rename", "op-const-default", "op-distinct"),
+)
+def compress_component_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-multi-source-union: two differently-shaped sources fill one
+    component via subst (rename + constant default), like vr_snapshot_*
+    and ncvoter_statewide both feeding c_voter (cfg.yaml:12-54)."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    columns = ["entity_name", "nation_key", "segment", "cancellation_dt"]
+    return multi_source_union(
+        [
+            (
+                customer,
+                {
+                    "entity_name": F.col("c_name"),
+                    "nation_key": F.col("c_nationkey"),
+                    "segment": F.col("c_mktsegment"),
+                    "cancellation_dt": F.lit("NA"),
+                },
+            ),
+            (
+                supplier,
+                {
+                    "entity_name": F.col("s_name"),
+                    "nation_key": F.col("s_nationkey"),
+                    "segment": F.lit("NA"),
+                    "cancellation_dt": F.lit("NA"),
+                },
+            ),
+        ],
+        columns,
+    )
+
+
+@register(
+    "compress_concat_expr",
+    oracle="""
+        SELECT DISTINCT p_brand || p_type AS brand_type, p_size AS part_size
+        FROM part
+    """,
+    tags=("op-concat-expr", "op-distinct"),
+)
+def compress_concat_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-concat-expr: string-concat substitution in the projection, like
+    ``area_cd||phone_num as full_phone_number`` (cfg.yaml:26-27)."""
+    part = load(spark, sf_dir, "part")
+    return distinct_component(
+        part,
+        ["brand_type", "part_size"],
+        {
+            "brand_type": F.concat(F.col("p_brand"), F.col("p_type")),
+            "part_size": F.col("p_size"),
+        },
+    )
+
+
+@register(
+    "compress_insert_ignore",
+    oracle="SELECT DISTINCT p_brand AS brand, p_type AS type_name FROM part",
+    tags=("op-insert-ignore", "op-unique-index"),
+)
+def compress_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-insert-ignore: idempotent merge. Seed the component from a
+    subset (p_size < 25), then INSERT-OR-IGNORE the full table; the
+    merged result must equal plain SELECT DISTINCT over everything
+    (uniqueness enforced by the left-anti join, cf. the unique index at
+    fetcher.bash:158)."""
+    part = load(spark, sf_dir, "part")
+    subst = {"brand": F.col("p_brand"), "type_name": F.col("p_type")}
+    existing = distinct_component(part.filter(F.col("p_size") < 25), ["brand", "type_name"], subst)
+    incoming = distinct_component(part, ["brand", "type_name"], subst)
+    return insert_ignore(existing, incoming)
+
+
+@register(
+    "compress_schema_clone",
+    oracle="""
+        SELECT c_name AS entity_name, c_nationkey AS nation_key FROM customer WHERE FALSE
+    """,
+    tags=("op-schema-clone",),
+)
+def compress_schema_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-schema-clone: ``CREATE TABLE … AS SELECT <cols> LIMIT 0``
+    (fetcher.bash:157) — schema-only, zero rows."""
+    customer = load(spark, sf_dir, "customer")
+    return schema_clone(
+        customer,
+        ["entity_name", "nation_key"],
+        {"entity_name": F.col("c_name"), "nation_key": F.col("c_nationkey")},
+    )
+
+
+@register(
+    "compress_add_column",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS priority
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_orderpriority AS priority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    """,
+    tags=("op-add-column",),
+)
+def compress_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-add-column: schema evolution across file vintages — the older
+    vintage lacks a column; ``ALTER TABLE … ADD COLUMN`` equivalent
+    (fetcher.bash:103) aligns it before the union."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    old_vintage = orders.filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_orderstatus")
+    new_vintage = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_orderstatus", F.col("o_orderpriority").alias("priority")
+    )
+    return add_column(old_vintage, "priority").unionByName(new_vintage)
+
+
+_NICKNAME_RAW_SQL = "'JOHN \"' || c_name || '\" SMITH'"
+_CAPS_RAW_SQL = "'O\"' || upper(c_name)"
+_REPAIR_ORACLE = (
+    "SELECT c_custkey, "
+    + quote_repair_sql(_NICKNAME_RAW_SQL)
+    + " AS nickname_fixed, "
+    + quote_repair_sql(_CAPS_RAW_SQL)
+    + " AS caps_fixed FROM customer"
+)
+
+
+@register(
+    "repair_quote_malformed",
+    oracle=_REPAIR_ORACLE,
+    tags=("op-quote-repair",),
+)
+def repair_quote_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-quote-repair: the two sed repairs from bin/quotequote:3-4 as a
+    JVM-side regexp_replace chain, applied to synthesized pathological
+    strings (nickname quotes; stray quote between capitals)."""
+    customer = load(spark, sf_dir, "customer")
+    nickname_raw = F.concat(F.lit('JOHN "'), F.col("c_name"), F.lit('" SMITH'))
+    caps_raw = F.concat(F.lit('O"'), F.upper(F.col("c_name")))
+    return customer.select(
+        "c_custkey",
+        quote_repair(nickname_raw).alias("nickname_fixed"),
+        quote_repair(caps_raw).alias("caps_fixed"),
+    )
+
+
+@register(
+    "repair_header_norm",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    tags=("op-header-norm", "op-lower-tablename"),
+)
+def repair_header_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-header-norm: spaced/uppercase headers normalized to
+    lower_snake (quotequote:5-6, header_fix:1-2). Simulated by renaming
+    to the pathological form then normalizing back — a metadata-only op."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    pathological = docs.toDF("Doc Id", "LANG", "N Chars")
+    return normalize_headers(pathological)

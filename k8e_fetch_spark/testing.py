@@ -1,0 +1,69 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs a declared Spark query and its DuckDB oracle side by side and
+compares row count + column names + order-insensitive values. We compare
+values EXACTLY (bitwise for floats): if an engine pair can disagree in
+low-order float bits, the fix belongs in the query (round on both
+sides), not in a tolerant comparator — the driver hashes values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+
+def _canon_value(v: Any) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NAN"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        return _canon_value(float(v))
+    if isinstance(v, (np.integer,)):
+        return repr(int(v))
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    # pandas NaT / NaN scalars
+    if v != v:  # noqa: PLR0124 - NaN check for pandas scalars
+        return "\x00NAN"
+    return f"{type(v).__name__}:{v}"
+
+
+def canon_rows(pdf) -> list[tuple[str, ...]]:
+    """Canonical order-insensitive representation: sort columns by name,
+    stringify values, sort rows."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(_canon_value(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
+
+
+def compare_frames(spark_pdf, duck_pdf) -> list[str]:
+    """Return a list of human-readable diffs; empty means match."""
+    diffs: list[str] = []
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        diffs.append(f"columns differ: spark={s_cols} duck={d_cols}")
+        return diffs
+    if len(spark_pdf) != len(duck_pdf):
+        diffs.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_rows, d_rows = canon_rows(spark_pdf), canon_rows(duck_pdf)
+    if s_rows != d_rows:
+        only_s = [r for r in s_rows if r not in set(d_rows)][:5]
+        only_d = [r for r in d_rows if r not in set(s_rows)][:5]
+        diffs.append(f"values differ; sample only-in-spark={only_s} only-in-duck={only_d}")
+    return diffs
+
+
+def run_parity(spark, duck, query_fn, oracle: str, sf_dir: str) -> list[str]:
+    spark_pdf = query_fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(oracle).df()
+    return compare_frames(spark_pdf, duck_pdf)
