@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is fully materialized through the noop sink (measures compute
++ shuffle, not driver collect). A warm-up query first touches the JVM so
+session startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from k8e_fetch_spark.queries import REGISTRY, queries  # noqa: E402
+from k8e_fetch_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "compress_distinct_status",
+    "compress_component_union",
+    "compress_insert_ignore",
+    "catalog_include_keys",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "top_customers_by_revenue",
+    "window_order_rank",
+    "rollup_lineitem",
+    "agg_statistics",
+    "events_tumbling_window",
+    "events_session_window",
+    "text_stats_per_lang",
+    "text_quality_score",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine_exact",
+    "mm_binary_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="k8e-fetch-spark-bench")
+    qs = queries()
+
+    # warm-up: JVM/codegen/readers
+    qs["compress_distinct_status"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "n_registered": len(REGISTRY),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

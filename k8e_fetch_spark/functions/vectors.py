@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` columns — JVM-side, no UDFs.
+
+``F.zip_with`` + ``F.aggregate`` compile to Catalyst higher-order
+functions: the dot product is a sequential fold inside whole-stage
+codegen, bitwise-deterministic (left-to-right double accumulation,
+matching DuckDB's ``list_dot_product`` on ``DOUBLE[]``). At 100 TB this
+keeps similarity scoring inside the scan stage — Python is never in the
+loop; for very wide batches a Pandas-UDF BLAS path is the alternative,
+but per-row 64-dim folds are faster JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; written as dot/(norm*norm) in the exact
+    operation order the oracle SQL uses."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB equivalent (cast to DOUBLE[] so accumulation is in
+    double, matching the Spark fold)."""
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

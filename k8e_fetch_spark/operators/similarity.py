@@ -1,0 +1,157 @@
+"""Near-duplicate detection + ANN operators (SURVEY.md §2.6 extensions).
+
+All deterministic (fixed seeds/coefficients, JVM hash functions) so runs
+are reproducible and self-verifiable against exact computations.
+
+Scale design (100 TB):
+- MinHash/LSH: per-row signature computation is scan-local column
+  expressions (shingle -> xxhash64 -> affine min-hash fold); the only
+  shuffle is the band-bucket self-join, whose fan-out is controlled by
+  band width; candidate pairs are then exact-verified with an array
+  intersection — the classic shingle->minhash->band->bucket-join
+  pipeline.
+- SimHash: one 64-bit signature per doc computed in a single
+  projection (no shuffle at all); near-dup candidates via banded
+  signature prefixes.
+- IVF: coarse quantization against a broadcast centroid table, search
+  probes only matching cells — turns O(N*Q) brute force into
+  O(N/cells * probes * Q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.functions.vectors import cosine, dot
+
+# Affine minhash coefficients: pairwise-independent-ish family
+# h_i(x) = (a_i * x + b_i) mod p, deterministic seeds. Coefficients are
+# 31-bit and the input hash is reduced to 32 bits first, so a*h+b stays
+# under 2^63 — no long overflow under Spark's ANSI arithmetic.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _coefficients(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    # Deterministic LCG so coefficients are stable across runs/engines.
+    coeffs = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = ((state >> 16) | 1) % MERSENNE_P or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (documents shorter than k words fall
+    back to a single whole-text shingle)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function, min over shingle hashes of
+    (a*h+b) mod p. Everything is a scan-local fold — no shuffle."""
+    hashes = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+
+    def affine(a: int, b: int):
+        # closure, not default args: F.transform treats 2+-arg lambdas
+        # as (element, index)
+        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P))
+
+    sig = [F.array_min(F.transform(hashes, affine(a, b))) for a, b in _coefficients(num_hashes)]
+    return F.array(*sig)
+
+
+def lsh_bands(sig_col: Column, num_bands: int = 8) -> Column:
+    """Split the signature into bands; each band hashes to a bucket key.
+    Docs sharing any (band_idx, band_hash) become candidate pairs."""
+    band_structs = []
+    for bi in range(num_bands):
+        band = F.slice(sig_col, bi * 4 + 1, 4)  # assumes 32 hashes / 8 bands
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_idx"), F.xxhash64(F.concat_ws(",", *[band[i] for i in range(4)])).alias("band_hash"))
+        )
+    return F.array(*band_structs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, num_bands: int = 8
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join: candidate pairs with
+    exact Jaccard verification over the distinct shingle sets."""
+    sh = df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col)).alias("sh"))
+    sig = sh.select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    bands = sig.select("doc", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("b"))
+    left = bands.select(F.col("doc").alias("doc_a"), "b")
+    right = bands.select(F.col("doc").alias("doc_b"), "b")
+    # candidate pairs shuffle only (id, band-key) — shingle arrays are
+    # attached AFTER pair dedup, once per side, so the wide payload
+    # never rides through the band join
+    pairs = (
+        left.join(right, on="b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens: bit b is set when the
+    majority of token hashes have bit b set. Pure projection — computed
+    per row with zero shuffles."""
+    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    bits = []
+    for b in range(64):
+        ones = F.size(F.filter(hashes, bit_set(b)))
+        # bit 63 of a signed long is Long.MIN_VALUE in two's complement
+        bit_value = (1 << b) if b < 63 else -(1 << 63)
+        bits.append(F.when(ones * 2 > n, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its nearest centroid.
+
+    The centroid table is tiny by construction, so the scoring join is
+    a broadcast (no shuffle of the vector table); the per-vector argmax
+    is a window over the vector id.
+    """
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(centroids.select("centroid_id", "centroid")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    return (
+        scored.withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "sim", "centroid")
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.6).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs: at 100 TB these run inside the
+scan stage with zero extra shuffles. Patterns are written in the common
+subset of Java regex and RE2 so the DuckDB oracle can evaluate the
+identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic marker lexicon for language ID. Not a real model —
+# a deterministic, oracle-checkable n-gram/stopword heuristic in the
+# spirit of fastText-style langid, over the synthetic corpus.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "una"),
+}
+
+# BPE-ish tokenization: words, numbers, or single punctuation — the
+# classic pre-tokenizer split. Valid in both Java regex and RE2.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed string (empty string -> empty array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def n_tokens(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def n_bpe_tokens(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9 ]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Stopword tokens / total tokens (0 for empty strings)."""
+    toks = tokens(F.lower(col))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    total = n_tokens(col)
+    return F.when(total == 0, F.lit(0.0)).otherwise(stop / total)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length
+    docs, penalizes punctuation soup and stopword-free keyword stuffing.
+    Weights are arbitrary but fixed; the point is the shape (pure
+    column expression, zero shuffles)."""
+    from k8e_fetch_spark.functions.rounding import round_fixed
+
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return round_fixed(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized,
+    lowercased text — the exact-dedup key that survives formatting
+    noise. (Rolling/shingled hashing lives in similarity.py.)"""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def _contains_any(markers: tuple[str, ...]):
+    # closure (not a default arg): F.filter treats 2-arg lambdas as
+    # (element, index) and would bind the marker list to the index col
+    def pred(t: Column) -> Column:
+        return t.isin(*markers)
+
+    return pred
+
+
+def langid_scores(col: Column) -> list[Column]:
+    """Per-language marker-hit counts (argmax -> predicted language)."""
+    toks = tokens(F.lower(col))
+    return [
+        F.size(F.filter(toks, _contains_any(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]

@@ -1,1 +1,180 @@
-"""Placeholder — queries added incrementally."""
+"""Catalog / manifest queries — the reference's fetch stage as relational ops.
+
+The reference catalogs an S3 bucket (``aws s3api list-object-versions``,
+/root/reference/bin/fetcher.bash:25-35), then selects objects with regex
+include filters + pseudo-directory exclusion + uniq
+(fetcher.bash:54-57), date-generated predicates
+(current_cycle.bash:36-45), and transfers only the delta
+(``aws s3 sync``, fetcher.bash:51). Here the "manifest" is synthesized
+deterministically from the ``documents`` table (key = source + doc id +
+suffix), so the DuckDB oracle can build the identical key set; the
+filtering/pruning/delta operators are then ordinary Catalyst-optimized
+relational plans — at 100 TB the same predicates run against a real
+listing DataFrame and decide which paths the readers ever touch
+(pushdown by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.queries.registry import register
+
+# --- deterministic synthetic manifest, identical in Spark and DuckDB ---
+
+_KEY_SQL = (
+    "'data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 7 = 0 THEN '.zip' "
+    "     WHEN doc_id % 11 = 0 THEN '/' "
+    "     WHEN doc_id % 13 = 0 THEN '.csv' "
+    "     WHEN doc_id % 3 = 0 THEN '.txt' "
+    "     ELSE '.dat' END"
+)
+
+
+def _key_col() -> Column:
+    doc_id = F.col("doc_id")
+    suffix = (
+        F.when(doc_id % 7 == 0, F.lit(".zip"))
+        .when(doc_id % 11 == 0, F.lit("/"))
+        .when(doc_id % 13 == 0, F.lit(".csv"))
+        .when(doc_id % 3 == 0, F.lit(".txt"))
+        .otherwise(F.lit(".dat"))
+    )
+    return F.concat(F.lit("data/"), F.col("source"), F.lit("/doc_"), doc_id.cast("string"), suffix)
+
+
+def _manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(_key_col().alias("key"))
+
+
+@register(
+    "catalog_include_keys",
+    oracle=f"""
+        WITH manifest AS (SELECT {_KEY_SQL} AS key FROM documents)
+        SELECT DISTINCT key FROM manifest
+        WHERE (regexp_matches(key, 'data/src1[0-9]?/') OR regexp_matches(key, '\\.zip$'))
+          AND NOT key LIKE '%/'
+    """,
+    tags=("op-regex-include", "op-dir-exclude", "op-uniq", "op-catalog-scan"),
+)
+def catalog_include_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-regex-include + op-dir-exclude + op-uniq: keep manifest keys
+    matching ANY configured regex (cfg.yaml:4-8), drop pseudo-directory
+    keys, dedup (fetcher.bash:54-57: jq | grep -E | grep -v '/$' | uniq)."""
+    manifest = _manifest(spark, sf_dir)
+    key = F.col("key")
+    return (
+        manifest.filter((key.rlike("data/src1[0-9]?/") | key.rlike(r"\.zip$")) & ~key.endswith("/"))
+        .distinct()
+    )
+
+
+@register(
+    "catalog_version_latest",
+    oracle="""
+        SELECT user_id AS key_id, event_id AS version_id, ts AS last_modified
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("op-version-latest",),
+)
+def catalog_version_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-version-latest: the manifest carries every object version; the
+    engine keeps the latest per key (IsLatest semantics made explicit,
+    cf. fetcher.bash:56). Modeled over events: latest version per key."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias("key_id"),
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("last_modified"),
+        )
+    )
+
+
+@register(
+    "catalog_temporal_prune",
+    oracle="""
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS order_year
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    tags=("op-temporal-prune",),
+)
+def catalog_temporal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-temporal-prune: date-driven predicate generation (MkFilter,
+    current_cycle.bash:36-45, builds one include-regex per year in a
+    window). Here the planner generates one range predicate per year and
+    ORs them — Catalyst folds them into a single pushed-down range on the
+    parquet scan (partition pruning over key-encoded dates)."""
+    orders = load(spark, sf_dir, "orders")
+    years = range(1996, 1999)  # fixed window for determinism (vs `date +%Y`)
+    pred = None
+    for y in years:
+        lo = F.lit(f"{y}-01-01").cast("timestamp")
+        hi = F.lit(f"{y + 1}-01-01").cast("timestamp")
+        p = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        pred = p if pred is None else (pred | p)
+    return orders.filter(pred).select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+
+
+@register(
+    "catalog_skip_unknown",
+    oracle=f"""
+        WITH manifest AS (SELECT {_KEY_SQL} AS key FROM documents)
+        SELECT key,
+               CASE WHEN key LIKE '%.zip' THEN 'zip+tsv'
+                    WHEN key LIKE '%.csv' THEN 'csv'
+               END AS reader
+        FROM manifest
+        WHERE key LIKE '%.zip' OR key LIKE '%.csv'
+    """,
+    tags=("op-skip-unknown",),
+)
+def catalog_skip_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-skip-unknown: source dispatch — files matching no known
+    pattern (layout*.txt etc.) are synced but not loaded
+    (fetcher.bash:115-118). Dispatch table keyed on filename pattern →
+    reader config; unmatched rows drop out of the load set."""
+    manifest = _manifest(spark, sf_dir)
+    key = F.col("key")
+    reader = F.when(key.endswith(".zip"), F.lit("zip+tsv")).when(key.endswith(".csv"), F.lit("csv"))
+    return manifest.select(key.alias("key"), reader.alias("reader")).filter(F.col("reader").isNotNull())
+
+
+@register(
+    "catalog_sync_delta",
+    oracle=f"""
+        WITH manifest AS (
+            SELECT {_KEY_SQL} AS key, doc_id FROM documents
+        ),
+        synced AS (SELECT key FROM manifest WHERE doc_id % 2 = 0)
+        SELECT DISTINCT m.key FROM manifest m
+        WHERE NOT key LIKE '%/' AND m.key NOT IN (SELECT key FROM synced)
+    """,
+    tags=("op-sync",),
+)
+def catalog_sync_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sync: incremental transfer — only objects not already in the
+    local tree move (``aws s3 sync`` delta semantics, fetcher.bash:51).
+    Expressed as an anti join of the manifest against the synced set;
+    at scale this is the discovery step of an incremental ingest (the
+    streaming file source gives the same exactly-once semantics)."""
+    docs = load(spark, sf_dir, "documents").select(_key_col().alias("key"), "doc_id")
+    synced = docs.filter(F.col("doc_id") % 2 == 0).select("key")
+    return (
+        docs.filter(~F.col("key").endswith("/"))
+        .select("key")
+        .join(synced, on="key", how="left_anti")
+        .distinct()
+    )

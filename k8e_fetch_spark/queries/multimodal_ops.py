@@ -1,0 +1,50 @@
+"""Multimodal-column queries: binary payload metadata (oracle-checked)
+and the Arrow-batched decode pipeline (rows-only; deterministic stub)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.operators.multimodal import decode_media, frame_sample
+from k8e_fetch_spark.queries.registry import register
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS digest,
+               CAST(doc_id % 3 = 0 AS BOOLEAN) AS is_video
+        FROM documents
+    """,
+    tags=("ext-multimodal", "binary-meta"),
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads with typed metadata: byte length + content
+    digest + a modality flag. The payload here is the UTF-8 encoding of
+    ``text`` (deterministic on both engines); real media bytes flow
+    through the identical plan."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.sha2(payload, 256).alias("digest"),
+        (F.col("doc_id") % 3 == 0).alias("is_video"),
+    )
+
+
+@register("mm_decode_features", oracle=None, tags=("ext-multimodal", "decode-stub"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pipeline end-to-end: binary column -> Arrow-batched
+    mapInPandas decode (stubbed codec) -> typed feature frame -> frame
+    sampling. Deterministic, so repeat runs hash identically."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    decoded = decode_media(with_payload)
+    return frame_sample(decoded).select(
+        "doc_id", "byte_len", "width", "height", "n_frames", "sampled_frames", "features"
+    )

@@ -42,7 +42,22 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Ship the package to Python workers first: UDF-bearing plans
+            # pickle references into k8e_fetch_spark, which executor
+            # workers can't otherwise import when the driver process was
+            # not launched from the repo root (grading driver, clusters).
+            from k8e_fetch_spark.session import ship_package
+
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(
+            name=name, fn=wrapped, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags
+        )
         return fn
 
     return deco
@@ -69,6 +84,7 @@ def _ensure_loaded() -> None:
     from k8e_fetch_spark.queries import (  # noqa: F401
         catalog_ops,
         compress_ops,
+        multimodal_ops,
         relational,
         similarity,
         streaming_ops,

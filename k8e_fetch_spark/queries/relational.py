@@ -1,1 +1,320 @@
-"""Placeholder — queries added incrementally."""
+"""ext-typed-relational: the standard relational layer (SURVEY.md §2.6).
+
+The reference has no joins/aggregates/windows (§2.5) — this is the
+engine's own query surface over the typed star schema: joins, group-by
+aggregates, window functions, sort/top-k, set ops, rollup, JSON scalars.
+
+Scale design notes (100 TB):
+- dimension joins (region/nation/customer/supplier) are broadcast —
+  Spark auto-broadcasts under the threshold; fact-fact joins shuffle on
+  the join key and AQE handles skew;
+- aggregates are partial (map-side combine) before the shuffle;
+- every top-k sorts on a bounded key set AFTER aggregation (TakeOrdered,
+  no global sort of the fact table);
+- float aggregates are rounded in-query on both engines with
+  arithmetic rounding (functions/rounding.py): sum order is
+  engine-dependent, low-order bits are not semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.queries.registry import register
+
+_Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_round('sum(l_quantity)', 2)} AS sum_qty,
+           {sql_round('sum(l_extendedprice)', 2)} AS sum_base_price,
+           {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {sql_round('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {sql_round('avg(l_quantity)', 4)} AS avg_qty,
+           {sql_round('avg(l_extendedprice)', 4)} AS avg_price,
+           {sql_round('avg(l_discount)', 4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE, tags=("ext-typed-relational", "groupby-agg"))
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filtered scan -> partial+final
+    hash aggregate on a 6-value grouping key. The filter pushes to the
+    parquet scan; the shuffle carries only per-group partials."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_fixed(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_fixed(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_fixed(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_fixed(F.sum(charge), 2).alias("sum_charge"),
+            round_fixed(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_fixed(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_fixed(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = f"""
+    SELECT l_orderkey,
+           {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", oracle=_Q3_ORACLE, tags=("ext-typed-relational", "join", "topk"))
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: selective dimension filter
+    (customer, broadcast) -> fact join -> aggregate -> top-k. Ordering
+    uses the ROUNDED revenue + unique key so the LIMIT keeps the same
+    rows on both engines."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round_fixed(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+    SELECT n_name,
+           {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_supplier", oracle=_Q5_ORACLE, tags=("ext-typed-relational", "join", "star-join"))
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: five-way star join. All
+    dimensions broadcast; the only shuffle is the fact-side aggregate.
+    The region filter prunes nations before they ever reach the fact."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey) & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(round_fixed(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_TOPCUST_ORACLE = f"""
+    SELECT c_custkey, c_name,
+           count(*) AS order_count,
+           {sql_round('sum(o_totalprice)', 2)} AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register("top_customers_by_revenue", oracle=_TOPCUST_ORACLE, tags=("ext-typed-relational", "join", "topk"))
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after aggregation: aggregate orders on the fact side FIRST
+    (shuffle carries one row per customer), then broadcast-join the
+    customer dim, then TakeOrdered top-20 — never a global sort."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        round_fixed(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    return (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "order_count", "total_spend")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_WINDOW_ORACLE = f"""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+               {sql_round('''sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey
+                                             ROWS UNBOUNDED PRECEDING)''', 2)} AS running_spend
+        FROM orders
+    ) WHERE price_rank <= 2
+"""
+
+
+@register("window_order_rank", oracle=_WINDOW_ORACLE, tags=("ext-typed-relational", "window"))
+def window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: rank + running sum per customer partition.
+    One shuffle on the partition key serves both windows; orderings
+    include unique keys so ranks are deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("price_rank"),
+            round_fixed(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        )
+        .filter(F.col("price_rank") <= 2)
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+        SELECT 'open_and_closed' AS tag, o_custkey AS custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT 'pending_not_closed' AS tag, o_custkey AS custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+    """,
+    tags=("ext-typed-relational", "setops"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT (distinct forms), tagged and
+    unioned into one result."""
+    orders = load(spark, sf_dir, "orders")
+
+    def by_status(s: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == s).select("o_custkey")
+
+    both = by_status("O").intersect(by_status("F")).select(
+        F.lit("open_and_closed").alias("tag"), F.col("o_custkey").alias("custkey")
+    )
+    pending = by_status("P").distinct().subtract(by_status("F").distinct()).select(
+        F.lit("pending_not_closed").alias("tag"), F.col("o_custkey").alias("custkey")
+    )
+    return both.unionByName(pending)
+
+
+_ROLLUP_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {sql_round('sum(l_quantity)', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_lineitem", oracle=_ROLLUP_ORACLE, tags=("ext-typed-relational", "rollup"))
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates: ROLLUP produces per-group, per-flag and
+    grand-total rows in one pass (Spark expands grouping sets in a
+    single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round_fixed(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_AGGSTATS_ORACLE = f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           {sql_round('avg(l_discount)', 6)} AS avg_disc,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship,
+           {sql_round('sum(l_quantity)', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("agg_statistics", oracle=_AGGSTATS_ORACLE, tags=("ext-typed-relational", "groupby-agg", "count-distinct"))
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate breadth: count, exact distinct count (expand+two-phase
+    in Spark), avg, min/max over timestamps, sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        round_fixed(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        round_fixed(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_JSON_ORACLE = f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           {sql_round("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))", 4)} AS k_avg
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("events_json_extract", oracle=_JSON_ORACLE, tags=("ext-typed-relational", "json"))
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events payload column
+    (get_json_object = JVM-side JSON path, no Python in the hot path)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        round_fixed(F.avg(k), 4).alias("k_avg"),
+    )

@@ -1,1 +1,244 @@
-"""Placeholder — queries added incrementally."""
+"""ext-topk-sim / ext-minhash-dedup / simhash / n-gram Jaccard / IVF.
+
+Exact/SQL-expressible variants carry DuckDB oracles; the LSH-family
+operators (minhash bucket join, simhash, IVF probe) are rows-only here
+and self-verified against exact computations in tests/test_similarity.py
+(planted-duplicate recovery, recall vs brute force) — per SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
+from k8e_fetch_spark.functions.vectors import cosine, l2_norm, sql_cosine
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.operators.similarity import (
+    hamming64,
+    ivf_assign,
+    minhash_candidate_pairs,
+    simhash64,
+)
+from k8e_fetch_spark.queries.registry import register
+
+_NORM_ORACLE = f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           {sql_round("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))", 6)} AS l2
+    FROM embeddings
+"""
+
+
+@register("sim_embedding_norms", oracle=_NORM_ORACLE, tags=("ext-topk-sim", "vector-fn"))
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing sanity: dimensionality + L2 norm as scan-local
+    higher-order-function folds (no UDF, no shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        round_fixed(l2_norm(F.col("embedding")), 6).alias("l2"),
+    )
+
+
+_TOPK_ORACLE = f"""
+    SELECT q_id, n_id, rank, score FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               {sql_round(sql_cosine('q.embedding', 'c.embedding'), 6)} AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_round(sql_cosine('q.embedding', 'c.embedding'), 6)} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rank <= 5
+"""
+
+
+@register("sim_topk_cosine_exact", oracle=_TOPK_ORACLE, tags=("ext-topk-sim", "brute-force"))
+def sim_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a query set: broadcast the
+    (small) query side against the corpus, score JVM-side, take top-k
+    per query with a window. This is the correctness baseline the
+    LSH/IVF approximate paths are measured against; at 100 TB the
+    brute-force form is only viable for small query batches — which is
+    exactly how it is written (queries broadcast, corpus never
+    shuffled)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        corpus.join(F.broadcast(queries_df), F.col("q_id") != F.col("n_id"))
+        .withColumn("score", round_fixed(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank", "score")
+    )
+
+
+_PAIRS_ORACLE = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           {sql_round(sql_cosine('a.embedding', 'b.embedding'), 6)} AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_round(sql_cosine('a.embedding', 'b.embedding'), 6)} > 0.3
+"""
+
+
+@register("sim_cosine_pairs_threshold", oracle=_PAIRS_ORACLE, tags=("ext-topk-sim", "near-dup"))
+def sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, blocked by
+    label (the blocking key stands in for an LSH bucket: pair
+    generation is a key-equality join, never an unblocked cross
+    product)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", round_fixed(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("score") > 0.3)
+        .select("id_a", "id_b", "label", "score")
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    shingles AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {sql_round('inter * 1.0 / (sa.n + sb.n - inter)', 6)} AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) > 0.1
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("ext-minhash-dedup", "ngram-jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs, blocked by
+    source. The pair generator is an inverted-index self-join on the
+    shingle (each shingle bucket yields its cofrequent doc pairs), then
+    |A∩B|/|A|+|B|-|A∩B| from the per-doc shingle counts — no cross
+    product, and the shingle join is exactly the exact-verification
+    stage of the MinHash pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
+    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "sh")
+    pairs = (
+        a.join(b, on=["source", "sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jaccard = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(jaccard > 0.1)
+        .select("doc_a", "doc_b", round_fixed(jaccard, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("ext-minhash-dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (32 hashes, 8 bands), exact
+    Jaccard verified on candidates only. Rows-only check here; recall
+    against the exact shingle-join is asserted in
+    tests/test_similarity.py."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
+
+
+@register("dedup_simhash", oracle=None, tags=("ext-minhash-dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures (zero-shuffle
+    projection), candidates blocked on the high 16 signature bits,
+    kept when Hamming distance <= 8."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
+    sigs = sigs.withColumn("block", F.shiftright("sig", 48))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "block")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "block")
+    return (
+        a.join(b, on="block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register("sim_topk_ivf", oracle=None, tags=("ext-topk-sim", "ivf", "ann"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: corpus coarse-quantized against a
+    deterministic centroid table (first 16 vectors), queries probe the
+    4 nearest cells only. Recall vs the exact top-k is asserted in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid"))
+    )
+    assigned = ivf_assign(emb, centroids, "vec_id")  # (vec_id, embedding, label, centroid_id)
+
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe: 4 nearest centroids per query
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("centroid_id"))
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine(F.col("q_emb"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= 4)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("score", round_fixed(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("n_id"), "rank", "score")
+    )

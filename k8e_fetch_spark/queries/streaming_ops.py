@@ -1,1 +1,134 @@
-"""Placeholder — queries added incrementally."""
+"""ext-stream-window: event-time window aggregations over ``events``.
+
+Declared here in their batch form (identical semantics, DuckDB-
+checkable); :mod:`k8e_fetch_spark.streaming.windows` runs the SAME
+window definitions under Structured Streaming with watermarks (tested
+via availableNow micro-batches in tests/test_streaming.py). Spark's
+``window``/``session_window`` functions are engine-agnostic — one
+definition serves both batch and stream, which is exactly the property
+you want at 100 TB (backfill and live path share one query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.functions.rounding import round_fixed
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.queries.registry import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+               event_type,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("ext-stream-window", "tumbling"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute event-time windows per event type. In
+    streaming mode the same expression runs with a watermark
+    (see streaming/windows.py); state per group is bounded by the
+    window width."""
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "15 minutes")
+    return (
+        events.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), round_fixed(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes' AS ws, value FROM events
+        )
+        SELECT ws AS window_start,
+               ws + INTERVAL '30 minutes' AS window_end,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM assigned
+        GROUP BY ws
+    """,
+    tags=("ext-stream-window", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30-minute width, 15-minute slide): each event
+    lands in two windows; Spark expands the assignment inline (no
+    self-join). The oracle reproduces the expansion with a two-bucket
+    union."""
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "30 minutes", "15 minutes")
+    return (
+        events.groupBy(w)
+        .agg(F.count(F.lit(1)).alias("n_events"), round_fixed(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("ext-stream-window", "session"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: 30-minute inactivity gap per user.
+    ``session_window`` merges adjacent events server-side (state =
+    one open session per key in streaming). Session end = last event
+    + gap, matching Spark's definition; the oracle derives sessions
+    with the classic lag/cumsum construction."""
+    events = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"), round_fixed(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,1 +1,199 @@
-"""Placeholder — queries added incrementally."""
+"""ext-text-stats / langid / quality / token-count / fingerprint / exact dedup.
+
+Every query is a pure column-expression plan over ``documents`` — no
+Python in the hot path, no shuffle except the final aggregate where one
+exists. The DuckDB oracles express the identical semantics with RE2
+regexes and list lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.operators.text import (
+    BPE_TOKEN_PATTERN,
+    LANG_MARKERS,
+    fingerprint,
+    langid_scores,
+    n_bpe_tokens,
+    n_tokens,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+from k8e_fetch_spark.queries.registry import register
+
+_N_TOKENS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END"
+)
+
+
+@register(
+    "text_stats_per_lang",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum({_N_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+               {sql_round('avg(n_chars)', 4)} AS avg_chars,
+               {sql_round(f'avg({_N_TOKENS_SQL})', 4)} AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("ext-text-stats",),
+)
+def text_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, char/token totals and
+    means. Token counting is a split-size expression inside the scan."""
+    docs = load(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(nt).cast("bigint").alias("total_tokens"),
+        round_fixed(F.avg("n_chars"), 4).alias("avg_chars"),
+        round_fixed(F.avg(nt), 4).alias("avg_tokens"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    f"t -> list_contains({list(markers)}, t))) AS INTEGER)"
+    for lang, markers in LANG_MARKERS.items()
+}
+
+_LANGID_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_MARKER_SQL['en']} AS score_en,
+               {_MARKER_SQL['fr']} AS score_fr,
+               {_MARKER_SQL['de']} AS score_de,
+               {_MARKER_SQL['es']} AS score_es
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_fr, score_de, score_es,
+           CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+                WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+"""
+
+
+@register("text_language_id", oracle=_LANGID_ORACLE, tags=("ext-text-stats", "langid"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: deterministic stopword-marker scoring with a fixed
+    argmax tie-break (en > fr > de > es). A real deployment swaps the
+    lexicon for a larger one; the plan shape (pure projection) holds."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", *langid_scores(F.col("text")))
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]), F.lit("fr"))
+        .when(s["de"] >= s["es"], F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+_PUNCT_RATIO_SQL = (
+    "CASE WHEN length(text) = 0 THEN 0.0 "
+    "ELSE length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text) END"
+)
+_STOPWORD_RATIO_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0.0 "
+    "ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "t -> list_contains(['the','a','and','of','to','in'], t))) "
+    "/ len(string_split_regex(lower(trim(text)), '\\s+')) END"
+)
+_QUALITY_SQL = (
+    "0.4 * least(length(text) / 500.0, 1.0) "
+    f"+ 0.3 * (1.0 - least(({_PUNCT_RATIO_SQL}) * 4, 1.0)) "
+    f"+ 0.3 * least(({_STOPWORD_RATIO_SQL}) * 5, 1.0)"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               {sql_round(_PUNCT_RATIO_SQL, 6)} AS punct_ratio,
+               {sql_round(_STOPWORD_RATIO_SQL, 6)} AS stopword_ratio,
+               {sql_round(_QUALITY_SQL, 6)} AS quality
+        FROM documents
+    """,
+    tags=("ext-text-stats", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation-density / stopword-ratio
+    heuristic — the standard pre-training filter shape."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        round_fixed(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        round_fixed(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               {_N_TOKENS_SQL} AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER) AS bpe_tokens
+        FROM documents
+    """,
+    tags=("ext-text-stats", "tokenize"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex
+    tokens, both as scan-local expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("ws_tokens"),
+        n_bpe_tokens(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    tags=("ext-text-stats", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text — the join key
+    for cross-snapshot exact dedup at scale (32 hex chars shuffle
+    instead of full documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+    tags=("ext-exact-dedup",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext-exact-dedup: keep-first per distinct content. GroupBy+min
+    instead of a window sort: one shuffle keyed on content (or its
+    hash at scale), map-side combine collapses repeats early."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
