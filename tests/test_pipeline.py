@@ -1,0 +1,92 @@
+"""End-to-end pipeline test (M3): fetch → select → load → compress over
+the FIXTURES.md §B fixtures, driven by the cfg.yaml-shaped DEFAULT_SPEC.
+Verifies the reference's Main flow semantics (fetcher.bash:13-24) —
+manifest selection, source dispatch, component decomposition, and
+idempotent reruns (INSERT OR IGNORE)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from k8e_fetch_spark.plans.pipeline import Pipeline
+from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    return Pipeline(spark, DEFAULT_SPEC, str(tmp_path_factory.mktemp("warehouse")))
+
+
+@pytest.fixture(scope="module")
+def selected(pipe):
+    versions = pipe.fetch_versions(str(FIXTURES / "manifest.json"))
+    return pipe.select_keys(versions, "current_cycle")
+
+
+def test_manifest_selection(selected):
+    keys = {r["key"] for r in selected.collect()}
+    assert "Snapshots/VR_Snapshot_20240514.zip" in keys
+    assert "data/ncvoter_Statewide.zip" in keys
+    assert "Elections/2024/Candidate_Listing_2024.csv" in keys
+    assert "data/layout_ncvoter.txt" in keys  # synced (skip happens at load)
+    assert "Elections/" not in keys  # op-dir-exclude
+    assert "other/readme.md" not in keys  # no include regex matches
+    # op-uniq + op-version-latest: the duplicate-key older version collapses
+    assert len(keys) == len([r for r in selected.collect()])
+
+
+@pytest.fixture(scope="module")
+def tables(pipe, selected):
+    paths = pipe.sync(selected, str(FIXTURES))
+    return pipe.load(paths)
+
+
+def test_load_dispatch(tables):
+    assert set(tables) == {
+        "vr_snapshot_20240514",
+        "ncvoter_statewide",
+        "candidate_listing_2022",
+        "candidate_listing_2024",
+    }  # layout_ncvoter.txt skipped (op-skip-unknown)
+    assert tables["ncvoter_statewide"].count() == 4
+    assert tables["vr_snapshot_20240514"].count() == 3
+
+
+@pytest.fixture(scope="module")
+def components(pipe, tables):
+    return pipe.compress(tables)
+
+
+def test_compress_components(components):
+    assert set(components) == {"c_name", "c_phone", "c_status", "c_registr"}
+    # c_status: distinct status codes across BOTH sources (A, I)
+    assert {r["status_cd"] for r in components["c_status"].collect()} == {"A", "I"}
+    # c_name: 3 distinct ncvoter (row 4 is an exact dup) + 3 vr, where
+    # SMITH/JOHN/Q is byte-identical across sources -> merges once
+    names = components["c_name"].collect()
+    assert len(names) == 5
+    last = {r["last_name"] for r in names}
+    assert {"RENÉE", "RENEE", "MUÑOZ", "SMITH", "O'BRIEN"} == last
+
+
+def test_compress_subst(components):
+    # c_phone: area_cd||phone_num expression subst (cfg.yaml:26-27)
+    phones = {r["ncid"]: r["full_phone_number"] for r in components["c_phone"].collect()}
+    assert phones["AA1"] == "9195550101"
+    # c_registr: vr side takes the 'NA' constant default, ncvoter side
+    # passes registr_dt through (cfg.yaml:46-54 shape)
+    reg = {(r["ncid"], r["registr_dt"]) for r in components["c_registr"].collect()}
+    assert ("AA1", "NA") in reg  # from vr_snapshot subst
+    assert ("AA1", "2002-03-04") in reg  # from ncvoter passthrough
+
+
+def test_compress_idempotent(pipe, tables, components):
+    """Rerunning compress (INSERT OR IGNORE) adds no rows."""
+    before = {k: v.count() for k, v in components.items()}
+    again = pipe.compress(tables)
+    after = {k: v.count() for k, v in again.items()}
+    assert before == after
