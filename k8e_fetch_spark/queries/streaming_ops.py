@@ -89,6 +89,37 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tumbling_available_now",
+    oracle=None,  # non-SQL-expressible: real Structured Streaming execution
+    tags=("ext-stream-window", "streaming", "availableNow"),
+)
+def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed as an actual Structured
+    Streaming query (file source → watermark → memory sink, availableNow
+    trigger) rather than its batch twin. Same window expression as
+    events_tumbling_window — the batch/stream parity the engine
+    guarantees; correctness of the values is covered by that query's
+    oracle and tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.streaming import windows as sw
+
+    workdir = tempfile.mkdtemp(prefix="k8e_stream_")
+    src = f"{workdir}/events"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
+    stream = sw.tumbling(sw.stream_events(spark, src), watermark="0 seconds")
+    out = sw.run_available_now(stream, f"{workdir}/ckpt", output_mode="complete")
+    # materialize before the temp source dir disappears
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+@register(
     "events_session_window",
     oracle="""
         WITH flagged AS (

@@ -1,0 +1,147 @@
+"""Structured Streaming harness tests (SURVEY.md §5: watermark/late-data
+semantics verified in a dedicated harness; the declared queries stay in
+batch-window form for the oracle).
+
+Each test drains an availableNow stream over parquet micro-batches and
+checks (a) stream == batch for the same window definition, (b) the
+watermark actually drops late rows, (c) the custom stateful operator
+carries state across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.streaming import windows as sw
+from tests.conftest import SF_DIR
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """The fixture events table staged as a directory (the streaming
+    file source reads directories, mirroring an S3 prefix)."""
+    import shutil
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir, ckpt):
+    """Complete-mode stream over the fixture events == batch aggregation."""
+    src = events_dir
+    stream = sw.tumbling(sw.stream_events(spark, src), watermark="0 seconds")
+    got = sw.run_available_now(stream, ckpt, output_mode="complete")
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+    got = got.withColumn("total_value", F.round("total_value", 6))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def _write_batch(spark, path, rows, mode="append"):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path, ckpt):
+    """A row older than (max event time - watermark) arriving in a later
+    micro-batch is dropped from the aggregation.
+
+    One availableNow run with maxFilesPerTrigger=1 processes the files
+    as ordered micro-batches (FileStreamSource orders by mtime). The
+    watermark computed from batch N's data takes effect for input
+    filtering one batch later, so an intermediate batch sits between
+    the watermark-advancing data and the late row.
+    """
+    import os
+    import time
+
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+
+    def write_aged(rows, age_sec):
+        before = set(os.listdir(src)) if os.path.exists(src) else set()
+        _write_batch(spark, src, rows)
+        stamp = time.time() - age_sec
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (stamp, stamp))
+
+    # batch 0: events 10:00-10:59 -> watermark becomes 10:49
+    write_aged(
+        [(1, t0, 1, "click", 1.0), (2, t0 + dt.timedelta(minutes=59), 1, "click", 1.0)],
+        3600,
+    )
+    # batch 1: spacer @11:00 (watermark 10:49 now in force for input)
+    write_aged([(3, t0 + dt.timedelta(minutes=60), 1, "click", 1.0)], 2400)
+    # batch 2: one LATE row at 09:00 (below watermark -> dropped) and a
+    # fresh row at 11:30 (advances watermark to 11:20, closing earlier
+    # windows so append mode emits them)
+    write_aged(
+        [
+            (4, t0 - dt.timedelta(hours=1), 2, "late", 99.0),
+            (5, t0 + dt.timedelta(minutes=90), 1, "click", 1.0),
+        ],
+        1200,
+    )
+
+    stream = sw.tumbling(
+        sw.stream_events(spark, src, max_files_per_trigger=1), watermark="10 minutes"
+    )
+    got = sw.run_available_now(stream, ckpt, output_mode="append")
+    rows = got.collect()
+    types = {r["event_type"] for r in rows}
+    assert "click" in types  # batch-1 windows closed and emitted
+    assert "late" not in types  # the 09:00 window never materializes
+    starts = {r["window_start"].replace(tzinfo=None) for r in rows}
+    assert dt.datetime(2024, 1, 1, 9, 0) not in starts
+
+
+def test_running_user_stats_state_across_batches(spark, tmp_path, ckpt):
+    """applyInPandasWithState: totals accumulate across micro-batches."""
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    _write_batch(spark, src, [(1, t0, 7, "a", 2.0), (2, t0, 7, "a", 3.0)])
+    _write_batch(spark, src, [(3, t0 + dt.timedelta(minutes=1), 7, "a", 5.0)])
+
+    stream = sw.running_user_stats(sw.stream_events(spark, src, max_files_per_trigger=1))
+    got = sw.run_available_now(stream, ckpt, output_mode="update")
+    # update mode emits one row per key per batch; the LAST emission for
+    # user 7 must carry the full running total
+    rows = [r for r in got.collect() if r["user_id"] == 7]
+    assert rows, "no emissions for user 7"
+    final = max(rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == 3
+    assert final["total_value"] == pytest.approx(10.0)
+
+
+def test_session_stream_runs(spark, events_dir, ckpt):
+    """Session-window stream drains and produces per-user sessions."""
+    stream = sw.sessionized(sw.stream_events(spark, events_dir), watermark="0 seconds")
+    got = sw.run_available_now(stream, ckpt, output_mode="complete")
+    assert got.count() > 0
+    assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
