@@ -46,3 +46,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan before compute-heavy per-row work.
+
+    A small parquet file arrives as ONE input split, serializing any
+    expensive projection chain (shingling, hashing, scoring) on a single
+    core — the local-mode miniature of the unsplittable-zip problem. One
+    cheap row-exchange buys full-width parallelism for everything
+    downstream. No-op when the scan is already wider than the target
+    (the 100 TB case: scans arrive thousands of partitions wide and must
+    NOT be shrunk here).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.vectors import cosine, dot
+from k8e_fetch_spark.io import fan_out
 
 # Affine minhash coefficients: pairwise-independent-ish family
 # h_i(x) = (a_i * x + b_i) mod p, deterministic seeds. Coefficients are
@@ -55,18 +56,31 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.trim(text)))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per hash function, min over shingle hashes of
-    (a*h+b) mod p. Everything is a scan-local fold — no shuffle."""
-    hashes = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+def shingle_hashes(shingle_col: Column) -> Column:
+    """32-bit hashes of the shingles."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
 
-    def affine(a: int, b: int):
-        # closure, not default args: F.transform treats 2+-arg lambdas
-        # as (element, index)
-        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P))
 
-    sig = [F.array_min(F.transform(hashes, affine(a, b))) for a, b in _coefficients(num_hashes)]
-    return F.array(*sig)
+def minhash_signature(hashes_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over shingle hashes: per hash function, min of
+    (a*h+b) mod p. Scan-local — no shuffle.
+
+    Implemented as ONE ``aggregate`` fold (running 32-wide min vector)
+    rather than 32 ``array_min(transform(...))`` expressions: with 32
+    separate expressions Catalyst's projection collapse inlines the
+    whole shingle+hash chain into every one of them, recomputing it 32x
+    per row (measured ~12x slower at sf0.1). The fold references the
+    input array exactly once, so the chain stays single-evaluation no
+    matter how projections collapse.
+    """
+    coeffs = _coefficients(num_hashes)
+    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(num_hashes)])
+
+    def step(acc: Column, h: Column) -> Column:
+        cand = F.array(*[F.pmod(a * h + b, F.lit(MERSENNE_P)) for a, b in coeffs])
+        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hashes_col, init, step)
 
 
 def lsh_bands(sig_col: Column, num_bands: int = 8) -> Column:
@@ -85,10 +99,24 @@ def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, num_bands: int = 8
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join: candidate pairs with
-    exact Jaccard verification over the distinct shingle sets."""
-    sh = df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col)).alias("sh"))
-    sig = sh.select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    exact Jaccard verification over the distinct shingle sets.
+
+    The shingle table is referenced three times (signature branch + both
+    verify-join sides) and the band table twice (self-join); both are
+    persisted so each is computed once — without this, Spark recomputes
+    the full shingling chain per branch (measured ~4x the work). Both
+    are orders of magnitude smaller than the corpus (ids + hashes);
+    MEMORY_AND_DISK spills rather than OOMs at scale, and LRU eviction
+    reclaims them after the query.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = fan_out(df).select(F.col(id_col).alias("doc"), shingles(F.col(text_col)).alias("sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = sh.select("doc", shingle_hashes(F.col("sh")).alias("h"))
+    sig = hashed.select("doc", minhash_signature(F.col("h"), num_hashes).alias("sig"))
     bands = sig.select("doc", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("b"))
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     left = bands.select(F.col("doc").alias("doc_a"), "b")
     right = bands.select(F.col("doc").alias("doc_b"), "b")
     # candidate pairs shuffle only (id, band-key) — shingle arrays are
@@ -114,22 +142,41 @@ def minhash_candidate_pairs(
 def simhash64(text: Column) -> Column:
     """64-bit SimHash of whitespace tokens: bit b is set when the
     majority of token hashes have bit b set. Pure projection — computed
-    per row with zero shuffles."""
-    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+    per row with zero shuffles.
 
-    bits = []
-    for b in range(64):
-        ones = F.size(F.filter(hashes, bit_set(b)))
+    One ``aggregate`` fold carries (per-bit ones-counts, token count) in
+    a struct; 64 separate ``size(filter(...))`` expressions would make
+    projection collapse re-tokenize + re-hash the text 64x per row (see
+    minhash_signature for the same pathology, measured at sf0.1).
+    """
+    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
+    init = F.struct(
+        F.array(*[F.lit(0).cast("long") for _ in range(64)]).alias("c"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(acc: Column, h: Column) -> Column:
+        bits = F.array(*[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(64)])
+        return F.struct(
+            F.zip_with(acc["c"], bits, lambda x, y: x + y).alias("c"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def finish(acc: Column) -> Column:
         # bit 63 of a signed long is Long.MIN_VALUE in two's complement
-        bit_value = (1 << b) if b < 63 else -(1 << 63)
-        bits.append(F.when(ones * 2 > n, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bit in bits[1:]:
-        out = out.bitwiseOR(bit)
-    return out
+        bitvals = F.array(
+            *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+        )
+        masked = F.zip_with(
+            acc["c"],
+            bitvals,
+            lambda cnt, v: F.when(cnt * 2 > acc["n"], v).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            masked, F.lit(0).cast("long"), lambda out, x: out.bitwiseOR(x)
+        )
+
+    return F.aggregate(hashes, init, step, finish)
 
 
 def hamming64(a: Column, b: Column) -> Column:

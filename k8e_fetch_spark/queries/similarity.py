@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
 from k8e_fetch_spark.functions.vectors import cosine, l2_norm, sql_cosine
-from k8e_fetch_spark.io import load
+from k8e_fetch_spark.io import fan_out, load
 from k8e_fetch_spark.operators.similarity import (
     hamming64,
     ivf_assign,
@@ -98,7 +98,7 @@ def sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     label (the blocking key stands in for an LSH bucket: pair
     generation is a key-equality join, never an unblocked cross
     product)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label"), F.col("embedding").alias("emb_b"))
     return (
@@ -140,7 +140,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/|A|+|B|-|A∩B| from the per-doc shingle counts — no cross
     product, and the shingle join is exactly the exact-verification
     stage of the MinHash pipeline."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
     idx = F.sequence(F.lit(1), F.size("t") - 2)
     sh = toks.select(
@@ -192,7 +192,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures (zero-shuffle
     projection), candidates blocked on the high 16 signature bits,
     kept when Hamming distance <= 8."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
     sigs = sigs.withColumn("block", F.shiftright("sig", 48))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "block")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
-from k8e_fetch_spark.io import load
+from k8e_fetch_spark.io import fan_out, load
 from k8e_fetch_spark.operators.text import (
     BPE_TOKEN_PATTERN,
     LANG_MARKERS,
@@ -89,7 +89,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: deterministic stopword-marker scoring with a fixed
     argmax tie-break (en > fr > de > es). A real deployment swaps the
     lexicon for a larger one; the plan shape (pure projection) holds."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     scored = docs.select("doc_id", *langid_scores(F.col("text")))
     s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
     predicted = (
@@ -132,7 +132,7 @@ _QUALITY_SQL = (
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation-density / stopword-ratio
     heuristic — the standard pre-training filter shape."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         round_fixed(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
@@ -154,7 +154,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex
     tokens, both as scan-local expressions."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         n_tokens(F.col("text")).alias("ws_tokens"),

@@ -10,6 +10,7 @@ from k8e_fetch_spark.operators.similarity import (
     hamming64,
     minhash_candidate_pairs,
     minhash_signature,
+    shingle_hashes,
     shingles,
     simhash64,
 )
@@ -45,7 +46,7 @@ def test_minhash_signature_similarity_estimates_jaccard(spark):
         ],
         ["doc_id", "text"],
     )
-    sig = df.select("doc_id", minhash_signature(shingles(F.col("text"))).alias("sig"))
+    sig = df.select("doc_id", minhash_signature(shingle_hashes(shingles(F.col("text")))).alias("sig"))
     rows = {r.doc_id: r.sig for r in sig.collect()}
     agree_12 = sum(a == b for a, b in zip(rows[1], rows[2])) / len(rows[1])
     agree_13 = sum(a == b for a, b in zip(rows[1], rows[3])) / len(rows[1])
