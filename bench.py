@@ -33,6 +33,10 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "top_customers_by_revenue",
     "window_order_rank",
+    "join_asof_purchase",
+    "cube_orders",
+    "agg_percentiles",
+    "pivot_event_types",
     "rollup_lineitem",
     "agg_statistics",
     "events_tumbling_window",

@@ -153,6 +153,33 @@ def catalog_skip_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_end_to_end",
+    oracle=None,  # file-based: runs the cfg-driven fetch→load→compress flow
+    tags=("pipeline", "op-multi-source-union", "op-insert-ignore", "op-zip-extract"),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline on the checked-in raw-text fixtures
+    (manifest select → zip/charset/quote-repair ingest → component
+    compress), returning the merged c_name dimension. Deterministic:
+    repeat runs produce identical rows (INSERT OR IGNORE semantics).
+    ``sf_dir`` is unused — inputs are the byte-level fixtures, not the
+    synthetic parquet."""
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.plans.pipeline import Pipeline
+    from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+
+    fixtures = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures"
+    with tempfile.TemporaryDirectory(prefix="k8e_pipe_") as warehouse:
+        pipe = Pipeline(spark, DEFAULT_SPEC, warehouse)
+        components = pipe.run(str(fixtures / "manifest.json"), str(fixtures))
+        out = components["c_name"]
+        # materialize before the temp warehouse disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
     "catalog_sync_delta",
     oracle=f"""
         WITH manifest AS (

@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         compress_ops,
         multimodal_ops,
         relational,
+        relational_ext,
         similarity,
         streaming_ops,
         text_ops,
