@@ -1,0 +1,96 @@
+"""Scale-path operators: bucketing, skew salting (SURVEY.md §4, 100 TB).
+
+These are the knobs the 100 TB deployment turns that small-SF
+correctness never exercises:
+
+- **Bucketing**: pre-shuffle fact tables on their join key at write
+  time; repeated joins/aggregations on that key then run with ZERO
+  exchanges (Spark reads co-located buckets). This is the Spark-native
+  form of "pay the shuffle once" — the analog of the reference paying
+  the transfer once via `aws s3 sync` deltas.
+- **Salting**: a skewed group/join key (one mega-key owning 30% of
+  rows) serializes on one task. Salted two-phase aggregation spreads
+  the hot key over N subtasks, then combines — same result, bounded
+  task size. AQE's skew-join splitting handles the join case at
+  runtime; explicit salting is for aggregations and for engines/paths
+  AQE doesn't cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """op-table-sink, bucketed form: parquet table bucketed (and
+    optionally sorted) on the join key. Joins/aggs between tables
+    bucketed the same way need no exchange — verified by plan
+    inspection in tests/test_scale.py."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant sum/count aggregation: phase 1 aggregates on
+    (keys + deterministic salt) so a hot key spreads over ``n_salts``
+    tasks; phase 2 combines the partials per key. Identical result to a
+    direct groupBy (associative aggregates only); twice the shuffles but
+    each bounded. Salt is derived from the row content hash —
+    deterministic, no rand() (replayable under task retry, which
+    nondeterministic salting is not).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value_col).alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_psum").alias(f"sum_{value_col}"),
+        F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed side gets a deterministic
+    salt in [0, n_salts); the small side is replicated once per salt
+    value. The join key becomes (key, salt), spreading each hot key's
+    rows over ``n_salts`` tasks. Prefer AQE's runtime skew splitting
+    when available; this is the explicit, engine-independent form."""
+    salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
+    skewed_s = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    )
+    small_s = small.withColumn("_salt", F.explode(salt_values))
+    return skewed_s.join(small_s, on=[key, "_salt"]).drop("_salt")
+
+
+def skew_metrics(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-distribution diagnostics: per-key row counts plus each key's
+    share of the total — what you inspect before choosing n_salts."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        *keys, "n", (F.col("n") / F.col("_t")).alias("share")
+    )

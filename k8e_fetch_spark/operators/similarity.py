@@ -183,6 +183,94 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _rademacher_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (same LCG family as _coefficients)."""
+    planes: list[list[int]] = []
+    state = seed * 2654435761 % (1 << 63)
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1 if (state >> 32) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def cosine_lsh_signature(vec_col: Column, dim: int, n_bits: int = 16) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit b =
+    sign(v . r_b) with fixed Rademacher hyperplanes. Pure column math,
+    one zip_with dot product per bit over the scan — no shuffle; the
+    standard sketch for cosine LSH (P[bit match] = 1 - angle/pi).
+    ``vec_col`` must be a plain scan attribute (cheap to reference), so
+    the per-bit expressions do not trigger the projection-collapse
+    recompute pathology documented on minhash_signature."""
+    planes = _rademacher_planes(dim, n_bits)
+    bits = []
+    for b, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(s)) for s in row])
+        d = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bit in bits[1:]:
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    n_bands: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH: signature -> band
+    buckets -> candidate pairs -> exact cosine verify on candidates only.
+    The bucket join shuffles (id, band-key) pairs; vectors are attached
+    per side after candidate dedup. Approximate: pairs whose signatures
+    disagree in every band are never scored (recall asserted against the
+    exact computation in tests/test_similarity.py)."""
+    bits_per_band = n_bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    sigs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        cosine_lsh_signature(F.col(vec_col), dim, n_bits).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright("sig", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("vid", F.explode(band_arr).alias("b"))
+    left = bands.select(F.col("vid").alias("id_a"), "b")
+    right = bands.select(F.col("vid").alias("id_b"), "b")
+    pairs = (
+        left.join(right, on="b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sigs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = sigs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("score") > threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str = "embedding"
 ) -> DataFrame:

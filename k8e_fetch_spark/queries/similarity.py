@@ -206,6 +206,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_cosine_lsh", oracle=None, tags=("ext-topk-sim", "lsh", "near-dup"))
+def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH (16-bit
+    signatures, 2 bands): candidates from band-bucket collisions, exact
+    cosine verified on candidates only. Recall vs the exhaustive pair
+    scan is asserted in tests/test_similarity.py."""
+    from k8e_fetch_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
+
+
 @register("sim_topk_ivf", oracle=None, tags=("ext-topk-sim", "ivf", "ann"))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: corpus coarse-quantized against a

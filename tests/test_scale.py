@@ -1,0 +1,82 @@
+"""Scale-path verification: bucketed joins run shuffle-free; salted
+aggregation/join match their unsalted equivalents (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.operators.scale import salted_agg, salted_join, skew_metrics, write_bucketed
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def scale_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("scale_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS scale_test LOCATION '{loc}'")
+    yield "scale_test"
+    spark.sql("DROP DATABASE IF EXISTS scale_test CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, scale_db):
+    """Two tables bucketed on the join key join with ZERO exchanges —
+    the pay-the-shuffle-once pattern for repeated fact joins."""
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed(lineitem, f"{scale_db}.li_b", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        f"{scale_db}.ord_b",
+        ["l_orderkey"],
+        8,
+        ["l_orderkey"],
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"{scale_db}.li_b").join(
+            spark.table(f"{scale_db}.ord_b"), on="l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it actually computes the right thing
+        expect = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_matches_plain(spark):
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    salted = salted_agg(lineitem, ["l_returnflag"], "l_quantity", n_salts=8)
+    plain = lineitem.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"), F.count(F.lit(1)).alias("n_rows")
+    )
+    got = {(r["l_returnflag"], round(r["sum_l_quantity"], 6), r["n_rows"]) for r in salted.collect()}
+    want = {(r["l_returnflag"], round(r["sum_l_quantity"], 6), r["n_rows"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    flags = lineitem.select("l_returnflag").distinct().withColumn(
+        "flag_name", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+    )
+    salted = salted_join(lineitem, flags, "l_returnflag", n_salts=4)
+    plain = lineitem.join(flags, on="l_returnflag")
+    assert salted.count() == plain.count()
+    got = {tuple(r) for r in salted.select("l_orderkey", "l_partkey", "flag_name").collect()}
+    want = {tuple(r) for r in plain.select("l_orderkey", "l_partkey", "flag_name").collect()}
+    assert got == want
+
+
+def test_skew_metrics_shares_sum_to_one(spark):
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    m = skew_metrics(lineitem, ["l_returnflag"])
+    total_share = m.agg(F.sum("share")).first()[0]
+    assert total_share == pytest.approx(1.0)

@@ -96,3 +96,41 @@ def test_ivf_recall_vs_exact(spark):
     # unstructured random embeddings are the worst case for IVF; still
     # expect meaningfully-above-chance recall with 4/16 cells probed
     assert mean_recall >= 0.2, f"IVF mean recall {mean_recall:.2f}"
+
+
+def test_cosine_lsh_recall_on_planted_neardups(spark):
+    """Hyperplane-LSH recovers planted near-duplicate vectors (cosine
+    ~0.998) and, because every candidate is exact-verified, reports no
+    pair below the threshold. The natural fixture has no high-cosine
+    pairs (max ~0.48 at sf0.001), so duplicates are planted — the
+    SURVEY.md §5 strategy for approximate operators."""
+    import numpy as np
+
+    from k8e_fetch_spark.functions.vectors import cosine
+    from k8e_fetch_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(250, 64)
+    rows = [(i, base[i].tolist()) for i in range(250)]
+    planted = set()
+    for j in range(20):  # vec 1000+j is a jittered copy of vec j
+        noisy = base[j] + 0.03 * rng.randn(64)
+        rows.append((1000 + j, noisy.tolist()))
+        planted.add((j, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    approx = cosine_lsh_pairs(df, "vec_id", "embedding", dim=64, n_bands=4, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below floor"
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") > 0.9)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got <= want  # exact verify: no false positives above threshold
