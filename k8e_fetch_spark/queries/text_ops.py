@@ -180,6 +180,79 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {sql_round(_QUALITY_SQL, 6)} AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   {_N_TOKENS_SQL} AS ws_tokens
+            FROM documents
+        ),
+        kept AS (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored WHERE quality > 0.5
+        )
+        SELECT doc_id, lang, quality, ws_tokens FROM kept WHERE rn = 1
+    """,
+    tags=("ext-text-stats", "ext-exact-dedup", "corpus-prep"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow: quality-filter -> exact
+    dedup on the normalized fingerprint (keep lowest doc_id) -> token
+    accounting. One scan, one shuffle (the fingerprint window); the
+    quality filter runs scan-local BEFORE the shuffle so discarded docs
+    never move."""
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+        n_tokens(F.col("text")).alias("ws_tokens"),
+    ).filter(F.col("quality") > 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality", "ws_tokens")
+    )
+
+
+_STRATA = {"en": "33", "fr": "19", "de": "19", "es": "0c"}  # hex byte ceilings
+_STRATA_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{ceil}'"
+    for lang, ceil in _STRATA.items()
+)
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE {_STRATA_SQL} ELSE FALSE END
+    """,
+    tags=("ext-text-stats", "sampling"),
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (en ~20%, fr/de ~10%,
+    es ~5%) — the training-mixture rebalancing op. Membership is a pure
+    hash of the row key (first md5 byte vs a per-stratum ceiling):
+    deterministic, engine-independent, stable under repartitioning and
+    reruns — properties ``df.sample(seed=)`` does NOT give you across
+    engines or partitionings. Scan-local filter; no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = None
+    for lang, ceil in _STRATA.items():
+        cond = (F.col("lang") == lang) & (bucket <= ceil)
+        keep = cond if keep is None else (keep | cond)
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+@register(
     "dedup_exact_documents",
     oracle="""
         SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, count(*) AS n_copies
