@@ -234,6 +234,25 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch outputs differ across engines by design
+    tags=("ext-typed-relational", "sketch", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for their exact twins:
+    HLL++ count-distinct and KLL-style approx percentiles, one pass, no
+    full shuffle of distinct values. Rows-only here (sketches are
+    engine-specific by design); tests/test_scale.py asserts each lands
+    within tolerance of the exact answers."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "string_funcs_parts",
     oracle="""
         SELECT p_partkey,

@@ -80,3 +80,30 @@ def test_skew_metrics_shares_sum_to_one(spark):
     m = skew_metrics(lineitem, ["l_returnflag"])
     total_share = m.agg(F.sum("share")).first()[0]
     assert total_share == pytest.approx(1.0)
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """HLL count-distinct within its configured rsd; approx median within
+    1% of the exact interpolated percentile."""
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_approx_sketches"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
+        assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.01

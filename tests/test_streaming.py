@@ -145,3 +145,42 @@ def test_session_stream_runs(spark, events_dir, ckpt):
     got = sw.run_available_now(stream, ckpt, output_mode="complete")
     assert got.count() > 0
     assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_incremental_compress_exactly_once(spark, tmp_path):
+    """Streaming Compress: new files merge incrementally; re-running the
+    stream (same checkpoint) and re-delivering duplicate rows both add
+    nothing — the reference's INSERT OR IGNORE rerun-safety, with
+    exactly-once file consumption from the checkpoint."""
+    from k8e_fetch_spark.streaming.incremental import (
+        IncrementalComponent,
+        run_incremental_compress,
+    )
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    comp = IncrementalComponent(spark, str(tmp_path / "c_status"))
+
+    def deliver(rows):
+        spark.createDataFrame(rows, "status_cd string, reason string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_incremental_compress(stream, comp, ckpt, ["status_cd", "reason"])
+
+    deliver([("A", "active"), ("I", "inactive")])
+    drain()
+    assert comp.read().count() == 2
+
+    # second delivery: one new row + one duplicate of an existing row
+    deliver([("A", "active"), ("R", "removed")])
+    drain()
+    rows = {tuple(r) for r in comp.read().collect()}
+    assert rows == {("A", "active"), ("I", "inactive"), ("R", "removed")}
+
+    # re-draining with nothing new is a no-op (checkpoint: files consumed once)
+    drain()
+    assert comp.read().count() == 3
