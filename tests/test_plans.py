@@ -1,0 +1,99 @@
+"""Plan-quality invariants (SURVEY.md §4): the physical plans we ship
+are the ones we mean to ship. Catches regressions where a code change
+silently turns a broadcast into a shuffle, loses a pushed filter, or
+reads columns it doesn't need — the failures that don't show up at
+sf0.001 but dominate at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from k8e_fetch_spark.queries import REGISTRY, queries
+from tests.conftest import SF_DIR
+
+queries()
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    # materialize so AQE finalizes its runtime decisions
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _formatted(spark, "tpch_q1_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _formatted(spark, "tpch_q1_pricing_summary")
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    read = m.group(1)
+    assert "l_comment" not in read  # only needed columns reach the scan
+    assert "l_orderkey" not in read
+    assert "l_quantity" in read
+
+
+@pytest.mark.parametrize("name", ["tpch_q3_shipping_priority", "tpch_q5_local_supplier"])
+def test_star_joins_broadcast(spark, name):
+    """Dimension joins must be broadcast — a sort-merge join here means
+    the fact table shuffles once per dimension at scale."""
+    plan = _executed_plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """LIMIT after ORDER BY must compile to TakeOrderedAndProject — a
+    global Sort + Limit materializes the full sorted fact table."""
+    plan = _executed_plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_aggregates_are_partial(spark):
+    """Two-phase hash aggregation (partial before the exchange): the
+    shuffle carries per-group partials, not raw rows."""
+    plan = _formatted(spark, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_join_no_payload_dedup(spark):
+    """Left-semi compiles to a semi join (no inner-join + distinct)."""
+    plan = _executed_plan(spark, "join_semi_customers")
+    assert "LeftSemi" in plan, plan
+    assert "HashAggregate" not in plan  # no post-join dedup needed
+
+
+def test_range_join_broadcasts_band_table(spark):
+    """The non-equi band join must broadcast the tiny band table, not
+    fall back to a shuffled cartesian."""
+    plan = _executed_plan(spark, "join_range_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_compress_distinct_single_shuffle(spark):
+    """SELECT DISTINCT = partial + final hash aggregate around ONE
+    exchange; the shuffle carries unique combos only."""
+    plan = _executed_plan(spark, "compress_distinct_status")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must stay a windowed single pass — no self-join,
+    no range explosion."""
+    plan = _executed_plan(spark, "join_asof_purchase")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): the quote-repair operator matches
+an independent Python implementation of the reference's sed semantics on
+arbitrary input, and the insert-ignore merge is idempotent/monotone on
+arbitrary frames with NULLs. Catches the class of two-sided-wrong bugs
+oracle parity can't (both sides encoding the same mistranslation)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.operators.dedup import insert_ignore
+from k8e_fetch_spark.operators.repair import quote_repair
+
+
+def sed_reference(line: str) -> str:
+    """Independent re-implementation of /root/reference/bin/quotequote:3-4
+    (global substitutions, applied in script order)."""
+    line = re.sub(r' ("[^",]*)"', r' "\1""', line)
+    line = re.sub(r'([A-Z])"([A-Z])', r"\1'\2", line)
+    return line
+
+
+_ALPHABET = st.sampled_from(list('ABCO"\' ,xyz."'))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(_ALPHABET, max_size=24), min_size=1, max_size=24))
+def test_quote_repair_matches_sed_semantics(spark_session_holder, lines):
+    spark = spark_session_holder
+    df = spark.createDataFrame([(ln,) for ln in lines], ["line"])
+    got = [r["out"] for r in df.select(quote_repair(F.col("line")).alias("out")).collect()]
+    want = [sed_reference(ln) for ln in lines]
+    assert got == want
+
+
+_ROW = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_ROW, max_size=12),
+    st.lists(_ROW, max_size=12),
+)
+def test_insert_ignore_idempotent_with_nulls(spark_session_holder, existing_rows, new_rows):
+    spark = spark_session_holder
+    schema = "k string, v int"
+    existing = spark.createDataFrame(existing_rows, schema).distinct()
+    new = spark.createDataFrame(new_rows, schema)
+
+    def norm(rows):
+        # sortable in the presence of NULLs (None precedes values)
+        return sorted(rows, key=lambda t: tuple((x is not None, x) for x in t))
+
+    once = insert_ignore(existing, new)
+    twice = insert_ignore(once, new)
+    got_once = norm(map(tuple, once.collect()))
+    got_twice = norm(map(tuple, twice.collect()))
+    # idempotent: re-applying the same batch changes nothing
+    assert got_once == got_twice
+    # correct contents: distinct union of both sides (null-safe)
+    want = norm(set(map(tuple, existing_rows)) | set(map(tuple, new_rows)))
+    assert got_once == want
+
+
+# hypothesis can't use function-scoped pytest fixtures; expose the
+# session-scoped spark fixture under a stable name instead.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(name="spark_session_holder", scope="module")
+def _spark_session_holder(spark):
+    return spark
