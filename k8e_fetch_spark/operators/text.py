@@ -79,6 +79,47 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def winnowing_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 3, window: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every k-token gram, keep the minimum hash of each sliding
+    window of ``window`` grams — the rolling-hash fingerprint set whose
+    overlap survives local edits (unlike a whole-doc digest).
+
+    Shape: posexplode the gram hashes, windowed min over (doc, pos),
+    distinct — relational ops only, one shuffle keyed on the doc id.
+    (A pure column-expression formulation needs O(grams) re-evaluation
+    of outer expressions inside HOF lambdas — the projection-collapse
+    pathology; see operators/similarity.py — so the exploded relational
+    form IS the scalable one.) Returns distinct (id, fp) rows, the join
+    shape fingerprint dedup wants anyway.
+    """
+    from pyspark.sql.window import Window
+
+    # positional (non-distinct) grams: winnowing needs sequence order
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    hashed = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", F.xxhash64("gram").alias("h"))
+
+    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy(id_col)
+    return (
+        hashed.withColumn("fp", F.min("h").over(w_min))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        # only full windows (last start = n_grams - window), unless the
+        # doc is shorter than one window
+        .filter((F.col("pos") <= F.col("_n") - window) | (F.col("pos") == 0))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def _contains_any(markers: tuple[str, ...]):
     # closure (not a default arg): F.filter treats 2-arg lambdas as
     # (element, index) and would bind the marker list to the index col

@@ -218,6 +218,19 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
 
 
+@register("sim_kmeans_assign", oracle=None, tags=("ext-topk-sim", "kmeans", "iterative"))
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embeddings (3 iterations,
+    deterministic init): the IVF centroid-training path. Non-SQL-
+    expressible (iteration); the Lloyd's inertia invariant is asserted
+    in tests/test_clustering.py."""
+    from k8e_fetch_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _history = kmeans(emb, k=8, iterations=3)
+    return assigned.select("vec_id", "centroid_id", round_fixed(F.col("d2"), 6).alias("d2"))
+
+
 @register("sim_topk_ivf", oracle=None, tags=("ext-topk-sim", "ivf", "ann"))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: corpus coarse-quantized against a

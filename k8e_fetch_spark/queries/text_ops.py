@@ -253,6 +253,22 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "text_winnowing_fingerprint",
+    oracle=None,  # relational winnowing; overlap semantics unit-tested
+    tags=("ext-text-stats", "fingerprint", "rolling-hash"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k-gram hash minima per
+    sliding window): the edit-tolerant document fingerprint, as
+    distinct (doc_id, fp) rows ready for dedup joins. Deterministic;
+    overlap behavior verified in tests/test_text_winnowing.py."""
+    from k8e_fetch_spark.operators.text import winnowing_fingerprints
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return winnowing_fingerprints(docs)
+
+
+@register(
     "dedup_exact_documents",
     oracle="""
         SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, count(*) AS n_copies
