@@ -277,3 +277,180 @@ def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").contains("ECO").alias("is_economy"),
         F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
     )
+
+
+@register(
+    "having_big_orders",
+    oracle=f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {sql_round('sum(o_totalprice)', 2)} AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING sum(o_totalprice) > 3000000
+    """,
+    tags=("ext-typed-relational", "having"),
+)
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: GROUP BY + HAVING on the aggregate. The HAVING
+    predicate evaluates post-aggregation — one shuffle total."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_sum"),
+        )
+        .filter(F.col("_sum") > 3000000)  # HAVING on the raw aggregate
+        .select("o_custkey", "n_orders", round_fixed(F.col("_sum"), 2).alias("total"))
+    )
+
+
+@register(
+    "scalar_subquery_rich_idle",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("ext-typed-relational", "scalar-subquery", "anti-join"),
+)
+def scalar_subquery_rich_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: scalar subquery (global average, computed once
+    and broadcast as a 1-row literal join) + anti join. The scalar side
+    never shuffles the big table twice."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "correlated_min_supplier",
+    oracle=f"""
+        SELECT s_nationkey, s_suppkey, s_name, {sql_round('s_acctbal', 2)} AS s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    tags=("ext-typed-relational", "correlated-subquery"),
+)
+def correlated_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated min-per-group, decorrelated the way
+    Catalyst would: one grouped min joined back on the key — a single
+    aggregation instead of a per-row subquery."""
+    supplier = load(spark, sf_dir, "supplier")
+    mins = supplier.groupBy(F.col("s_nationkey").alias("_nk")).agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        supplier.join(
+            F.broadcast(mins),
+            (supplier.s_nationkey == F.col("_nk")) & (supplier.s_acctbal == F.col("_min_bal")),
+        )
+        .select("s_nationkey", "s_suppkey", "s_name", round_fixed(F.col("s_acctbal"), 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "disjunctive_part_filter",
+    oracle=f"""
+        SELECT p_brand, count(*) AS n,
+               {sql_round('sum(p_retailprice)', 2)} AS total_price
+        FROM part
+        WHERE (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15)
+           OR (p_type = 'SMALL' AND p_size BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#1' AND p_retailprice < 1200)
+        GROUP BY p_brand
+    """,
+    tags=("ext-typed-relational", "disjunctive-pushdown"),
+)
+def disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate: the whole disjunction
+    pushes to the parquet scan as one filter (verified by the
+    PushedFilters plan check pattern in tests/test_plans.py)."""
+    part = load(spark, sf_dir, "part")
+    pred = (
+        ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "SMALL") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#1") & (F.col("p_retailprice") < 1200))
+    )
+    return (
+        part.filter(pred)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_fixed(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "exists_late_shipments",
+    oracle="""
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+    """,
+    tags=("ext-typed-relational", "semi-join", "non-equi"),
+)
+def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS with a correlated non-equi condition:
+    orders with any lineitem shipped >90 days after the order date.
+    Compiles to a left-semi join with the extra predicate as the join
+    condition — no distinct, no payload duplication."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return orders.join(li, cond, "left_semi").select("o_orderkey", "o_orderdate")
+
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name,
+              count(*) - count({c}) AS n_nulls,
+              count(DISTINCT {c}) AS n_distinct,
+              CAST(min({c}) AS VARCHAR) AS min_value,
+              CAST(max({c}) AS VARCHAR) AS max_value
+       FROM customer"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_customer_table",
+    oracle=_PROFILE_SQL,
+    tags=("ext-typed-relational", "profiling"),
+)
+def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling op (training-data QA): per-column null counts,
+    distinct counts, min/max — computed in ONE scan (all aggregates in
+    a single row) then unpivoted with stack(); the oracle's UNION ALL
+    form scans once per column, ours doesn't."""
+    customer = load(spark, sf_dir, "customer")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one_row = customer.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`" for c in _PROFILE_COLS
+    )
+    return one_row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -114,3 +114,19 @@ def test_vr_tsv_matches_zip(spark, vr_snapshot):
     spec = ingest.dispatch("VR_Snapshot_20240514.tsv")
     df_tsv = ingest.read_source(spark, [str(FIXTURES / "VR_Snapshot_20240514.tsv")], spec)
     assert sorted(map(tuple, df_tsv.collect())) == sorted(map(tuple, vr_snapshot.collect()))
+
+
+# --- malformed rows: PERMISSIVE padding/truncation semantics ------------
+
+
+def test_ragged_rows_permissive(spark, tmp_path):
+    """Rows with too few fields parse with trailing NULLs; rows with too
+    many keep the schema width (extra fields dropped) — the PERMISSIVE
+    contract that keeps one bad line from killing a 100 TB load."""
+    p = tmp_path / "ragged_ncvoter_statewide.tsv"
+    p.write_bytes(b"COL A\tCOL B\tCOL C\nx\ty\nz\ty2\tc2\textra\n")
+    spec = ingest.ReaderSpec(sep="\t", encoding="iso-8859-1")
+    df = ingest.read_source(spark, [str(p)], spec)
+    assert df.columns == ["col_a", "col_b", "col_c"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("x", "y", None), ("z", "y2", "c2")]

@@ -184,3 +184,68 @@ def test_incremental_compress_exactly_once(spark, tmp_path):
     # re-draining with nothing new is a no-op (checkpoint: files consumed once)
     drain()
     assert comp.read().count() == 3
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: clicks joined to the same
+    user's purchases within [0, 30 min] after the click. Both sides
+    carry watermarks so join state is bounded; availableNow result ==
+    the equivalent batch interval join."""
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, 1, "click", 1.0),
+            (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0),   # joins to 1
+            (3, t0 + dt.timedelta(minutes=50), 1, "purchase", 7.0),   # too late for 1
+            (4, t0 + dt.timedelta(minutes=45), 1, "click", 1.0),      # joins to 3
+            (5, t0 + dt.timedelta(minutes=20), 2, "purchase", 9.0),   # other user
+            (6, t0 + dt.timedelta(minutes=15), 3, "click", 1.0),      # no purchase
+        ],
+    )
+
+    def sides(df):
+        clicks = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        purchases = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        return clicks, purchases
+
+    cond = (
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    stream = sw.stream_events(spark, src)
+    s_clicks, s_purchases = sides(stream)
+    joined = s_clicks.withWatermark("click_ts", "1 hour").join(
+        s_purchases.withWatermark("purchase_ts", "1 hour"),
+        (s_clicks.user_id == s_purchases.user_id) & cond,
+    ).select("click_id", "purchase_id")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in sw.run_available_now(joined, str(tmp_path / "ck"), "append").collect()
+    }
+
+    b_clicks, b_purchases = sides(spark.read.parquet(src))
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in b_clicks.join(
+            b_purchases, (b_clicks.user_id == b_purchases.user_id) & cond
+        ).select("click_id", "purchase_id").collect()
+    }
+    assert got == want == {(1, 2), (4, 3)}
