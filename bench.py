@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "corpus_prep_pipeline",
+    "text_winnowing_fingerprint",
+    "having_big_orders",
+    "profile_customer_table",
     "sim_topk_cosine_exact",
     "mm_binary_meta",
 ]

@@ -187,6 +187,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
 
 
+@register("dedup_clusters_minhash", oracle=None, tags=("ext-minhash-dedup", "connected-components", "iterative"))
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup flow: MinHash candidate pairs ->
+    connected components (iterative min-label propagation) -> cluster
+    assignment (component = keeper doc id). Iterative, so rows-only;
+    component correctness is asserted on known graphs in
+    tests/test_clustering.py."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @register("dedup_simhash", oracle=None, tags=("ext-minhash-dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures (zero-shuffle
