@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -89,6 +90,49 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             )
 
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize/thumbnail stage: second Arrow-batched ``mapInPandas`` hop
+    after decode. The resample call is stubbed (deterministic byte
+    slice standing in for PIL ``Image.resize``); the real plumbing —
+    binary in, fixed-dims + binary out, iterator batching — is what a
+    production codec drops into."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = target
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "out_width": w,
+                    "out_height": h,
+                    # stub "resample": deterministic strided byte sample of
+                    # the payload, sized like a w*h/8 thumbnail
+                    "thumbnail": [
+                        p[:: max(1, len(p) // max(1, (w * h) // 8))] if p else b""
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
