@@ -90,3 +90,22 @@ def test_compress_idempotent(pipe, tables, components):
     again = pipe.compress(tables)
     after = {k: v.count() for k, v in again.items()}
     assert before == after
+
+
+def test_temporal_include_generates_mkfilter_set(spark):
+    """MkFilter parity (current_cycle.bash:36-45): snapshots for
+    {Y-1, Y}, election dirs for the 8-year judge term, statewide zips."""
+    from k8e_fetch_spark.sources.manifest import read_manifest, select_keys, temporal_include
+
+    pats = temporal_include(2024)
+    assert "VR_Snapshot_2023" in pats and "VR_Snapshot_2024" in pats
+    assert "Elections/2016" in pats and "Elections/2024" in pats
+    assert "Elections/2015" not in pats
+    assert r"_Statewide\.zip$" in pats
+
+    versions = read_manifest(spark, str(FIXTURES / "manifest.json"))
+    keys = {r["key"] for r in select_keys(versions, pats).collect()}
+    assert "Snapshots/VR_Snapshot_20240514.zip" in keys
+    assert "data/ncvoter_Statewide.zip" in keys
+    assert "Elections/2022/Candidate_Listing_2022.csv" in keys
+    assert "data/layout_ncvoter.txt" not in keys  # not in the temporal set
