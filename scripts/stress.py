@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scale-stress probe (not part of the driver's bench): replicate the
+sf0.1 tables N-fold into a temp dir with re-keyed ids, then time the
+headline plans there. The point is the SHAPE of the scaling curve —
+near-linear wall time vs data volume says the plans (broadcast joins,
+partial aggregation, banded LSH) hold as data grows; superlinear says a
+shuffle or cross-product is hiding somewhere.
+
+    python scripts/stress.py [N]   # default N=20 (~12M lineitem rows)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from k8e_fetch_spark.queries import REGISTRY, queries  # noqa: E402
+from k8e_fetch_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+PROBES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "dedup_exact_documents",
+    "events_tumbling_window",
+    "dedup_minhash_lsh",
+]
+# fact tables get replicated with shifted keys; dimensions stay as-is
+REPLICATE = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def materialize(spark, out_dir: str, n: int) -> None:
+    for t in DIMS:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, (key, stride) in REPLICATE.items():
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        copies = df.crossJoin(
+            spark.range(n).select(F.col("id").alias("_copy"))
+        ).withColumn(key, F.col(key) + F.col("_copy") * stride)
+        # documents: perturb text per copy so dedup ops see distinct docs
+        if t == "documents":
+            copies = copies.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" v"), F.col("_copy").cast("string"))
+            )
+        copies.drop("_copy").write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def run(sf_dir: str, label: str) -> dict[str, float]:
+    spark = get_spark(app_name=f"stress-{label}")
+    qs = queries()
+    qs["compress_distinct_status"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in PROBES:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm plan
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    base_times = run(BASE, "1x")
+    tmp = tempfile.mkdtemp(prefix="k8e_stress_")
+    try:
+        spark = get_spark(app_name="stress-materialize")
+        materialize(spark, tmp, n)
+        spark.stop()
+        big_times = run(tmp, f"{n}x")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    report = {
+        "replication": n,
+        "base_sec": base_times,
+        "scaled_sec": big_times,
+        "ratio": {k: round(big_times[k] / max(base_times[k], 1e-6), 1) for k in base_times},
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
