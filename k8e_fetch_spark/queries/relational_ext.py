@@ -454,3 +454,100 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               {sql_round('sum(o_totalprice)', 2)} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    tags=("ext-typed-relational", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    three grouping sets in one shuffle via map-side expansion."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        round_fixed(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "bag_set_ops_orders",
+    oracle="""
+        WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+             urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT o_custkey, count(*) AS n FROM (
+            SELECT * FROM hi INTERSECT ALL SELECT * FROM urgent
+        ) GROUP BY o_custkey
+    """,
+    tags=("ext-typed-relational", "setops", "bag-semantics"),
+)
+def bag_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two
+    sides), aggregated so the comparison is order-free."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.intersectAll(urgent).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "null_semantics_customer",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+               CAST(c_acctbal IS NOT DISTINCT FROM NULL AS BOOLEAN) AS bal_is_null
+        FROM customer
+    """,
+    tags=("ext-typed-relational", "null-semantics"),
+)
+def null_semantics_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling breadth: nullif/coalesce, CASE-to-NULL, and
+    null-safe comparison (<=> / IS NOT DISTINCT FROM)."""
+    customer = load(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        bal_nonneg.alias("bal_nonneg"),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null"),
+    )
+
+
+@register(
+    "date_arithmetic_orders",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+               CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS q,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+        FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("ext-typed-relational", "date-fns"),
+)
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic breadth: interval addition, day deltas, quarter
+    extraction, week truncation — all scan-local expressions."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )
