@@ -48,6 +48,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every synthetic table as a temp view so users can drive
+    the engine with plain ``spark.sql(...)`` — the SQL front door that
+    makes switching from the reference a query-text change, not an API
+    migration."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan before compute-heavy per-row work.
 

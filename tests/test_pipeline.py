@@ -109,3 +109,17 @@ def test_temporal_include_generates_mkfilter_set(spark):
     assert "data/ncvoter_Statewide.zip" in keys
     assert "Elections/2022/Candidate_Listing_2022.csv" in keys
     assert "data/layout_ncvoter.txt" not in keys  # not in the temporal set
+
+
+def test_sql_front_door(spark):
+    """register_views makes the whole corpus addressable from plain
+    spark.sql — run one of the oracle queries as raw SQL text."""
+    from k8e_fetch_spark.io import register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ).collect()
+    assert len(got) >= 3 and all(r["n"] > 0 for r in got)
