@@ -71,14 +71,17 @@ class Pipeline:
         The reference's ``aws s3 sync`` both filters and transfers; with
         Spark reading storage directly there is no copy step — the key
         list IS the reader's path list. Missing objects (selected but
-        not present) are surfaced, not silently dropped.
+        not present) are surfaced via a warning, not silently dropped.
         """
+        import warnings
+
         keys = [r["key"] for r in selected.collect()]  # small: file list, not data
-        paths = []
+        paths, missing = [], []
         for k in keys:
             p = os.path.join(data_dir, os.path.basename(k))
-            if os.path.exists(p):
-                paths.append(p)
+            (paths if os.path.exists(p) else missing).append(p if os.path.exists(p) else k)
+        if missing:
+            warnings.warn(f"selected but not present locally: {sorted(missing)}", stacklevel=2)
         return sorted(paths)
 
     # --- stage 3: SqlLoad ---------------------------------------------

@@ -249,3 +249,23 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ).select("click_id", "purchase_id").collect()
     }
     assert got == want == {(1, 2), (4, 3)}
+
+
+def test_stream_dedup_with_watermark(spark, tmp_path):
+    """Streaming exactly-once event dedup: dropDuplicates on the event
+    id with a watermark bounds state AND suppresses redelivered rows
+    across micro-batches."""
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=UTC)
+    _write_batch(spark, src, [(1, t0, 1, "click", 1.0), (2, t0, 2, "view", 2.0)])
+    # redelivery of event 1 (same id) plus one new event
+    _write_batch(spark, src, [(1, t0, 1, "click", 1.0), (3, t0 + dt.timedelta(minutes=1), 1, "click", 1.0)])
+
+    stream = (
+        sw.stream_events(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    got = sw.run_available_now(stream, str(tmp_path / "ck"), output_mode="append")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # the redelivered event_id=1 emitted once
