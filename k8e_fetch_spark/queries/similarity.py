@@ -283,3 +283,37 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", F.col("vec_id").alias("n_id"), "rank", "score")
     )
+
+
+@register(
+    "array_funcs_embeddings",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               {sql_round('list_min(embedding::DOUBLE[])', 6)} AS v_min,
+               {sql_round('list_max(embedding::DOUBLE[])', 6)} AS v_max,
+               {sql_round('embedding[1]::DOUBLE', 6)} AS first_val,
+               {sql_round('list_sum(list_transform(embedding::DOUBLE[], x -> abs(x)))', 6)} AS l1,
+               CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_positive
+        FROM embeddings
+    """,
+    tags=("ext-typed-relational", "array-fns"),
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over array<float>: size, element min/max,
+    indexing, lambda transform/filter folds — the building blocks every
+    vector operator here composes, all scan-local."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    l1 = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        round_fixed(F.array_min(vec), 6).alias("v_min"),
+        round_fixed(F.array_max(vec), 6).alias("v_max"),
+        round_fixed(F.element_at(vec, 1), 6).alias("first_val"),
+        round_fixed(l1, 6).alias("l1"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("int").alias("n_positive"),
+    )

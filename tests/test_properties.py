@@ -76,3 +76,42 @@ import pytest  # noqa: E402
 @pytest.fixture(name="spark_session_holder", scope="module")
 def _spark_session_holder(spark):
     return spark
+
+
+import os
+import subprocess
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/bin/quotequote"), reason="reference not present"
+)
+def test_quote_repair_matches_actual_sed_binary(spark_session_holder):
+    """Ground truth: run the reference's actual sed script over canonical
+    pathological lines and require byte-identical output from our
+    regexp_replace chain — closes the two-sided-wrong loophole where the
+    Spark op and the Python reimplementation share a mistranslation."""
+    spark = spark_session_holder
+    lines = [
+        'JOHN "JACK" SMITH\tREP',
+        'O"BRIEN\tDEM',
+        'A"B"C "x" "y,z"',
+        ' "leading quoted"',
+        'nothing to repair here',
+        'MIXED O"BRIEN AND "NICK" TOGETHER',
+        '""',
+        'trailing space "q" ',
+    ]
+    # quotequote also normalizes the header (row 1 only): prepend a
+    # sacrificial header line and drop it, so every probe line gets the
+    # data-row treatment
+    sed_data = subprocess.run(
+        ["bash", "/root/reference/bin/quotequote"],
+        input="HDR\n" + "\n".join(lines) + "\n",
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()[1:]
+
+    df = spark.createDataFrame([(ln,) for ln in lines], ["line"])
+    got = [r["out"] for r in df.select(quote_repair(F.col("line")).alias("out")).collect()]
+    assert got == sed_data, f"spark={got}\nsed={sed_data}"
