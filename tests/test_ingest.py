@@ -130,3 +130,52 @@ def test_ragged_rows_permissive(spark, tmp_path):
     assert df.columns == ["col_a", "col_b", "col_c"]
     rows = sorted(map(tuple, df.collect()))
     assert rows == [("x", "y", None), ("z", "y2", "c2")]
+
+
+# --- transcode ground truth: our decode == iconv (the reference's tool) --
+
+
+def test_transcode_matches_iconv(spark, tmp_path):
+    """The reference pipes through ``iconv -f LATIN1/UTF-16 -t UTF-8``
+    (fetcher.bash:105-110). Ground truth: our decoded rows must equal
+    what iconv itself produces from the same bytes."""
+    import subprocess
+
+    for name, enc_spark, enc_iconv in [
+        ("ncvoter_Statewide.tsv", "iso-8859-1", "LATIN1"),
+        ("VR_Snapshot_20240514.tsv", "utf-16", "UTF-16"),
+    ]:
+        raw = (FIXTURES / name).read_bytes()
+        iconv_text = subprocess.run(
+            ["iconv", "-f", enc_iconv, "-t", "UTF-8"],
+            input=raw,
+            capture_output=True,
+            check=True,
+        ).stdout.decode("utf-8")
+        iconv_lines = [ln for ln in iconv_text.split("\n") if ln]
+
+        spec = ingest.ReaderSpec(sep="\t", encoding=enc_spark)
+        df = ingest.read_source(spark, [str(FIXTURES / name)], spec)
+        # reassemble rows as tab-joined lines; header from iconv line 0
+        got_lines = [
+            "\t".join("" if v is None else v for v in row) for row in map(tuple, df.collect())
+        ]
+        want_data = iconv_lines[1:]
+        # quote repair applies to VR data rows before parse; mirror it
+        if name.startswith("VR_"):
+            want_data = [
+                subprocess.run(
+                    ["bash", "/root/reference/bin/quotequote"],
+                    input="HDR\n" + ln + "\n",
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout.splitlines()[1]
+                for ln in want_data
+            ]
+            spec = ingest.dispatch(name)
+            df = ingest.read_source(spark, [str(FIXTURES / name)], spec)
+            got_lines = [
+                "\t".join("" if v is None else v for v in row) for row in map(tuple, df.collect())
+            ]
+        assert sorted(got_lines) == sorted(want_data), name
