@@ -52,6 +52,10 @@ HEADLINE = [
     "having_big_orders",
     "profile_customer_table",
     "sim_topk_cosine_exact",
+    "sim_cosine_lsh",
+    "sim_kmeans_assign",
+    "grouping_sets_orders",
+    "array_funcs_embeddings",
     "mm_binary_meta",
 ]
 
@@ -76,6 +80,10 @@ def main() -> None:
             continue
         runs = []
         for _ in range(2):
+            # drop persisted intermediates left by prior queries (the LSH
+            # pipelines cache their band/shingle tables); without this,
+            # accumulated cache pressure bleeds into later timings
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
