@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 def _assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Nearest centroid per vector by squared L2 — broadcast the (tiny)
-    centroid table, one window-free argmin via struct-min aggregation."""
+    centroid table; argmin via min(struct(d2, centroid_id)) with the
+    vector carried through the group (identical across a vector's k
+    scored rows), so ONE shuffle per iteration and no join-back."""
     sq_dist = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -30,16 +32,14 @@ def _assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> D
     scored = df.crossJoin(F.broadcast(centroids)).select(
         id_col, vec_col, "centroid_id", sq_dist.alias("d2")
     )
-    # argmin via min(struct(d2, centroid_id)): one aggregation, no window
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct("d2", "centroid_id")).alias("_b")
-    )
-    return (
-        scored.join(best, on=id_col)
-        .filter(
-            (F.col("d2") == F.col("_b.d2")) & (F.col("centroid_id") == F.col("_b.centroid_id"))
-        )
-        .select(id_col, vec_col, "centroid_id", "d2")
+    return scored.groupBy(id_col).agg(
+        F.min(F.struct("d2", "centroid_id")).alias("_b"),
+        F.first(vec_col).alias(vec_col),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_b.centroid_id").alias("centroid_id"),
+        F.col("_b.d2").alias("d2"),
     )
 
 
@@ -112,14 +112,13 @@ def kmeans(
     iteration). Centroids collect to the driver each step (k × dim
     doubles — bytes, not data); assignment/averaging stay distributed."""
     spark: SparkSession = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
-
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
     init = (
         vecs.orderBy(id_col)
         .limit(k)
         .collect()
     )
+    dim = len(init[0][vec_col])  # from the init collect — no extra probe job
     centroid_rows = [(i, list(r[vec_col])) for i, r in enumerate(init)]
 
     inertia_history: list[float] = []
