@@ -35,3 +35,22 @@ def test_rows_only_runs(spark, name):
     q = REGISTRY[name]
     df = q.fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", _rows_only_cases() or ["__none__"])
+def test_rows_only_deterministic(spark, name):
+    """Rows-only queries must be run-to-run deterministic — the driver
+    hash-compares repeat executions, and every approximate operator here
+    is seeded/fixed by construction."""
+    if name == "__none__":
+        pytest.skip("no rows-only queries")
+    q = REGISTRY[name]
+
+    def snapshot():
+        df = q.fn(spark, SF_DIR)
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in row)
+            for row in map(tuple, df.collect())
+        )
+
+    assert snapshot() == snapshot()
