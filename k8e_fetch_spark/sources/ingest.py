@@ -213,6 +213,13 @@ def read_source(spark: SparkSession, paths: list[str], spec: ReaderSpec) -> Data
     if needs_python or spec.repair:
         lines = raw_lines(spark, paths, spec.encoding)
         df = parse_lines(lines, spec.sep, repair=spec.repair, quoted=spec.quoted)
+        if spec.zipped:
+            # one zip member = one decode task (DEFLATE is unsplittable);
+            # restore plan width for downstream ops. After the parse, not
+            # before: parse_lines probes the header with first(), which
+            # stays a short-circuit read only while the plan is
+            # shuffle-free.
+            df = rebalance_after_decode(df, spark.sparkContext.defaultParallelism)
     else:
         df = read_plain_delimited(spark, paths, spec.sep, spec.encoding, quoted=spec.quoted)
     for c in spec.add_columns:
