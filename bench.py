@@ -91,6 +91,8 @@ def main() -> None:
         warm[name] = min(runs)
 
     total = round(sum(warm.values()), 3)
+    oracles = set(__import__("k8e_fetch_spark.queries", fromlist=["oracle_sql"]).oracle_sql())
+    oracle_subtotal = round(sum(v for k, v in warm.items() if k in oracles), 3)
     print(
         json.dumps(
             {
@@ -100,6 +102,10 @@ def main() -> None:
                 "queries": warm,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                # subtotal of queries that HAVE a DuckDB oracle — the
+                # like-for-like number when comparing engines; the rest
+                # (LSH/kmeans/streaming/decode) have no DuckDB counterpart
+                "oracle_comparable_subtotal": oracle_subtotal,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(warm),
                 "n_registered": len(REGISTRY),
