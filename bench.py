@@ -91,8 +91,35 @@ def main() -> None:
         warm[name] = min(runs)
 
     total = round(sum(warm.values()), 3)
-    oracles = set(__import__("k8e_fetch_spark.queries", fromlist=["oracle_sql"]).oracle_sql())
+    from k8e_fetch_spark.queries import oracle_sql
+
+    oracles = oracle_sql()
     oracle_subtotal = round(sum(v for k, v in warm.items() if k in oracles), 3)
+
+    # DuckDB reference timings for the same headline queries (best of 2),
+    # so the per-query Spark/DuckDB ratio is read straight off this line.
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name in warm:
+            if name not in oracles:
+                continue
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                runs.append(round(time.perf_counter() - t0, 3))
+            duck_times[name] = min(runs)
+        con.close()
+    except Exception:
+        duck_times = {}
     print(
         json.dumps(
             {
@@ -106,6 +133,8 @@ def main() -> None:
                 # like-for-like number when comparing engines; the rest
                 # (LSH/kmeans/streaming/decode) have no DuckDB counterpart
                 "oracle_comparable_subtotal": oracle_subtotal,
+                "duckdb_queries": duck_times,
+                "duckdb_total": round(sum(duck_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(warm),
                 "n_registered": len(REGISTRY),
