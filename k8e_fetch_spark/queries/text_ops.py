@@ -286,3 +286,54 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 50, 40
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            WHERE length(trim(text)) > 0
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               array_to_string(t[s:least(s + {_CHUNK_SIZE} - 1, len(t))], ' ') AS chunk_text,
+               CAST(least(s + {_CHUNK_SIZE} - 1, len(t)) - s + 1 AS INTEGER) AS n_tokens
+        FROM toks, UNNEST(generate_series(1, len(t), {_CHUNK_STRIDE})) AS g(s)
+        WHERE s <= len(t)
+    """,
+    tags=("ext-text-stats", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: overlapping
+    {_CHUNK_SIZE}-token windows with stride {_CHUNK_STRIDE} (10-token
+    overlap), one row per chunk. Pure column ops (sequence -> slice ->
+    concat) + posexplode; chunking is scan-local, the explode fans out
+    rows without shuffling."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    starts = F.sequence(F.lit(1), n, F.lit(_CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("t"), s, F.lit(_CHUNK_SIZE))).alias("chunk_text"),
+            F.least(s + _CHUNK_SIZE - 1, F.size(F.col("t"))).alias("_end"),
+            s.alias("_s"),
+        ),
+    )
+    return (
+        toks.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            (F.col("c._end") - F.col("c._s") + 1).cast("int").alias("n_tokens"),
+        )
+    )
