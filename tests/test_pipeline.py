@@ -123,3 +123,39 @@ def test_sql_front_door(spark):
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
     ).collect()
     assert len(got) >= 3 and all(r["n"] > 0 for r in got)
+
+
+def test_stage_memoization_skip_load(spark, tmp_path):
+    """FETCHER_SKIP_* analog: a prior run lands tables in the warehouse;
+    a skip={'load'} rerun compresses straight from the landed parquet
+    without touching the manifest or source files."""
+    from k8e_fetch_spark.plans.pipeline import Pipeline
+    from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+
+    wh = str(tmp_path / "wh")
+    pipe = Pipeline(spark, DEFAULT_SPEC, wh)
+    first = pipe.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+    counts_first = {k: v.count() for k, v in first.items()}
+
+    # tables-only run (skip compress), then compress from the warehouse
+    pipe2 = Pipeline(spark, DEFAULT_SPEC, wh)
+    again = pipe2.run(
+        manifest_path="/nonexistent/manifest.json",  # must never be read
+        data_dir="/nonexistent",
+        skip=frozenset({"load"}),
+    )
+    counts_again = {k: v.count() for k, v in again.items()}
+    assert counts_again == counts_first
+
+
+def test_stage_memoization_skip_compress(spark, tmp_path):
+    """skip={'compress'} returns the loaded tables without building
+    components."""
+    from k8e_fetch_spark.plans.pipeline import Pipeline
+    from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+
+    pipe = Pipeline(spark, DEFAULT_SPEC, str(tmp_path / "wh"))
+    tables = pipe.run(
+        str(FIXTURES / "manifest.json"), str(FIXTURES), skip=frozenset({"compress"})
+    )
+    assert "ncvoter_statewide" in tables and "c_name" not in tables
