@@ -68,7 +68,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (the 100 TB case: scans arrive thousands of partitions wide and must
     NOT be shrunk here).
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        # classic-API introspection unavailable (e.g. Spark Connect):
+        # fall back to an unconditional widen — harmless when already wide
+        target = min_partitions or 32
     return df.repartition(target)

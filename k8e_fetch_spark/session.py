@@ -56,9 +56,14 @@ def ship_package(spark: SparkSession) -> None:
     would fail with ModuleNotFoundError. Zipping the package and
     ``addPyFile``-ing it is the cluster-correct fix — the same call that
     ships code to 1000 executors ships it to local[32] workers.
-    Idempotent per SparkContext.
+    Idempotent per SparkContext. No-op when the classic API is
+    unavailable (Spark Connect ships dependencies via addArtifact
+    instead; our UDF surface would need that path configured).
     """
-    sc = spark.sparkContext
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return
     if getattr(sc, "_k8e_pkg_shipped", False):
         return
     import tempfile

@@ -100,15 +100,34 @@ def table_name_for(path: str) -> str:
 # --- decode stages ------------------------------------------------------
 
 
+_DECODE_CHUNK_CHARS = 1 << 20  # 1M chars per decoded chunk
+
+
 def _decode_member(name: str, raw: bytes, encoding: str) -> Iterator[tuple[str, int, str]]:
     """Stream (path, line_no, line) from one file's bytes, decoding zips
-    member-by-member and text incrementally (never whole-file-as-str)."""
-    import pandas as pd  # noqa: F401  (worker-side import)
+    member-by-member and text incrementally (never whole-file-as-str).
+
+    Chunked decode + ``str.splitlines`` instead of per-line TextIOWrapper
+    iteration: the Python-level line loop was the decode bottleneck for
+    large members (one zip member = one task, so this serial loop IS the
+    ingest critical path)."""
 
     def _lines(stream: io.BufferedIOBase) -> Iterator[str]:
+        # split on \n exactly (like the reference's sed|sqlite pipe and
+        # unlike str.splitlines, which also splits on NEL/VT/FF);
+        # trailing \r is stripped per line, covering \r\n input
         text = io.TextIOWrapper(stream, encoding=encoding, errors="replace", newline="")
-        for ln in text:
-            yield ln.rstrip("\r\n")
+        carry = ""
+        while True:
+            chunk = text.read(_DECODE_CHUNK_CHARS)
+            if not chunk:
+                break
+            parts = (carry + chunk).split("\n")
+            carry = parts.pop()  # text after the last \n (maybe partial)
+            for ln in parts:
+                yield ln.rstrip("\r")
+        if carry:
+            yield carry.rstrip("\r")
 
     if name.lower().endswith(".zip"):
         with zipfile.ZipFile(io.BytesIO(raw)) as zf:
@@ -161,12 +180,22 @@ def _csv_options(sep: str, quoted: bool) -> dict[str, str]:
     return {"sep": sep, "quote": "\u0000"}
 
 
-def parse_lines(lines: DataFrame, sep: str, repair: bool = False, quoted: bool = False) -> DataFrame:
+def parse_lines(
+    lines: DataFrame,
+    sep: str,
+    repair: bool = False,
+    quoted: bool = False,
+    rebalance_to: int | None = None,
+) -> DataFrame:
     """Raw (path, line_no, line) → all-string table.
 
-    Header = line 0 (tiny, collected once, normalized per op-header-norm);
-    data rows optionally quote-repaired (op-quote-repair), then parsed by
-    ``from_csv`` with an all-StringType schema — JVM parse.
+    Header = line 0 (tiny, collected once, normalized per op-header-norm;
+    probed on the PRE-shuffle plan so ``first()`` short-circuits after
+    one decoded batch); data rows optionally quote-repaired
+    (op-quote-repair), then parsed by ``from_csv`` with an all-StringType
+    schema — JVM parse. ``rebalance_to`` inserts the width-restoring
+    exchange BETWEEN decode and parse, so repair+parse of an
+    unsplittable zip member runs at full parallelism.
     """
     header_row = lines.filter(F.col("line_no") == 0).select("line").first()
     if header_row is None:
@@ -174,13 +203,14 @@ def parse_lines(lines: DataFrame, sep: str, repair: bool = False, quoted: bool =
     columns = [normalize_header_name(c) for c in header_row["line"].split(sep)]
     ddl = ", ".join(f"`{c}` STRING" for c in columns)
 
+    data = lines.filter(F.col("line_no") > 0)
+    if rebalance_to:
+        data = data.repartition(rebalance_to)
     line = F.col("line")
     if repair:
         line = quote_repair(line)
-    return (
-        lines.filter(F.col("line_no") > 0)
-        .select(F.from_csv(line, ddl, _csv_options(sep, quoted)).alias("_r"))
-        .select("_r.*")
+    return data.select(F.from_csv(line, ddl, _csv_options(sep, quoted)).alias("_r")).select(
+        "_r.*"
     )
 
 
@@ -212,14 +242,18 @@ def read_source(spark: SparkSession, paths: list[str], spec: ReaderSpec) -> Data
     )
     if needs_python or spec.repair:
         lines = raw_lines(spark, paths, spec.encoding)
-        df = parse_lines(lines, spec.sep, repair=spec.repair, quoted=spec.quoted)
+        width = None
         if spec.zipped:
             # one zip member = one decode task (DEFLATE is unsplittable);
-            # restore plan width for downstream ops. After the parse, not
-            # before: parse_lines probes the header with first(), which
-            # stays a short-circuit read only while the plan is
-            # shuffle-free.
-            df = rebalance_after_decode(df, spark.sparkContext.defaultParallelism)
+            # restore plan width between decode and parse so the repair +
+            # CSV parse run at full parallelism
+            try:
+                width = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no SparkContext handle
+                width = 32
+        df = parse_lines(
+            lines, spec.sep, repair=spec.repair, quoted=spec.quoted, rebalance_to=width
+        )
     else:
         df = read_plain_delimited(spark, paths, spec.sep, spec.encoding, quoted=spec.quoted)
     for c in spec.add_columns:
