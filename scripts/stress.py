@@ -35,6 +35,9 @@ PROBES = [
     "dedup_exact_documents",
     "events_tumbling_window",
     "dedup_minhash_lsh",
+    "text_winnowing_fingerprint",
+    "corpus_prep_pipeline",
+    "sim_cosine_lsh",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
