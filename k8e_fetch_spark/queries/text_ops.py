@@ -337,3 +337,37 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c._end") - F.col("c._s") + 1).cast("int").alias("n_tokens"),
         )
     )
+
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+@register(
+    "text_redact_patterns",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS INTEGER) AS n_phones
+        FROM documents
+    """,
+    tags=("ext-text-stats", "redaction"),
+)
+def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (the pre-training PII scrub shape): replace
+    email-/phone-shaped spans with placeholder tokens and count the
+    hits. Pure regexp_replace/extract_all — scan-local, codegen'd;
+    patterns are in the Java-regex/RE2 common subset so the oracle
+    evaluates identical semantics."""
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), F.lit(0))).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_PAT), F.lit(0))).cast("int").alias("n_phones"),
+    )

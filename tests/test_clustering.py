@@ -82,3 +82,39 @@ def test_dedup_clusters_from_minhash(spark):
     assert comp_of[1] == comp_of[2] == comp_of[3]
     assert comp_of[4] == comp_of[5]
     assert comp_of[1] != comp_of[4]
+
+
+def test_redaction_on_planted_pii(spark):
+    """Redaction semantics on planted spans (the synthetic corpus has
+    none, so oracle parity alone would pass vacuously)."""
+    from k8e_fetch_spark.queries.registry import REGISTRY
+    from k8e_fetch_spark.queries import queries
+
+    queries()
+    # reuse the registered expressions through a small planted frame
+    import k8e_fetch_spark.queries.text_ops as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact jane.doe@example.org or call 919-555-0101 now"),
+            (2, "no sensitive content here"),
+            (3, "two mails: a@b.io c.d@e.co.uk and 984.555.0199"),
+        ],
+        ["doc_id", "text"],
+    )
+    from pyspark.sql import functions as FF
+
+    redacted = FF.regexp_replace(
+        FF.regexp_replace(FF.col("text"), t._EMAIL_PAT, "<EMAIL>"), t._PHONE_PAT, "<PHONE>"
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        FF.size(FF.regexp_extract_all("text", FF.lit(t._EMAIL_PAT), FF.lit(0))).alias("n_emails"),
+        FF.size(FF.regexp_extract_all("text", FF.lit(t._PHONE_PAT), FF.lit(0))).alias("n_phones"),
+    ).collect()}
+    assert rows[1]["redacted"] == "contact <EMAIL> or call <PHONE> now"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[2]["redacted"] == "no sensitive content here"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+    assert "<EMAIL>" in rows[3]["redacted"] and "<PHONE>" in rows[3]["redacted"]
