@@ -120,6 +120,44 @@ def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_stateful_user_stats",
+    oracle=None,  # custom stateful streaming operator (applyInPandasWithState)
+    tags=("ext-stream-window", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator executed as a real stream: running
+    per-user totals via applyInPandasWithState over availableNow
+    micro-batches, final emission per user returned. Deterministic
+    (single drain over a fixed file set); state-across-batches behavior
+    is asserted in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from k8e_fetch_spark.streaming import windows as sw
+
+    workdir = tempfile.mkdtemp(prefix="k8e_state_")
+    src = os.path.join(workdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
+    stream = sw.running_user_stats(sw.stream_events(spark, src))
+    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="update")
+    # keep the final (maximal) emission per user; materialize before the
+    # temp source disappears
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+    result = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+@register(
     "events_session_window",
     oracle="""
         WITH flagged AS (
