@@ -70,10 +70,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     try:
         target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() >= target:
+    except Exception:
+        # sparkContext unavailable (e.g. Spark Connect)
+        target = min_partitions or 32
+    try:
+        # File-count width estimate: metadata-only (driver-side file
+        # index), no job, no plan-to-RDD conversion, Connect-safe. A
+        # scan over >= target files is already wide enough; the 100 TB
+        # case (thousands of files) short-circuits here and is never
+        # shrunk or re-exchanged.
+        if len(df.inputFiles()) >= target:
             return df
     except Exception:
-        # classic-API introspection unavailable (e.g. Spark Connect):
-        # fall back to an unconditional widen — harmless when already wide
-        target = min_partitions or 32
+        pass
     return df.repartition(target)

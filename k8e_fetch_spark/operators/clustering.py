@@ -2,8 +2,8 @@
 
 The IVF index (operators/similarity.py) quantizes against centroids; a
 real deployment trains them. This is the engine's iterative-algorithm
-pattern: each iteration is a pure DataFrame program (broadcast-assign +
-re-average), driven by a small Python loop — the model state (k × dim
+pattern: each iteration is a pure DataFrame program (literal-inlined
+zero-shuffle assign + re-average), driven by a small Python loop — the model state (k × dim
 centroids) lives on the driver, the data never leaves executors. The
 same loop shape serves any fixed-point algorithm (PageRank, label
 propagation, IVF training).
@@ -15,31 +15,44 @@ test asserts the Lloyd's invariant instead (inertia never increases).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest centroid per vector by squared L2 — broadcast the (tiny)
-    centroid table; argmin via min(struct(d2, centroid_id)) with the
-    vector carried through the group (identical across a vector's k
-    scored rows), so ONE shuffle per iteration and no join-back."""
-    sq_dist = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _assign(df: DataFrame, centroid_rows: list[tuple[int, list[float]]], id_col: str, vec_col: str) -> DataFrame:
+    """Nearest centroid per vector by squared L2 — ZERO-shuffle form.
+
+    The model state (k × dim doubles) already lives on the driver, so
+    instead of crossJoin(broadcast)+groupBy(argmin) — which ships every
+    vector through the shuffle k times — the centroids are inlined as a
+    literal array-of-structs and the argmin is one ``F.aggregate`` fold
+    per row. Assignment becomes a pure projection: no exchange, no
+    duplicate vector traffic, whole-stage codegen end to end. At 100 TB
+    this is the difference between a k-fold shuffle per iteration and
+    none at all (the only iteration shuffle left is the k-row partial
+    aggregate in the stats step)."""
+    # One SQL string -> ONE Py4J call. Building k x dim literals as
+    # Column objects costs ~0.6 s of driver round trips per iteration;
+    # the string form is free. (Driver-side latency, not a plan change.)
+    cents = ",".join(
+        f"named_struct('cid',{int(cid)},'c',array({','.join(f'{float(x)!r}D' for x in vec)}))"
+        for cid, vec in centroid_rows
     )
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "centroid_id", sq_dist.alias("d2")
+    # one transform pass computes each distance exactly once; array_min
+    # on (d2, cid) structs is the argmin with the documented cid
+    # tie-break. Field extraction may inline the fold twice after
+    # projection collapse — 2 x (k x dim) flops per row, no shuffle.
+    best = F.expr(
+        f"array_min(transform(array({cents}), cand -> named_struct("
+        f"'d2', aggregate(zip_with(`{vec_col}`, cand.c, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x), "
+        f"'cid', cand.cid)))"
     )
-    return scored.groupBy(id_col).agg(
-        F.min(F.struct("d2", "centroid_id")).alias("_b"),
-        F.first(vec_col).alias(vec_col),
-    ).select(
-        id_col,
-        vec_col,
-        F.col("_b.centroid_id").alias("centroid_id"),
-        F.col("_b.d2").alias("d2"),
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cid"].alias("centroid_id"),
+        best["d2"].alias("d2"),
     )
 
 
@@ -110,9 +123,18 @@ def kmeans(
 ) -> tuple[DataFrame, list[float]]:
     """Lloyd's k-means; returns (assignments DataFrame, inertia per
     iteration). Centroids collect to the driver each step (k × dim
-    doubles — bytes, not data); assignment/averaging stay distributed."""
-    spark: SparkSession = df.sparkSession
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    doubles — bytes, not data); assignment is a zero-shuffle projection
+    (centroids inlined as literals), so the only per-iteration exchange
+    is the k-row map-side-combined stats aggregate. ONE job per
+    iteration (the stats collect)."""
+    from k8e_fetch_spark.io import fan_out
+
+    # single-split parquet arrives as 1 partition; the assignment
+    # projection would serialize on one core. Widen once, cache: every
+    # iteration re-reads this exact frame.
+    vecs = fan_out(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+    ).persist()
     init = (
         vecs.orderBy(id_col)
         .limit(k)
@@ -124,31 +146,27 @@ def kmeans(
     inertia_history: list[float] = []
     assigned = None
     for _ in range(iterations):
-        centroids = spark.createDataFrame(
-            centroid_rows, f"centroid_id int, centroid array<double>"
-        )
-        assigned = _assign(vecs, centroids, id_col, vec_col)
+        assigned = _assign(vecs, centroid_rows, id_col, vec_col)
+        # Narrow stats shape: posexplode to (cid, pos, x) rows, then one
+        # map-side-combined aggregate; k x dim result rows collect. Keeps
+        # the plan at ~5 expressions instead of 2 x dim projected/agg
+        # columns (driver analysis time), same single job per iteration.
+        # d2 repeats once per pos, so per-centroid inertia/count are read
+        # off the pos==0 rows exactly (no division, no drift).
         stats = (
-            assigned.select(
-                "centroid_id",
-                "d2",
-                *[F.element_at(F.col(vec_col), i + 1).alias(f"c{i}") for i in range(dim)],
-            )
-            .groupBy("centroid_id")
+            assigned.select("centroid_id", "d2", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
             .agg(
-                F.sum("d2").alias("inertia"),
-                F.count(F.lit(1)).alias("n"),
-                *[F.avg(f"c{i}").alias(f"m{i}") for i in range(dim)],
+                F.avg("x").alias("m"),
+                F.sum("d2").alias("sd2"),
             )
             .collect()
         )
-        inertia_history.append(float(sum(r["inertia"] for r in stats)))
-        by_id = {r["centroid_id"]: r for r in stats}
+        inertia_history.append(float(sum(r["sd2"] for r in stats if r["pos"] == 0)))
+        means: dict[int, list[float | None]] = {}
+        for r in stats:
+            means.setdefault(r["centroid_id"], [None] * dim)[r["pos"]] = float(r["m"])
         centroid_rows = [
-            (
-                cid,
-                [float(by_id[cid][f"m{i}"]) for i in range(dim)] if cid in by_id else vec,
-            )
-            for cid, vec in centroid_rows
+            (cid, means[cid] if cid in means else vec) for cid, vec in centroid_rows
         ]
     return assigned.select(id_col, "centroid_id", "d2"), inertia_history

@@ -83,14 +83,22 @@ def minhash_signature(hashes_col: Column, num_hashes: int = 32) -> Column:
     return F.aggregate(hashes_col, init, step)
 
 
-def lsh_bands(sig_col: Column, num_bands: int = 8) -> Column:
+def lsh_bands(sig_col: Column, num_bands: int = 8, num_hashes: int = 32) -> Column:
     """Split the signature into bands; each band hashes to a bucket key.
     Docs sharing any (band_idx, band_hash) become candidate pairs."""
+    if num_hashes % num_bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by num_bands={num_bands}")
+    rows_per_band = num_hashes // num_bands
     band_structs = []
     for bi in range(num_bands):
-        band = F.slice(sig_col, bi * 4 + 1, 4)  # assumes 32 hashes / 8 bands
+        band = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
         band_structs.append(
-            F.struct(F.lit(bi).alias("band_idx"), F.xxhash64(F.concat_ws(",", *[band[i] for i in range(4)])).alias("band_hash"))
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.xxhash64(
+                    F.concat_ws(",", *[band[i] for i in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
         )
     return F.array(*band_structs)
 
@@ -115,7 +123,9 @@ def minhash_candidate_pairs(
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     hashed = sh.select("doc", shingle_hashes(F.col("sh")).alias("h"))
     sig = hashed.select("doc", minhash_signature(F.col("h"), num_hashes).alias("sig"))
-    bands = sig.select("doc", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("b"))
+    bands = sig.select(
+        "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
+    )
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     left = bands.select(F.col("doc").alias("doc_a"), "b")
     right = bands.select(F.col("doc").alias("doc_b"), "b")

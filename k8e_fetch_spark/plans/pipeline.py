@@ -13,7 +13,7 @@ FetchVersions → Sync → SqlLoad → Compress) with Spark stages:
   file to its ReaderSpec, land one all-string table per file in the
   warehouse (parquet — the columnar sink that replaces the SQLite
   staging db; README.md:1 "prepping for postgres" maps to an optional
-  JDBC sink, :func:`k8e_fetch_spark.io.write_jdbc`).
+  JDBC sink, :func:`k8e_fetch_spark.plans.pipeline.write_jdbc`).
 - **Compress** (op-catalog-introspect/op-table-regex-match/op-distinct/
   op-insert-ignore/op-multi-source-union/op-schema-clone): per
   compressor, regex-match loaded tables, project each through the

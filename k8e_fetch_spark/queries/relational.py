@@ -318,3 +318,36 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("k_sum"),
         round_fixed(F.avg(k), 4).alias("k_avg"),
     )
+
+
+_MAP_ORACLE = """
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ),
+    nt AS (SELECT user_id, CAST(count(*) AS INTEGER) AS n_types FROM per GROUP BY 1)
+    SELECT p.user_id AS user_id, n_types, event_type, cnt
+    FROM per p JOIN nt ON p.user_id = nt.user_id
+    WHERE cnt > 15
+"""
+
+
+@register("map_funcs_events", oracle=_MAP_ORACLE, tags=("ext-typed-relational", "map-fns"))
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType breadth — the metadata shape of real LLM-pipeline records
+    (tags, source attributes, per-modality counters). Builds a per-user
+    map of event-type counts (``map_from_entries`` over a collected
+    struct list), measures it (``size``), filters entries with a map
+    lambda (``map_filter``), and explodes the map back to rows — all
+    JVM-side higher-order map functions, no UDF. The oracle expresses
+    the same semantics relationally."""
+    events = load(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    hot = maps.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.explode(F.map_filter("m", lambda k, v: v > 15)).alias("event_type", "cnt"),
+    )
+    return hot.select("user_id", "n_types", "event_type", "cnt")

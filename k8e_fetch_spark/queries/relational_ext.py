@@ -174,10 +174,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont``). At 100 TB swap for approx_percentile and
     drop the oracle to a tolerance check — noted, not silently done."""
     orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        round_fixed(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        round_fixed(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        round_fixed(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    # one percentile call with an array of fractions: the group's value
+    # buffer is collected and sorted ONCE for all three cut points
+    # (three separate calls each keep and sort their own buffer — 3x
+    # state, 3x sort; measured 1.25 s -> 0.8 s warm at sf0.1)
+    pcts = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    )
+    return pcts.select(
+        "o_orderpriority",
+        round_fixed(F.col("p")[0], 4).alias("p50"),
+        round_fixed(F.col("p")[1], 4).alias("p90"),
+        round_fixed(F.col("p")[2], 4).alias("p99"),
     )
 
 

@@ -157,6 +157,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    # NOT persisted, deliberately (measured 2.3s vs 2.9s at sf0.1): the
+    # three references re-run a cheap codegen'd scan+explode in parallel
+    # branches, while materializing the exploded shingle strings costs
+    # more than recomputing them. (Contrast minhash_candidate_pairs,
+    # where the persisted band table IS worth it — reuse there crosses a
+    # shuffle boundary.)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "source", "sh")
@@ -185,6 +191,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     docs = load(spark, sf_dir, "documents")
     return minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
+
+
+_LSH_PLANTED_ORACLE = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+    ),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+    shingles AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, 1.0 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter = sa.n AND inter = sb.n
+"""
+
+
+@register(
+    "dedup_minhash_lsh_planted",
+    oracle=_LSH_PLANTED_ORACLE,
+    tags=("ext-minhash-dedup", "lsh", "planted-oracle"),
+)
+def dedup_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash+LSH pipeline hash-checked against SQL ground truth:
+    the corpus is augmented with exact copies of the first 25 docs
+    (relabeled doc_id+100000), and the declared output is the LSH
+    candidates with exact Jaccard == 1. Identical shingle sets produce
+    identical signatures, hence identical band keys, hence a guaranteed
+    candidate pair — so LSH recall on this subset is structurally 1 and
+    the oracle (shingle-set-equality join) is exact, not probabilistic.
+    The full LSH path (shingle -> minhash fold -> band bucket join ->
+    exact verify) executes for real on every row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text")
+    return pairs.filter(F.col("jaccard") == 1.0).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
+    )
+
+
+_COSINE_LSH_PLANTED_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_round(sql_cosine('a.embedding', 'b.embedding'), 6)} AS score
+    FROM corpus a
+    JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {sql_round(sql_cosine('a.embedding', 'b.embedding'), 6)} > 0.99
+"""
+
+
+@register(
+    "sim_cosine_lsh_planted",
+    oracle=_COSINE_LSH_PLANTED_ORACLE,
+    tags=("ext-topk-sim", "lsh", "planted-oracle"),
+)
+def sim_cosine_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane cosine LSH hash-checked against SQL ground truth:
+    embeddings augmented with exact copies of the first 25 vectors;
+    declared output = LSH candidate pairs with exact cosine > 0.99.
+    The max natural cosine in this corpus is ~0.60, so only the planted
+    identical pairs clear the threshold — and identical vectors produce
+    identical signatures in every band, so LSH recall on them is
+    structurally 1. Both sides are exact; the LSH path (signature ->
+    band buckets -> candidate join -> exact verify) runs for real."""
+    from k8e_fetch_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = cosine_lsh_pairs(corpus, "vec_id", "embedding", dim=64, threshold=0.0)
+    return (
+        pairs.withColumn("score", round_fixed(F.col("score"), 6))
+        .filter(F.col("score") > 0.99)
+        .select("id_a", "id_b", "score")
+    )
 
 
 @register("dedup_clusters_minhash", oracle=None, tags=("ext-minhash-dedup", "connected-components", "iterative"))

@@ -90,7 +90,18 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumbling_available_now",
-    oracle=None,  # non-SQL-expressible: real Structured Streaming execution
+    # The stream drains a fixed file set under availableNow with complete
+    # output, so its final state is deterministic and equals the batch
+    # twin — the SAME oracle hash-checks the real streaming execution.
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+               event_type,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
     tags=("ext-stream-window", "streaming", "availableNow"),
 )
 def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +124,15 @@ def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
     stream = sw.tumbling(sw.stream_events(spark, src), watermark="0 seconds")
     out = sw.run_available_now(stream, f"{workdir}/ckpt", output_mode="complete")
+    # round at the query boundary (cross-engine-stable half-up), then
     # materialize before the temp source dir disappears
+    out = out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        round_fixed(F.col("total_value"), 2).alias("total_value"),
+    )
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(workdir, ignore_errors=True)
     return result
@@ -121,7 +140,16 @@ def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "stream_stateful_user_stats",
-    oracle=None,  # custom stateful streaming operator (applyInPandasWithState)
+    # Final state of the running per-user totals after draining a fixed
+    # file set is deterministic: it equals the plain per-user aggregate,
+    # so the custom stateful operator is hash-checkable end to end.
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
     tags=("ext-stream-window", "stateful", "applyInPandasWithState"),
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +178,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+        .select("user_id", "n_events", round_fixed(F.col("total_value"), 4).alias("total_value"))
     )
     result = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(workdir, ignore_errors=True)

@@ -24,15 +24,24 @@ from pyspark.sql import functions as F
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """op-catalog-scan: version-manifest JSON → one row per object version."""
+    """op-catalog-scan: version-manifest JSON → one row per object version.
+
+    Casts to the shared :data:`~k8e_fetch_spark.sources.objectstore.MANIFEST_SCHEMA`
+    so the recorded-JSON path and the live listing adapter are
+    interchangeable upstream of every catalog predicate."""
+    from k8e_fetch_spark.sources.objectstore import MANIFEST_SCHEMA
+
     raw = spark.read.option("multiLine", True).json(path)
-    return raw.select(F.explode("Versions").alias("v")).select(
+    exploded = raw.select(F.explode("Versions").alias("v")).select(
         F.col("v.Key").alias("key"),
         F.col("v.VersionId").alias("version_id"),
         F.col("v.IsLatest").alias("is_latest"),
         F.col("v.LastModified").alias("last_modified"),
         F.col("v.Size").alias("size"),
         F.col("v.ETag").alias("etag"),
+    )
+    return exploded.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in MANIFEST_SCHEMA.fields]
     )
 
 

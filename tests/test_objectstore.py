@@ -1,0 +1,95 @@
+"""Live object-store listing adapter (op-catalog-scan, live form).
+
+The reference's fetch stage is a real `aws s3api list-object-versions`
+call (/root/reference/bin/fetcher.bash:25-35); these tests drive the
+boto3-shaped adapter with a recorded-response stub and assert it is
+interchangeable with the recorded-JSON manifest path: same schema, same
+rows, same downstream selection behavior.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from k8e_fetch_spark.sources.manifest import read_manifest, select_keys
+from k8e_fetch_spark.sources.objectstore import (
+    MANIFEST_SCHEMA,
+    iter_object_versions,
+    list_versions,
+)
+
+FIXTURE = Path(__file__).parent / "fixtures" / "manifest.json"
+
+
+class RecordedS3Client:
+    """Duck-typed boto3 s3 client replaying the fixture manifest in
+    pages, following the real pagination contract (IsTruncated +
+    NextKeyMarker/NextVersionIdMarker)."""
+
+    def __init__(self, versions, page_size=100):
+        self.versions = versions
+        self.page_size = page_size
+        self.calls = []
+
+    def list_object_versions(self, **kwargs):
+        self.calls.append(dict(kwargs))
+        assert kwargs.get("Bucket"), "Bucket is required"
+        start = 0
+        if "KeyMarker" in kwargs:
+            marker = (kwargs["KeyMarker"], kwargs.get("VersionIdMarker"))
+            for i, v in enumerate(self.versions):
+                if (v["Key"], v["VersionId"]) == marker:
+                    start = i + 1
+                    break
+        page = self.versions[start : start + self.page_size]
+        out = {"Versions": page, "IsTruncated": start + self.page_size < len(self.versions)}
+        if out["IsTruncated"] and page:
+            out["NextKeyMarker"] = page[-1]["Key"]
+            out["NextVersionIdMarker"] = page[-1]["VersionId"]
+        return out
+
+
+def _fixture_versions():
+    return json.loads(FIXTURE.read_text())["Versions"]
+
+
+def test_pagination_walks_all_pages():
+    versions = _fixture_versions()
+    client = RecordedS3Client(versions, page_size=75)
+    got = list(iter_object_versions(client, "nc-bucket"))
+    assert got == versions
+    assert len(client.calls) == (len(versions) + 74) // 75
+    # every follow-up call carried the marker pair forward
+    for call in client.calls[1:]:
+        assert "KeyMarker" in call and "VersionIdMarker" in call
+
+
+def test_live_listing_matches_recorded_manifest(spark):
+    """One schema, same rows: the adapter and read_manifest are
+    interchangeable sources for the catalog predicates."""
+    client = RecordedS3Client(_fixture_versions(), page_size=64)
+    live = list_versions(spark, client, "nc-bucket")
+    recorded = read_manifest(spark, str(FIXTURE))
+
+    assert live.schema == MANIFEST_SCHEMA
+    assert recorded.schema == MANIFEST_SCHEMA
+
+    key = lambda r: (r["key"], r["version_id"])  # noqa: E731
+    assert sorted(live.collect(), key=key) == sorted(recorded.collect(), key=key)
+
+
+def test_downstream_selection_source_agnostic(spark):
+    """select_keys output is identical over both catalog sources."""
+    client = RecordedS3Client(_fixture_versions())
+    live = select_keys(list_versions(spark, client, "nc-bucket"), [r"\.zip$"])
+    recorded = select_keys(read_manifest(spark, str(FIXTURE)), [r"\.zip$"])
+    assert sorted(r["key"] for r in live.collect()) == sorted(
+        r["key"] for r in recorded.collect()
+    )
+
+
+def test_prefix_passed_through():
+    client = RecordedS3Client(_fixture_versions())
+    list(iter_object_versions(client, "nc-bucket", prefix="data/"))
+    assert client.calls[0].get("Prefix") == "data/"

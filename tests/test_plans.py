@@ -97,3 +97,33 @@ def test_asof_join_is_single_window_pass(spark):
     plan = _executed_plan(spark, "join_asof_purchase")
     assert "Join" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_fan_out_plans_without_jobs(spark):
+    """fan_out must decide width from metadata only: building the plan
+    (and the no-op path) may not trigger a Spark job — df.rdd-style
+    probes materialize plans and break under Spark Connect."""
+    from k8e_fetch_spark.io import fan_out, load
+
+    tracker = spark.sparkContext.statusTracker()
+    narrow = load(spark, SF_DIR, "documents")  # the read itself may run
+    # a footer-inference job; fan_out on top of it must not add more
+    before = tracker.getJobIdsForGroup(None)
+    widened = fan_out(narrow)
+    already_wide = fan_out(narrow, min_partitions=1)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "fan_out ran a job while planning"
+    # the no-op path returns the input frame unchanged (no exchange)
+    assert already_wide is narrow
+    assert "Repartition" in widened._jdf.queryExecution().logical().toString()
+
+
+def test_fan_out_never_shrinks_wide_scans(spark):
+    """The 100 TB invariant: a scan already wider than the target is
+    returned untouched (no exchange inserted, no shrink)."""
+    from k8e_fetch_spark.io import fan_out, load
+
+    df = load(spark, SF_DIR, "lineitem")
+    n_files = len(df.inputFiles())
+    out = fan_out(df, min_partitions=n_files)
+    assert out is df
