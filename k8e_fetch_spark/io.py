@@ -33,6 +33,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (applicationId, sf_dir, table) -> DataFrame. A DataFrame is an
+# immutable logical plan, so handing the same one to every caller is
+# safe — and spark.read.parquet costs ~130 ms of driver time per call
+# (footer schema inference + Py4J), which multiplies across a suite
+# where most queries load 1-3 tables. Keyed by applicationId so a
+# stopped session's plans are never reused by its successor.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Scans stay columnar + prunable.
 
@@ -41,11 +50,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp — the same truncation DuckDB
     applies when it reads TIMESTAMP_NS as TIMESTAMP.
     """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext; skip the cache
+        app_id = None
+    key = (app_id, sf_dir, name)
+    if app_id is not None and key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    if app_id is not None:
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

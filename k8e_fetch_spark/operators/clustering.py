@@ -73,9 +73,20 @@ def connected_components(
     list; convergence is checked with a count of changed labels. Returns
     (node, component) where component = min node id in the component.
     """
+    # Both edge directions from ONE pass over pairs (explode of a
+    # 2-array), not a union of two selects: a union references the
+    # pair-generation lineage twice, and when pairs come from the full
+    # MinHash pipeline each reference re-runs the whole chain.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     # cut the (possibly expensive) pair-generation lineage ONCE: the

@@ -110,12 +110,14 @@ def minhash_candidate_pairs(
     exact Jaccard verification over the distinct shingle sets.
 
     The shingle table is referenced three times (signature branch + both
-    verify-join sides) and the band table twice (self-join); both are
-    persisted so each is computed once — without this, Spark recomputes
-    the full shingling chain per branch (measured ~4x the work). Both
-    are orders of magnitude smaller than the corpus (ids + hashes);
-    MEMORY_AND_DISK spills rather than OOMs at scale, and LRU eviction
-    reclaims them after the query.
+    verify-join sides) and persisted so it is computed once — without
+    this, Spark recomputes the full shingling chain per branch (measured
+    ~4x the work; ids + hashes only, so it is orders of magnitude
+    smaller than the corpus, and MEMORY_AND_DISK spills rather than
+    OOMs). The band table is deliberately NOT persisted: the self-join's
+    two sides shuffle on the same band key, so the second side rides the
+    first's shuffle via exchange reuse, and a persist only blocks that
+    (A/B at sf0.1: 1.85 s without vs 2.13 s with).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -126,7 +128,6 @@ def minhash_candidate_pairs(
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     left = bands.select(F.col("doc").alias("doc_a"), "b")
     right = bands.select(F.col("doc").alias("doc_b"), "b")
     # candidate pairs shuffle only (id, band-key) — shingle arrays are

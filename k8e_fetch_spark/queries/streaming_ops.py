@@ -229,3 +229,89 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_dedup_redelivery",
+    # The source directory holds the SAME parquet file twice (planted
+    # at-least-once redelivery); after the drain, exactly one copy of
+    # every event must survive — the oracle is the table itself.
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    tags=("ext-stream-window", "streaming-dedup", "dropDuplicatesWithinWatermark"),
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed as a real stream: the events file
+    is delivered TWICE (two identical files in the source directory) and
+    ``dropDuplicatesWithinWatermark`` on event_id must emit each event
+    exactly once. A generous watermark keeps dedup state alive across
+    the redelivery horizon — with a short one, state for old events
+    would be evicted between micro-batches and duplicates would leak
+    (the bounded-state trade documented in streaming/windows.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.streaming import windows as sw
+
+    workdir = tempfile.mkdtemp(prefix="k8e_dedup_stream_")
+    src = os.path.join(workdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-001.parquet")
+    stream = sw.dedup_within_watermark(
+        sw.stream_events(spark, src, max_files_per_trigger=1),
+        keys=["event_id"],
+        watermark="365 days",
+    )
+    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="append")
+    out = out.select("event_id", "ts", "user_id", "event_type", "value")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+@register(
+    "stream_join_attribution",
+    # Deterministic final output of the stream-stream interval join over
+    # a fixed file set == the identical batch join.
+    oracle="""
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               c.event_id AS click_id,
+               c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts < p.ts
+         AND c.ts >= p.ts - INTERVAL '1 hour'
+        WHERE p.event_type = 'purchase'
+    """,
+    tags=("ext-stream-window", "stream-stream-join", "interval-join"),
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a real stream: purchases
+    attributed to the same user's clicks within the previous hour, both
+    sides watermarked so join state is evictable. availableNow over a
+    fixed file set makes the inner-join output deterministic and equal
+    to the batch join — which is the declared oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.streaming import windows as sw
+
+    workdir = tempfile.mkdtemp(prefix="k8e_join_stream_")
+    src = os.path.join(workdir, "events")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
+    ev = sw.stream_events(spark, src)
+    stream = sw.clicks_to_purchases(ev, horizon="1 hour", watermark="365 days")
+    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="append")
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return result

@@ -135,6 +135,67 @@ def running_user_stats(events: DataFrame, watermark: str = "10 minutes") -> Data
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: exactly-once semantics on top of
+    at-least-once delivery (redelivered objects, retried batches).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key while
+    holding state only until the watermark passes the row's event time
+    — the bounded-state form of `SELECT DISTINCT` that a 100 TB
+    always-on ingest needs (unbounded ``dropDuplicates`` state grows
+    forever). The batch twin is exact dedup on the same keys
+    (operators/dedup.py); watermark delay bounds both the state size
+    and the redelivery horizon it can absorb.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def clicks_to_purchases(events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour — the attribution shape.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so Spark can evict matched/expired state: the only join
+    form that runs unbounded at scale. Inner join + availableNow drain
+    is deterministic; the batch twin is the identical relational join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,
