@@ -39,3 +39,24 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def max_abs(a: Column) -> Column:
+    """Per-vector max |x| — the scalar-quantization scale factor."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric int8 scalar quantization: q = floor(x*127/scale + 0.5).
+
+    floor(x+0.5) (half-up, negative-safe the same way on both engines)
+    rather than round() — round() half-even/half-away conventions differ
+    across engines and would break oracle parity. At 100 TB this is the
+    4x storage/bandwidth cut for ANN corpora: int8 arrays shuffle and
+    cache at a quarter the bytes, and cosine is scale-invariant so
+    candidate scoring works directly on the quantized form (verified by
+    the cos_recon column of the declared query).
+    """
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * 127.0 / scale + F.lit(0.5))
+    )

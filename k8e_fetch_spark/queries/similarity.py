@@ -418,3 +418,124 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(l1, 6).alias("l1"),
         F.size(F.filter(vec, lambda x: x > 0)).cast("int").alias("n_positive"),
     )
+
+
+_QUANTIZE_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, e, mx,
+               list_transform(e, x -> floor(x * 127.0 / mx + 0.5)) AS q
+        FROM base WHERE mx > 0
+    )
+    SELECT vec_id,
+           {sql_round('mx', 6)} AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           {sql_round(sql_cosine('e', 'q'), 6)} AS cos_recon
+    FROM quant
+"""
+
+
+@register(
+    "sim_quantize_int8",
+    oracle=_QUANTIZE_ORACLE,
+    tags=("ext-topk-sim", "quantization", "scale-path"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus — the
+    ANN storage/bandwidth scale path (4x smaller vectors; cosine is
+    scale-invariant, so candidate scoring runs on the quantized form).
+    Declared output is scalar per vector (scale, quantized checksums,
+    reconstruction cosine) so the driver can hash it; the quantized
+    array itself stays typed inside the plan. Zero shuffles: one
+    projection over the scan."""
+    from k8e_fetch_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        max_abs(F.col("embedding")).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    quant = base.withColumn("q", quantize_int8(F.col("e"), F.col("mx")))
+    return quant.select(
+        "vec_id",
+        round_fixed(F.col("mx"), 6).alias("scale"),
+        F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x).cast("bigint").alias("q_sum"),
+        F.aggregate("q", F.lit(0.0), lambda acc, x: acc + F.abs(x)).cast("bigint").alias("q_l1"),
+        round_fixed(cosine(F.col("e"), F.col("q")), 6).alias("cos_recon"),
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    shingles AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {sql_round('inter * 1.0 / least(sa.n, sb.n)', 6)} AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / least(sa.n, sb.n) > 0.5
+"""
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("ext-minhash-dedup", "containment"),
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B| / min(|A|,|B|) — catches near-SUPERSET
+    duplication (a doc embedded inside a longer one) that symmetric
+    Jaccard misses: a 100-line doc fully contained in a 1000-line doc
+    has Jaccard ~0.1 but containment 1.0. Same inverted-index self-join
+    skeleton as dedup_ngram_jaccard (no cross product; the shingle
+    bucket join IS the candidate generator)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
+    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "source", "sh")
+    pairs = (
+        a.join(b, on=["source", "sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    containment = F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(containment > 0.5)
+        .select("doc_a", "doc_b", round_fixed(containment, 6).alias("containment"))
+    )

@@ -371,3 +371,93 @@ def text_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), F.lit(0))).cast("int").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_PHONE_PAT), F.lit(0))).cast("int").alias("n_phones"),
     )
+
+
+_VOCAB_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           count(*) AS tf
+    FROM tok WHERE token <> ''
+    GROUP BY token HAVING count(*) >= 20
+"""
+
+
+@register("text_vocabulary", oracle=_VOCAB_ORACLE, tags=("ext-text-stats", "vocabulary"))
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder: term frequency + document frequency
+    per lowercased whitespace token, thresholded — the first step of
+    tokenizer training and stopword mining over a training corpus.
+    One explode + one map-side-combined aggregate; the token explode is
+    scan-local, so the only shuffle carries (token, partial counts)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .filter(F.col("tf") >= 20)
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), filtered AS (SELECT * FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf_dt FROM filtered GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM filtered GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               floor((tf_dt * ln((n_docs + 1.0) / (df_t + 1.0))) * 10000.0 + 0.5) / 10000.0 AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_ORACLE, tags=("ext-text-stats", "tfidf"))
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))):
+    keyword extraction over the corpus. The doc-count scalar joins in as
+    a broadcast literal table; ranking is scored-then-windowed with the
+    score rounded BEFORE ranking on both engines (ln() low-order bits
+    differ across libm implementations; ranking on raw doubles would be
+    tie-unstable). Shuffles: token aggregate, df aggregate, final
+    per-doc window — all map-side combined."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_dt"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df_t"))
+    n_docs = load(spark, sf_dir, "documents").count()
+    scored = (
+        tf.join(df, on="token")
+        .withColumn(
+            "tfidf",
+            round_fixed(
+                F.col("tf_dt") * F.log((n_docs + 1.0) / (F.col("df_t") + 1.0)), 4
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
