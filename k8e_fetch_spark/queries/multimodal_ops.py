@@ -70,3 +70,44 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("sampled_frames").alias("sampled_frames"),
         F.to_json("features").alias("features"),
     )
+
+
+@register(
+    "mm_decode_meta",
+    # The stub codec's geometry is a pure function of payload byte
+    # length (operators/multimodal.py:_fake_decode), so everything
+    # except the byte-histogram features is SQL-expressible — this
+    # hash-checks the REAL mapInPandas decode path (Arrow batches,
+    # schema, frame sampling) against ground truth computed relationally.
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        )
+        SELECT doc_id,
+               n AS byte_len,
+               CAST(64 + (n % 512) AS INTEGER) AS width,
+               CAST(64 + ((n // 2) % 512) AS INTEGER) AS height,
+               CAST(1 + (n % 4) AS INTEGER) AS n_frames,
+               CASE WHEN 1 + (n % 4) >= 3 THEN '[0,2]' ELSE '[0]' END AS sampled_frames
+        FROM base
+    """,
+    tags=("ext-multimodal", "decode-oracle"),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pipeline's metadata, oracle-checked: the same
+    mapInPandas decode + frame-sample hops as mm_decode_features, with
+    the declared output restricted to the columns the stub computes as
+    a pure function of payload length (dims, frame count, sampled frame
+    indexes). A real codec swap keeps the plan and drops the oracle —
+    exactly the boundary documented in operators/multimodal.py."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    decoded = decode_media(with_payload)
+    return frame_sample(decoded).select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        F.to_json("sampled_frames").alias("sampled_frames"),
+    )

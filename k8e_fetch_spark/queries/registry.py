@@ -87,6 +87,7 @@ _PRIORITY = (
     "repair_header_norm",
     # ext-multimodal
     "mm_binary_meta",
+    "mm_decode_meta",
     "mm_decode_features",
     # ext-text-stats + corpus prep
     "text_stats_per_lang",
@@ -121,8 +122,10 @@ _PRIORITY = (
     "events_session_window",
     "stream_tumbling_available_now",
     "stream_stateful_user_stats",
-    # rows-only LSH/iterative flagships (driver row = ran at sf0.01)
-    "dedup_minhash_lsh",
+    # rows-only LSH/iterative flagships (driver row = ran at sf0.01).
+    # dedup_minhash_lsh itself is outside the window: its operator is
+    # oracle-covered by dedup_minhash_lsh_planted above and exercised
+    # again by dedup_clusters_minhash below.
     "dedup_simhash",
     "sim_cosine_lsh",
     "sim_kmeans_assign",

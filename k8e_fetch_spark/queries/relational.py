@@ -351,3 +351,50 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.map_filter("m", lambda k, v: v > 15)).alias("event_type", "cnt"),
     )
     return hot.select("user_id", "n_types", "event_type", "cnt")
+
+
+_Q10_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_round("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", oracle=_Q10_ORACLE, tags=("ext-typed-relational", "tpch"))
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: who returned the most
+    revenue last quarter. Fact-side filters (date window, returnflag)
+    reach the scans; customer/nation broadcast; one aggregate shuffle;
+    top-20 via TakeOrderedAndProject (revenue rounded BEFORE ordering so
+    the cutoff set matches the oracle's bit-for-bit)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            round_fixed(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )

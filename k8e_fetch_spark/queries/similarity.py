@@ -539,3 +539,39 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment > 0.5)
         .select("doc_a", "doc_b", round_fixed(containment, 6).alias("containment"))
     )
+
+
+_HYBRID_ORACLE = f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT d.doc_id,
+           {sql_round(sql_cosine('e.embedding', 'q.q_emb'), 6)} AS score
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    CROSS JOIN q
+    WHERE d.text LIKE '%broadcast%'
+    ORDER BY score DESC, d.doc_id
+    LIMIT 20
+"""
+
+
+@register("sim_hybrid_search", oracle=_HYBRID_ORACLE, tags=("ext-topk-sim", "hybrid-retrieval"))
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword predicate narrows the corpus, vector
+    similarity ranks the survivors — the RAG query shape. The keyword
+    filter pushes to the documents scan (cheap candidate generation);
+    the embedding join is key-equality; the single query vector rides a
+    broadcast; top-20 by (rounded score, doc_id) so the cutoff set is
+    engine-stable. No shuffle touches the full corpus: filter -> join ->
+    score -> TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").contains("broadcast"))
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        docs.select("doc_id")
+        .join(emb, docs.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("score", round_fixed(cosine(F.col("embedding"), F.col("q_emb")), 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score")
+    )

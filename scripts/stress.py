@@ -83,7 +83,12 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # usage: stress.py [N] [probe ...] — an explicit probe list lets the
+    # sweep run in time-boxed chunks
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    if len(sys.argv) > 2:
+        global PROBES
+        PROBES = [p for p in sys.argv[2:] if p in PROBES] or PROBES
     base_times = run(BASE, "1x")
     tmp = tempfile.mkdtemp(prefix="k8e_stress_")
     try:
