@@ -87,37 +87,53 @@ def winnowing_fingerprints(
     window of ``window`` grams — the rolling-hash fingerprint set whose
     overlap survives local edits (unlike a whole-doc digest).
 
-    Shape: posexplode the gram hashes, windowed min over (doc, pos),
-    distinct — relational ops only, one shuffle keyed on the doc id.
-    (A pure column-expression formulation needs O(grams) re-evaluation
-    of outer expressions inside HOF lambdas — the projection-collapse
-    pathology; see operators/similarity.py — so the exploded relational
-    form IS the scalable one.) Returns distinct (id, fp) rows, the join
-    shape fingerprint dedup wants anyway.
+    Shape: ZERO-shuffle scan-local fold. A single ``aggregate`` over
+    the gram-hash array carries (last window-1 hashes, fingerprints so
+    far, running min) through one left fold — the same single-fold trick
+    as minhash_signature (operators/similarity.py), which keeps the
+    token→gram→hash chain evaluated once per row instead of once per
+    lambda reference (projection-collapse pathology). The earlier
+    relational form (posexplode + windowed min + distinct) shuffled
+    every gram by doc id and then shuffled again for distinct; this
+    form emits already-distinct (id, fp) rows straight out of the scan
+    stage, so fingerprinting 100 TB is embarrassingly parallel.
+    Windows: the min of every full ``window``-gram sliding window; a
+    doc with fewer than ``window`` grams contributes the min over all
+    its grams (same semantics as the relational form it replaced).
     """
-    from pyspark.sql.window import Window
-
-    # positional (non-distinct) grams: winnowing needs sequence order
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    # try_element_at: a doc shorter than k tokens still yields one gram
+    # (concat_ws skips the nulls) instead of an ANSI index error
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
     )
-    hashed = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    ).select(id_col, "pos", F.xxhash64("gram").alias("h"))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
 
-    w_min = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    w_all = Window.partitionBy(id_col)
-    return (
-        hashed.withColumn("fp", F.min("h").over(w_min))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
-        # only full windows (last start = n_grams - window), unless the
-        # doc is shorter than one window
-        .filter((F.col("pos") <= F.col("_n") - window) | (F.col("pos") == 0))
-        .select(id_col, "fp")
-        .distinct()
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("buf"),
+        F.array().cast("array<bigint>").alias("fps"),
+        F.lit(None).cast("bigint").alias("all_min"),
     )
+
+    def step(acc: Column, h: Column) -> Column:
+        win = F.concat(acc["buf"], F.array(h))  # at most `window` elems
+        full = F.size(win) >= window
+        return F.struct(
+            # keep the trailing window-1 hashes for the next step
+            F.when(full, F.slice(win, 2, window - 1)).otherwise(win).alias("buf"),
+            F.when(full, F.concat(acc["fps"], F.array(F.array_min(win))))
+            .otherwise(acc["fps"])
+            .alias("fps"),
+            F.least(acc["all_min"], h).alias("all_min"),  # least() skips nulls
+        )
+
+    def finish(acc: Column) -> Column:
+        fps = F.array_distinct(acc["fps"])
+        return F.when(F.size(fps) > 0, fps).otherwise(F.array(acc["all_min"]))
+
+    fps = F.aggregate(hashes, init, step, finish)
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def _contains_any(markers: tuple[str, ...]):

@@ -461,3 +461,113 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+# Benchmark decontamination: the published convention is 13-gram overlap
+# against the eval suites; the synthetic corpus's short word-soup docs
+# only collide at 3-grams, so the DECLARED query uses k=3 (the operator
+# takes k). Gram semantics mirror operators.similarity.shingles(): a doc
+# shorter than k words contributes its whole trimmed text as one gram.
+_DECONTAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, trim(text) AS tt,
+               string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                    ELSE tt END AS g
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS hit_grams
+    FROM grams c JOIN eval_grams e USING (g)
+    WHERE c.doc_id % 97 <> 0
+    GROUP BY c.doc_id
+"""
+
+
+@register(
+    "text_decontaminate_ngram",
+    oracle=_DECONTAM_ORACLE,
+    tags=("ext-text-stats", "decontamination"),
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag every training document that
+    shares a word n-gram with a held-out benchmark/eval set (here the
+    deterministic slice doc_id % 97 == 0), reporting how many distinct
+    grams leak. 100 TB shape: the eval side is benchmarks — millions of
+    grams at most — so its distinct gram set is BROADCAST and the
+    corpus side never shuffles text: grams explode inside the scan
+    stage, the broadcast hash join filters them to the (rare) hits, and
+    only (doc_id, gram) hit pairs reach the count-distinct aggregate."""
+    from k8e_fetch_spark.operators.similarity import shingles
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    grams = docs.select("doc_id", F.explode(shingles(F.col("text"), k=3)).alias("g"))
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), on="g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("hit_grams"))
+    )
+
+
+_PACKING_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, doc_id, {_N_TOKENS_SQL} AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        FROM toks
+    )
+    SELECT source, CAST(FLOOR(start_tok / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+"""
+
+
+@register(
+    "text_sequence_packing",
+    oracle=_PACKING_ORACLE,
+    tags=("ext-text-stats", "packing"),
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pre-training
+    layout): documents are laid end-to-end in deterministic (source,
+    doc_id) order and cut into fixed 2048-token packs; a doc belongs to
+    the pack where its first token lands. Packing is keyed PER SOURCE
+    shard on purpose — a single global pack order would funnel 100 TB
+    through one sort, while per-shard packing is embarrassingly parallel
+    (one window sort per shard partition, no cross-shard shuffle), which
+    is exactly how real pipelines pack per input shard. Output is the
+    per-pack manifest: doc count, token total, doc-id span."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(nt).over(w), F.lit(0))
+    packed = docs.select(
+        "source",
+        "doc_id",
+        nt.alias("n_tok"),
+        F.floor(start / F.lit(2048.0)).cast("bigint").alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

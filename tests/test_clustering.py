@@ -47,6 +47,47 @@ def test_winnowing_overlap_semantics(spark):
     assert j_unrel == 0.0
 
 
+def test_winnowing_fold_matches_relational_form(spark):
+    """The zero-shuffle aggregate-fold formulation must emit exactly the
+    (id, fp) set of the windowed-min relational reference it replaced —
+    including the short-doc (< window grams) whole-doc-min fallback."""
+    from pyspark.sql.window import Window
+
+    from k8e_fetch_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "one two three"),  # exactly k tokens -> 1 gram, fallback path
+            (3, "x y z w x y z w x y z w"),  # repeats -> duplicate window minima
+            (4, "solo"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    k, window = 3, 4
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
+    )
+    hashed = df.select(F.col("doc_id"), F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("h")
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy("doc_id")
+    reference = (
+        hashed.withColumn("fp", F.min("h").over(w_min))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("pos") <= F.col("_n") - window) | (F.col("pos") == 0))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fold = winnowing_fingerprints(df, k=k, window=window)
+    assert fold.exceptAll(reference).count() == 0
+    assert reference.exceptAll(fold).count() == 0
+
+
 def test_connected_components_known_graph(spark):
     from k8e_fetch_spark.operators.clustering import connected_components
 
