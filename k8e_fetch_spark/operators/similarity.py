@@ -231,38 +231,104 @@ def cosine_lsh_signature(vec_col: Column, dim: int, n_bits: int = 16) -> Column:
     return out
 
 
+def cosine_lsh_band_keys(
+    vec_col: Column, dim: int, n_bands: int, bits_per_band: int, seed: int = 42
+) -> Column:
+    """Per-band hyperplane bucket keys: band b's key packs
+    ``bits_per_band`` sign bits from its OWN plane set (seed offset per
+    band) into one long — so band selectivity is unbounded by a shared
+    64-bit signature. Returns array<struct<band_idx, band_key>>; pure
+    column math over the scan, no shuffle. ``vec_col`` must be a plain
+    scan attribute (cheap to reference; see minhash_signature on the
+    projection-collapse recompute pathology)."""
+    out = []
+    for band in range(n_bands):
+        planes = _rademacher_planes(dim, bits_per_band, seed=seed + band * 1000003)
+        bits = []
+        for b, row in enumerate(planes):
+            plane = F.array(*[F.lit(float(s)) for s in row])
+            d = F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(
+                F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        key = bits[0]
+        for bit in bits[1:]:
+            key = key.bitwiseOR(bit)
+        out.append(F.struct(F.lit(band).alias("band_idx"), key.alias("band_key")))
+    return F.array(*out)
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     dim: int = 64,
-    n_bits: int = 16,
-    n_bands: int = 2,
+    n_bits: int | None = None,
+    n_bands: int = 4,
     threshold: float = 0.3,
+    n_rows: int | None = None,
+    target_bucket: int = 16,
+    max_bucket: int = 4096,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane LSH: signature -> band
-    buckets -> candidate pairs -> exact cosine verify on candidates only.
+    """Embedding-cosine near-dup via hyperplane LSH: per-band bucket
+    keys -> candidate pairs -> exact cosine verify on candidates only.
     The bucket join shuffles (id, band-key) pairs; vectors are attached
-    per side after candidate dedup. Approximate: pairs whose signatures
+    per side after candidate dedup. Approximate: pairs whose keys
     disagree in every band are never scored (recall asserted against the
-    exact computation in tests/test_similarity.py)."""
-    bits_per_band = n_bits // n_bands
-    mask = (1 << bits_per_band) - 1
-    sigs = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        cosine_lsh_signature(F.col(vec_col), dim, n_bits).alias("sig"),
+    exact computation in tests/test_similarity.py).
+
+    Band width SCALES WITH DATA SIZE: with a fixed key width the
+    expected bucket holds N/2^bits vectors and candidate pairs grow as
+    N^2/2^bits — measured 97x work for 20x data in the 20x stress probe
+    under the old fixed 8-bit bands. Default is therefore
+    bits_per_band = ceil(log2(N / target_bucket)) (clamped to [4, 62]),
+    which pins expected bucket occupancy at ``target_bucket`` and makes
+    candidate volume linear in N; recall for a given cosine decays
+    gently with log N (p^bits per band, 1-(1-p^bits)^n_bands overall),
+    the standard LSH tradeoff — raise ``n_bands`` to buy it back.
+    Exact duplicates always collide in every band regardless of width.
+    Pass ``n_bits`` to pin total width explicitly (bits_per_band =
+    n_bits // n_bands), or ``n_rows`` to skip the sizing count job.
+
+    ``max_bucket`` is the skew safety valve: buckets larger than it
+    (degenerate key regions — near-constant vectors, zero vectors) are
+    dropped from candidate generation, bounding any single bucket's
+    pair fan-out; the size probe is one count on the band table,
+    shuffled on the same key as the self-join that follows.
+
+    The (vid, band-keys) table is persisted: it is referenced three
+    times (size probe + both self-join sides) and each reference would
+    otherwise recompute the n_bands*bits_per_band hyperplane dot
+    products (the minhash_candidate_pairs lesson). Keys only — ids plus
+    a few longs per row — so the cache is orders of magnitude smaller
+    than the vector table; vectors are attached after pair dedup from
+    the column-pruned scan, never riding through the band join."""
+    if n_bits is not None:
+        bits_per_band = max(1, n_bits // n_bands)
+    else:
+        import math
+
+        if n_rows is None:
+            n_rows = df.count()
+        bits_per_band = min(62, max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
+    from pyspark.storagelevel import StorageLevel
+
+    src = fan_out(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    keys = src.select(
+        "vid",
+        cosine_lsh_band_keys(F.col("vec"), dim, n_bands, bits_per_band, seed).alias("bkeys"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = keys.select("vid", F.explode("bkeys").alias("b"))
+    sizes = bands.groupBy("b").agg(F.count(F.lit(1)).alias("_bsz"))
+    bands = (
+        bands.join(sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)), on="b")
+        .select("vid", "b")
     )
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.shiftright("sig", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sigs.select("vid", F.explode(band_arr).alias("b"))
     left = bands.select(F.col("vid").alias("id_a"), "b")
     right = bands.select(F.col("vid").alias("id_b"), "b")
     pairs = (
@@ -271,8 +337,8 @@ def cosine_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = sigs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = sigs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    va = src.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = src.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         pairs.join(va, on="id_a")
         .join(vb, on="id_b")

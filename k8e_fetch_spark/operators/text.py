@@ -79,6 +79,60 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def word_grams(text_col: Column, k: int = 3) -> Column:
+    """Positional (non-distinct, sequence-ordered) lowercase word
+    k-grams. A doc shorter than k tokens contributes one whole-doc gram:
+    try_element_at returns null past the end and concat_ws skips nulls,
+    instead of the ANSI out-of-bounds error element_at raises."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
+    )
+
+
+def repetition_stats(text_col: Column, n: int = 2) -> Column:
+    """Gopher-style intra-document repetition statistics:
+    struct(n_grams, top_gram_count, distinct_grams) over the doc's word
+    n-grams, where top_gram_count is the multiplicity of the most
+    frequent gram. The classic pre-training quality signal — documents
+    dominated by one repeated phrase (boilerplate, SEO spam, decode
+    loops) show a high top-gram fraction / duplicate-gram mass.
+
+    Shape: ZERO shuffle. Sort the gram array, then ONE fold counts the
+    longest equal-run (= max multiplicity in a sorted array), the
+    distinct count, and the total — all scan-local per row, so the
+    filter runs at scan speed on any corpus size."""
+    sg = F.array_sort(word_grams(text_col, n))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0).cast("long").alias("distinct"),
+        F.lit(0).cast("long").alias("total"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = g == acc["prev"]  # null prev -> null -> otherwise branch
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["max_run"], run2).alias("max_run"),
+            F.when(same, acc["distinct"]).otherwise(acc["distinct"] + 1).alias("distinct"),
+            (acc["total"] + 1).alias("total"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            acc["total"].alias("n_grams"),
+            acc["max_run"].alias("top_gram_count"),
+            acc["distinct"].alias("distinct_grams"),
+        )
+
+    return F.aggregate(sg, init, step, finish)
+
+
 def winnowing_fingerprints(
     df, id_col: str = "doc_id", text_col: str = "text", k: int = 3, window: int = 4
 ):
@@ -101,14 +155,7 @@ def winnowing_fingerprints(
     doc with fewer than ``window`` grams contributes the min over all
     its grams (same semantics as the relational form it replaced).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    # try_element_at: a doc shorter than k tokens still yields one gram
-    # (concat_ws skips the nulls) instead of an ANSI index error
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
-    )
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(word_grams(F.col(text_col), k), lambda g: F.xxhash64(g))
 
     init = F.struct(
         F.array().cast("array<bigint>").alias("buf"),

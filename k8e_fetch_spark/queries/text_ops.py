@@ -571,3 +571,72 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# Gopher-style repetition thresholds: remove docs whose most frequent
+# word 2-gram covers >20% of all 2-grams (the published top-2-gram rule)
+# or whose duplicate-gram mass exceeds 90%. keep is computed from the
+# ROUNDED fractions on both sides so boundary docs cannot disagree.
+_REPETITION_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, trim(lower(text)) AS tt,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2 THEN t[i] || ' ' || t[i+1] ELSE tt END AS g
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS s(i)
+    ),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(max(c) AS BIGINT) AS top_gram_count,
+               CAST(count(*) AS BIGINT) AS distinct_grams
+        FROM counts GROUP BY 1
+    ),
+    fr AS (
+        SELECT doc_id, n_grams, top_gram_count,
+               {sql_round('top_gram_count * 1.0 / n_grams', 6)} AS top_gram_frac,
+               {sql_round('(n_grams - distinct_grams) * 1.0 / n_grams', 6)} AS dup_gram_frac
+        FROM agg
+    )
+    SELECT doc_id, n_grams, top_gram_count, top_gram_frac, dup_gram_frac,
+           CAST(CASE WHEN top_gram_frac <= 0.2 AND dup_gram_frac <= 0.9
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM fr
+"""
+
+
+@register(
+    "text_repetition_filter",
+    oracle=_REPETITION_ORACLE,
+    tags=("ext-text-stats", "gopher-repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/MassiveText rule
+    family): per doc, the total/top/distinct word-2-gram counts, the
+    top-gram and duplicate-gram fractions, and the keep verdict
+    (top-2-gram fraction <= 0.2 AND duplicate-gram mass <= 0.9).
+    Zero-shuffle: repetition_stats sorts each doc's gram array and folds
+    run-lengths inside the scan stage — no explode, no groupBy, so the
+    filter is a pure map over the corpus at any scale."""
+    from k8e_fetch_spark.operators.text import repetition_stats
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    stats = docs.select("doc_id", repetition_stats(F.col("text"), n=2).alias("r"))
+    fr = stats.select(
+        "doc_id",
+        F.col("r.n_grams").alias("n_grams"),
+        F.col("r.top_gram_count").alias("top_gram_count"),
+        round_fixed(F.col("r.top_gram_count") / F.col("r.n_grams"), 6).alias("top_gram_frac"),
+        round_fixed(
+            (F.col("r.n_grams") - F.col("r.distinct_grams")) / F.col("r.n_grams"), 6
+        ).alias("dup_gram_frac"),
+    )
+    return fr.withColumn(
+        "keep",
+        F.when((F.col("top_gram_frac") <= 0.2) & (F.col("dup_gram_frac") <= 0.9), 1)
+        .otherwise(0)
+        .cast("bigint"),
+    )

@@ -159,3 +159,31 @@ def test_redaction_on_planted_pii(spark):
     assert rows[2]["redacted"] == "no sensitive content here"
     assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
     assert "<EMAIL>" in rows[3]["redacted"] and "<PHONE>" in rows[3]["redacted"]
+
+
+def test_repetition_stats_known_counts(spark):
+    """repetition_stats must report exact gram totals / max multiplicity
+    / distinct counts on docs with hand-computable 2-gram structure."""
+    from k8e_fetch_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # grams: "a b","b a","a b","b a","a b" -> total 5, top 3 ("a b"), distinct 2
+            (1, "a b a b a b"),
+            # all distinct: "w x","x y","y z" -> total 3, top 1, distinct 3
+            (2, "w x y z"),
+            # single token -> whole-doc fallback gram
+            (3, "solo"),
+            # one repeated pair: "p q","q p","p q" -> total 3, top 2, distinct 2
+            (4, "p q p q"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["r"]["n_grams"], r["r"]["top_gram_count"], r["r"]["distinct_grams"])
+        for r in df.select("doc_id", repetition_stats(F.col("text"), n=2).alias("r")).collect()
+    }
+    assert rows[1] == (5, 3, 2)
+    assert rows[2] == (3, 1, 3)
+    assert rows[3] == (1, 1, 1)
+    assert rows[4] == (3, 2, 2)
