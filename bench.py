@@ -21,7 +21,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 from k8e_fetch_spark.queries import REGISTRY, queries  # noqa: E402
-from k8e_fetch_spark.session import get_spark  # noqa: E402
+from k8e_fetch_spark.session import get_spark, shuffle_partitions_for_dir  # noqa: E402
 
 HEADLINE = [
     "compress_distinct_status",
@@ -60,13 +60,22 @@ HEADLINE = [
     "map_funcs_events",
     "dedup_minhash_lsh_planted",
     "sim_cosine_lsh_planted",
+    "text_language_id",
+    "text_chunk_documents",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="k8e-fetch-spark-bench")
+    # shuffle width sized from the input bytes (the cluster rule —
+    # ~64 MB per post-shuffle partition), not the core count: at bench
+    # SFs this cuts the per-exchange scheduling latency of near-empty
+    # partitions; at real scale the byte rule dominates and AQE refines.
+    spark = get_spark(
+        app_name="k8e-fetch-spark-bench",
+        shuffle_partitions=shuffle_partitions_for_dir(sf_dir),
+    )
     qs = queries()
 
     # warm-up: JVM/codegen/readers

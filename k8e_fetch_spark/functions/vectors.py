@@ -60,3 +60,37 @@ def quantize_int8(a: Column, scale: Column) -> Column:
     return F.transform(
         a, lambda x: F.floor(x.cast("double") * 127.0 / scale + F.lit(0.5))
     )
+
+
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for the verify / brute-force hot paths.
+
+    The column-expression :func:`cosine` is a higher-order-function
+    fold, which Spark evaluates INTERPRETED (HOFs sit outside
+    whole-stage codegen) — ~10 us/row. Expanding the fold into plain
+    expressions does not help: a 64-dim dot is ~1800 expression nodes,
+    blowing the codegen huge-method limit into uncompiled bytecode
+    (measured 4.5x SLOWER). The scalable fast path for bulk vector math
+    is exactly what Spark recommends: an Arrow-batched Pandas UDF doing
+    one BLAS matmul per batch — scan-local, zero shuffle, ~100x the
+    HOF throughput. Numerics: BLAS pairwise summation vs the fold's
+    sequential order differ at ~1e-15 relative; all declared queries
+    round scores to 6 decimals, far above the difference."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(xs, ys):
+        # float64 accumulation: the source columns are float32 and the
+        # column-expression path casts per element before multiplying
+        A = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(ys.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
+    # real-class annotations set at runtime: the module-level
+    # `from __future__ import annotations` would stringify inline hints,
+    # which the pandas_udf type inferrer cannot resolve
+    _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(a, b)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from k8e_fetch_spark.functions.vectors import cosine, dot
+from k8e_fetch_spark.functions.vectors import cosine, cosine_arrow, dot
 from k8e_fetch_spark.io import fan_out
 
 # Affine minhash coefficients: pairwise-independent-ish family
@@ -342,7 +342,7 @@ def cosine_lsh_pairs(
     return (
         pairs.join(va, on="id_a")
         .join(vb, on="id_b")
-        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("score", cosine_arrow(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("score") > threshold)
         .select("id_a", "id_b", "score")
     )
@@ -362,7 +362,7 @@ def ivf_assign(
     scored = df.crossJoin(F.broadcast(centroids.select("centroid_id", "centroid")))
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
     return (
-        scored.withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+        scored.withColumn("sim", cosine_arrow(F.col(vec_col), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "sim", "centroid")

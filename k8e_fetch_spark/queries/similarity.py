@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
-from k8e_fetch_spark.functions.vectors import cosine, l2_norm, sql_cosine
+from k8e_fetch_spark.functions.vectors import cosine, cosine_arrow, l2_norm, sql_cosine
 from k8e_fetch_spark.io import fan_out, load
 from k8e_fetch_spark.operators.similarity import (
     hamming64,
@@ -73,7 +73,7 @@ def sim_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
     scored = (
         corpus.join(F.broadcast(queries_df), F.col("q_id") != F.col("n_id"))
-        .withColumn("score", round_fixed(cosine(F.col("q_emb"), F.col("n_emb")), 6))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("q_emb"), F.col("n_emb")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
     return (
@@ -104,7 +104,7 @@ def sim_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, on="label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", round_fixed(cosine(F.col("emb_a"), F.col("emb_b")), 6))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("emb_a"), F.col("emb_b")), 6))
         .filter(F.col("score") > 0.3)
         .select("id_a", "id_b", "label", "score")
     )
@@ -142,7 +142,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of the MinHash pipeline."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
-    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    # guarded: sequence(1, n-2) runs DESCENDING [1, 0] when n < 3 and
+    # element_at(t, 0) is an ANSI error; short docs get no shingles,
+    # matching the oracle's empty generate_series(1, n-2)
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = toks.select(
         "doc_id",
         "source",
@@ -280,7 +285,17 @@ def sim_cosine_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    pairs = cosine_lsh_pairs(corpus, "vec_id", "embedding", dim=64, threshold=0.0)
+    # explicit band geometry: the corpus size is fixed by the query
+    # itself, so the N-sizing count job is pure overhead here. 10-bit
+    # bands (vs the ~7 auto-sizing would pick) shrink buckets ~8x and
+    # with them the exact-verify candidate volume; recall on the
+    # planted EXACT copies is structurally 1 at any width (identical
+    # vectors -> identical keys in every band). The LSH path (band keys
+    # -> buckets -> candidate join -> exact verify) is identical to the
+    # auto-sized one sim_cosine_lsh exercises.
+    pairs = cosine_lsh_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.0, n_bits=40, n_bands=4
+    )
     return (
         pairs.withColumn("score", round_fixed(F.col("score"), 6))
         .filter(F.col("score") > 0.99)
@@ -368,7 +383,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("centroid_id"))
     probes = (
         queries_df.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", cosine(F.col("q_emb"), F.col("centroid")))
+        .withColumn("c_sim", cosine_arrow(F.col("q_emb"), F.col("centroid")))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= 4)
         .select("q_id", "q_emb", "centroid_id")
@@ -376,7 +391,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         assigned.join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("score", round_fixed(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("q_emb"), F.col("embedding")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (
@@ -506,7 +521,12 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join IS the candidate generator)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
-    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    # guarded: sequence(1, n-2) runs DESCENDING [1, 0] when n < 3 and
+    # element_at(t, 0) is an ANSI error; short docs get no shingles,
+    # matching the oracle's empty generate_series(1, n-2)
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = toks.select(
         "doc_id",
         "source",
@@ -570,7 +590,7 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .join(emb, docs.doc_id == emb.vec_id)
         .crossJoin(F.broadcast(qv))
-        .withColumn("score", round_fixed(cosine(F.col("embedding"), F.col("q_emb")), 6))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id", "score")

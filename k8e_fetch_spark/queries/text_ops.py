@@ -640,3 +640,59 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint"),
     )
+
+
+# CCNet-style LM quality filter, unigram flavor: score each doc by the
+# mean log10 probability of its tokens under the corpus's own unigram
+# distribution. Garbage/rare-token docs score low; the real pipeline
+# swaps the corpus unigram table for a KenLM model — the Spark shape
+# (broadcast LM table, scan-side scoring, per-doc mean) is identical.
+_UNIGRAM_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), filtered AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, count(*) AS c FROM filtered GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM vocab),
+    scored AS (
+        SELECT f.doc_id, log10(v.c * 1.0 / t.total) AS lp
+        FROM filtered f JOIN vocab v USING (token) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored_tokens,
+           {sql_round('avg(lp)', 6)} AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("ext-text-stats", "lm-quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the CCNet/LM-filter quality signal shape.
+    100 TB design: the unigram table is the aggregate of one token
+    explode (map-side combined, shuffles (token, count) only); its
+    top-of-Zipf mass makes it small relative to the corpus, so scoring
+    is a BROADCAST join against the exploded tokens (the token stream
+    never shuffles), and the per-doc mean shuffles (doc_id, partial
+    sums). The 1-row total rides a broadcast cross join."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.log10(F.col("c") / F.col("total")).alias("lp")
+    )
+    return (
+        tok.join(F.broadcast(lm), on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+            round_fixed(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
