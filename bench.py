@@ -21,7 +21,11 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 from k8e_fetch_spark.queries import REGISTRY, queries  # noqa: E402
-from k8e_fetch_spark.session import get_spark, shuffle_partitions_for_dir  # noqa: E402
+from k8e_fetch_spark.session import (  # noqa: E402
+    adaptive_enabled_for_dir,
+    get_spark,
+    shuffle_partitions_for_dir,
+)
 
 HEADLINE = [
     "compress_distinct_status",
@@ -72,9 +76,15 @@ def main() -> None:
     # ~64 MB per post-shuffle partition), not the core count: at bench
     # SFs this cuts the per-exchange scheduling latency of near-empty
     # partitions; at real scale the byte rule dominates and AQE refines.
+    # AQE gated on input size (see adaptive_enabled_for_dir): at bench
+    # SFs there are no large shuffles to re-plan and AQE's per-exchange
+    # stage materialization costs ~0.2 s/query of pure scheduling.
     spark = get_spark(
         app_name="k8e-fetch-spark-bench",
         shuffle_partitions=shuffle_partitions_for_dir(sf_dir),
+        extra_conf={
+            "spark.sql.adaptive.enabled": str(adaptive_enabled_for_dir(sf_dir)).lower()
+        },
     )
     qs = queries()
 

@@ -83,6 +83,50 @@ def minhash_signature(hashes_col: Column, num_hashes: int = 32) -> Column:
     return F.aggregate(hashes_col, init, step)
 
 
+def minhash_signature_arrow(num_hashes: int = 32):
+    """Arrow-vectorized twin of :func:`minhash_signature` — identical
+    coefficients, identical (a*h+b) mod p arithmetic, so signatures are
+    bit-for-bit equal (asserted in tests/test_similarity.py).
+
+    The fold form is a higher-order function, which Spark evaluates
+    INTERPRETED (outside whole-stage codegen): 32 affine-mod ops per
+    shingle per doc dominates the MinHash pipeline wall time. Here the
+    ragged shingle-hash lists are flattened once per Arrow batch and
+    each coefficient is one vectorized multiply-mod + segmented min
+    (``np.minimum.reduceat``) — scan-local, zero shuffle, same plan
+    shape. int64 never overflows: a,b < 2^31 and h < 2^32, so
+    a*h+b < 2^63."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _coefficients(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def _sig(hs):
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in hs if len(x)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = np.full((len(lens), num_hashes), MERSENNE_P, dtype=np.int64)
+        nonempty = lens > 0
+        ne_starts = starts[nonempty]
+        for i in range(num_hashes):
+            vals = (flat * a_vec[i] + b_vec[i]) % MERSENNE_P
+            if len(ne_starts):
+                out[nonempty, i] = np.minimum.reduceat(vals, ne_starts)
+        return pd.Series(list(out))
+
+    _sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<bigint>")
+
+
 def lsh_bands(sig_col: Column, num_bands: int = 8, num_hashes: int = 32) -> Column:
     """Split the signature into bands; each band hashes to a bucket key.
     Docs sharing any (band_idx, band_hash) become candidate pairs."""
@@ -124,7 +168,7 @@ def minhash_candidate_pairs(
     sh = fan_out(df).select(F.col(id_col).alias("doc"), shingles(F.col(text_col)).alias("sh"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     hashed = sh.select("doc", shingle_hashes(F.col("sh")).alias("h"))
-    sig = hashed.select("doc", minhash_signature(F.col("h"), num_hashes).alias("sig"))
+    sig = hashed.select("doc", minhash_signature_arrow(num_hashes)(F.col("h")).alias("sig"))
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )
@@ -262,6 +306,47 @@ def cosine_lsh_band_keys(
     return F.array(*out)
 
 
+def cosine_lsh_band_keys_arrow(
+    dim: int, n_bands: int, bits_per_band: int, seed: int = 42
+):
+    """Arrow-vectorized twin of :func:`cosine_lsh_band_keys`: ONE
+    ``A @ planes.T`` matmul per Arrow batch computes every hyperplane
+    projection for every vector, then a reshape + bit-pack yields the
+    per-band keys (element b of the returned array = band b's key).
+
+    Why not the column-expression form in the hot path: each of the
+    n_bands*bits_per_band sign bits is a separate higher-order-function
+    fold, which Spark evaluates INTERPRETED (HOFs sit outside
+    whole-stage codegen) — 40 folds x 64 dims per vector dominates the
+    whole LSH pipeline's wall time. Bit-for-bit parity with the
+    expression form is asserted in tests/test_similarity.py (same
+    planes, same d>0 sign rule; only the float summation order differs,
+    which cannot flip a sign except exactly at d==0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            row
+            for band in range(n_bands)
+            for row in _rademacher_planes(dim, bits_per_band, seed=seed + band * 1000003)
+        ],
+        dtype=np.float64,
+    )  # (n_bands * bits_per_band, dim)
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+
+    def _keys(xs):
+        A = np.stack(xs.to_numpy()).astype(np.float64, copy=False)
+        bits = (A @ planes.T) > 0  # (B, n_bands * bits_per_band)
+        segs = bits.reshape(len(A), n_bands, bits_per_band)
+        keys = segs.astype(np.int64) @ weights  # (B, n_bands)
+        return pd.Series(list(keys))
+
+    _keys.__annotations__ = {"xs": pd.Series, "return": pd.Series}
+    return pandas_udf(_keys, "array<bigint>")
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -319,11 +404,14 @@ def cosine_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     src = fan_out(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    keys_udf = cosine_lsh_band_keys_arrow(dim, n_bands, bits_per_band, seed)
     keys = src.select(
         "vid",
-        cosine_lsh_band_keys(F.col("vec"), dim, n_bands, bits_per_band, seed).alias("bkeys"),
+        keys_udf(F.col("vec")).alias("bkeys"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = keys.select("vid", F.explode("bkeys").alias("b"))
+    bands = keys.select(
+        "vid", F.posexplode("bkeys").alias("band_idx", "band_key")
+    ).select("vid", F.struct("band_idx", "band_key").alias("b"))
     sizes = bands.groupBy("b").agg(F.count(F.lit(1)).alias("_bsz"))
     bands = (
         bands.join(sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)), on="b")

