@@ -338,6 +338,136 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_PLANTED_ORACLE = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM corpus a
+    JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_simhash_planted",
+    oracle=_SIMHASH_PLANTED_ORACLE,
+    tags=("ext-minhash-dedup", "simhash", "planted-oracle"),
+)
+def dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pipeline hash-checked against SQL ground truth
+    (the planted-oracle pattern of dedup_minhash_lsh_planted): corpus
+    augmented with exact copies of the first 25 docs (doc_id+100000);
+    declared output = SimHash block-collision candidates at Hamming
+    distance 0 whose texts are verified EXACTLY equal. Identical text
+    produces an identical 64-bit signature, hence the same 16-bit block,
+    hence a guaranteed candidate at Hamming 0 — recall on equal-text
+    pairs is structural, and the exact-equality verify removes any
+    signature-collision false positive, so both sides compute precisely
+    the equal-text pair set. The full SimHash path (signature fold ->
+    prefix block join -> Hamming filter -> verify) executes on every
+    row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = fan_out(docs.unionByName(planted))
+    sigs = corpus.select("doc_id", simhash64(F.col("text")).alias("sig"))
+    sigs = sigs.withColumn("block", F.shiftright("sig", 48))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "block")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "block")
+    cands = (
+        a.join(b, on="block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") == 0)
+        .select("doc_a", "doc_b")
+    )
+    ta = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cands.join(ta, on="doc_a")
+        .join(tb, on="doc_b")
+        .filter(F.col("text_a") == F.col("text_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+
+
+_IVF_PLANTED_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               {sql_round(sql_cosine('q.embedding', 'c.embedding'), 6)} AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_round(sql_cosine('q.embedding', 'c.embedding'), 6)} DESC, c.vec_id
+               ) AS rn
+        FROM embeddings q
+        JOIN corpus c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+    )
+    SELECT q_id, n_id, score FROM scored WHERE rn = 1
+"""
+
+
+@register(
+    "sim_topk_ivf_planted",
+    oracle=_IVF_PLANTED_ORACLE,
+    tags=("ext-topk-sim", "ivf", "ann", "planted-oracle"),
+)
+def sim_topk_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search hash-checked against BRUTE-FORCE SQL
+    ground truth: corpus augmented with exact copies of the first 25
+    vectors; declared output = each query's IVF rank-1 neighbor, oracle
+    = the exact argmax over the full corpus. The planted duplicate of
+    query q scores cosine 1.0 (the natural max in this corpus is ~0.60),
+    and an identical vector is assigned to the identical coarse cell —
+    which is also the query's own top-probe cell — so IVF's candidate
+    set provably contains the true argmax and the approximate result
+    equals the exact one. Tie-breaks (rounded score desc, vec_id asc)
+    are identical on both sides, so even natural exact duplicates
+    resolve the same way. The full IVF path (coarse assign via broadcast
+    centroids -> 4-cell probe -> candidate scoring -> rank) executes for
+    real."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(corpus, centroids, "vec_id")
+
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("centroid_id"))
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine_arrow(F.col("q_emb"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= 4)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("q_emb"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("q_id", F.col("vec_id").alias("n_id"), "score")
+    )
+
+
 @register("sim_cosine_lsh", oracle=None, tags=("ext-topk-sim", "lsh", "near-dup"))
 def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH (16-bit
