@@ -42,13 +42,35 @@ def table_path(sf_dir: str, name: str) -> str:
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _as_event_time(dtype) -> F.Column:
+    """Column expression normalizing a loaded ``ts`` column (long nanos,
+    TIMESTAMP_NTZ, or TIMESTAMP) to session-tz TIMESTAMP — see
+    :func:`load` for the per-dtype rationale."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Scans stay columnar + prunable.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (``nanosAsLong``) and
-    convert to a microsecond timestamp — the same truncation DuckDB
-    applies when it reads TIMESTAMP_NS as TIMESTAMP.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across fixture generations, so normalization
+    branches on the dtype Spark actually loaded rather than assuming
+    one physical type:
+
+    * ``LongType`` — TIMESTAMP(NANOS) read via ``nanosAsLong``; convert
+      raw nanos to a microsecond timestamp (the truncation DuckDB
+      applies reading TIMESTAMP_NS as TIMESTAMP).
+    * ``TimestampNTZType`` — TIMESTAMP(MICROS) without tz annotation;
+      cast to TIMESTAMP (session tz is pinned UTC in session.py, so the
+      instant is unchanged and streaming watermarks — which reject NTZ —
+      work).
+    * ``TimestampType`` — already what every consumer wants; no-op.
     """
     try:
         app_id = spark.sparkContext.applicationId
@@ -60,7 +82,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", _as_event_time(df.schema["ts"].dataType))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     if app_id is not None:

@@ -40,17 +40,19 @@ def stream_events(
     (op-sync as a stream: new files are discovered exactly once).
 
     Schema comes from a batch peek (streaming sources require one).
-    ``events.ts`` is TIMESTAMP(NANOS) parquet — read as raw nanos and
-    converted, mirroring :func:`k8e_fetch_spark.io.load`.
+    ``events.ts`` normalization branches on the loaded dtype exactly as
+    :func:`k8e_fetch_spark.io.load` does — long nanos → micros
+    timestamp, TIMESTAMP_NTZ → TIMESTAMP (watermarks reject NTZ).
     """
+    from k8e_fetch_spark.io import _as_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = df.withColumn("ts", _as_event_time(df.schema["ts"].dataType))
     return df
 
 

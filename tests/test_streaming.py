@@ -41,11 +41,13 @@ def events_dir(tmp_path):
 def test_stream_tumbling_matches_batch(spark, events_dir, ckpt):
     """Complete-mode stream over the fixture events == batch aggregation."""
     src = events_dir
+    from k8e_fetch_spark.io import _as_event_time
+
     stream = sw.tumbling(sw.stream_events(spark, src), watermark="0 seconds")
     got = sw.run_available_now(stream, ckpt, output_mode="complete")
+    raw = spark.read.parquet(src)
     batch = (
-        spark.read.parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw.withColumn("ts", _as_event_time(raw.schema["ts"].dataType))
         .groupBy(F.window("ts", "15 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
