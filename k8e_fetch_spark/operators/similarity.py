@@ -439,19 +439,37 @@ def cosine_lsh_pairs(
 def ivf_assign(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Coarse quantization: assign each vector to its nearest centroid.
+    """Coarse quantization: assign each vector to its nearest centroid
+    by cosine — ZERO-shuffle form (the clustering._assign pattern).
 
-    The centroid table is tiny by construction, so the scoring join is
-    a broadcast (no shuffle of the vector table); the per-vector argmax
-    is a window over the vector id.
+    The centroid table is model state (k x dim floats), so it collects
+    to the driver and is inlined as a literal array-of-structs; the
+    per-vector argmax is then one ``transform`` + ``array_min`` fold
+    inside the scan projection. No crossJoin, no window, no Exchange:
+    the earlier window-argmax form shuffled all N x k scored rows on
+    the vector id, which is exactly the shuffle a 100 TB corpus cannot
+    afford. Centroids are unit-normalized on the driver, so per
+    candidate the fold is a single dot product (argmax of dot(v, c/|c|)
+    == argmax cosine; |v| is constant across candidates and drops out).
+    Ties break on the smaller centroid_id, matching the previous
+    window ordering (sim desc, centroid_id asc).
     """
-    from pyspark.sql.window import Window
+    import math
 
-    scored = df.crossJoin(F.broadcast(centroids.select("centroid_id", "centroid")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
-    return (
-        scored.withColumn("sim", cosine_arrow(F.col(vec_col), F.col("centroid")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "sim", "centroid")
+    cent_rows = centroids.select("centroid_id", "centroid").collect()
+    units: list[tuple[int, list[float]]] = []
+    for r in cent_rows:
+        vec = [float(x) for x in r["centroid"]]
+        norm = math.sqrt(sum(x * x for x in vec))
+        units.append((int(r["centroid_id"]), [x / norm for x in vec] if norm > 0 else vec))
+    cents = ",".join(
+        f"named_struct('cid',{cid},'c',array({','.join(f'{x!r}D' for x in vec)}))"
+        for cid, vec in units
     )
+    best = F.expr(
+        f"array_min(transform(array({cents}), cand -> named_struct("
+        f"'negdot', -aggregate(zip_with(cast(`{vec_col}` as array<double>), cand.c, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x), "
+        f"'cid', cand.cid)))"
+    )
+    return df.withColumn("centroid_id", best["cid"])
