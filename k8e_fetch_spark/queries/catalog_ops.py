@@ -179,6 +179,63 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
 
 
+# Expected decode of the checked-in byte fixtures. Derivation is
+# independent of the engine: tests/fixtures/make_fixtures.py writes the
+# raw bytes (LATIN1 accents, UTF-16 BOM, stray quotes), and the expected
+# text below applies the reference's documented pipe by hand —
+# iconv to UTF-8, then bin/quotequote:3-4 (nickname-quote doubling:
+# JOHN "JACK" -> JOHN ""JACK""; caps-quote to apostrophe:
+# O"BRIEN -> O'BRIEN), then sqlite .mode tabs (no quote processing).
+# The sed-equivalence property test (tests/test_properties.py) checks
+# the repair against real sed, so this oracle is not two-sided-wrong.
+_INGEST_ORACLE = """
+    SELECT * FROM (VALUES
+        ('vr_snapshot', '100001', 'RENEE', 'MARIE', 'A'),
+        ('vr_snapshot', '100003', 'SMITH', 'JOHN', 'I'),
+        ('vr_snapshot', '100005', 'O''BRIEN', 'JOHN ""JACK""', 'A'),
+        ('ncvoter', '100001', 'RENÉE', 'MARIE', 'A'),
+        ('ncvoter', '100002', 'MUÑOZ', 'JOSÉ', 'A'),
+        ('ncvoter', '100003', 'SMITH', 'JOHN', 'I'),
+        ('ncvoter', '100003', 'SMITH', 'JOHN', 'I')
+    ) AS t(src, voter_reg_num, last_name, first_name, status_cd)
+"""
+
+
+@register(
+    "ingest_zip_decode_repair",
+    oracle=_INGEST_ORACLE,
+    tags=("op-zip-extract", "op-transcode", "op-quote-repair", "op-tsv-scan", "op-header-norm"),
+)
+def ingest_zip_decode_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's import pipe on the checked-in byte fixtures,
+    hash-checked: ``unzip -p | iconv | sed -f quotequote | .import``
+    (/root/reference/bin/fetcher.bash:96,105-110,119-120) re-expressed
+    as binaryFile scan -> streaming member decode -> quote repair ->
+    from_csv all-string parse -> header normalization. Two source
+    families in one declared output: the UTF-16 VR snapshot zip (both
+    quotequote repair cases) and the LATIN1 ncvoter zip (accented
+    bytes, duplicate raw row preserved — dedup is a later op).
+    ``sf_dir`` is unused; inputs are the byte-level fixtures."""
+    from pathlib import Path
+
+    from k8e_fetch_spark.sources.ingest import dispatch, read_source
+
+    fix = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures"
+    vr = read_source(
+        spark, [str(fix / "VR_Snapshot_20240514.zip")], dispatch("VR_Snapshot_20240514.zip")
+    )
+    nc = read_source(
+        spark, [str(fix / "ncvoter_Statewide.zip")], dispatch("ncvoter_Statewide.zip")
+    )
+    vr_part = vr.select(
+        F.lit("vr_snapshot").alias("src"), "voter_reg_num", "last_name", "first_name", "status_cd"
+    )
+    nc_part = nc.select(
+        F.lit("ncvoter").alias("src"), "voter_reg_num", "last_name", "first_name", "status_cd"
+    )
+    return vr_part.unionByName(nc_part)
+
+
 @register(
     "catalog_sync_delta",
     oracle=f"""

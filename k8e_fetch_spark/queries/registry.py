@@ -122,15 +122,20 @@ _PRIORITY = (
     "events_session_window",
     "stream_tumbling_available_now",
     "stream_stateful_user_stats",
-    # rows-only LSH/iterative flagships (driver row = ran at sf0.01).
-    # dedup_minhash_lsh itself is outside the window: its operator is
-    # oracle-covered by dedup_minhash_lsh_planted above and exercised
-    # again by dedup_clusters_minhash below.
-    "dedup_simhash",
-    "sim_cosine_lsh",
-    "sim_kmeans_assign",
-    "sim_topk_ivf",
-    "dedup_clusters_minhash",
+    # hash-checked twins of the LSH/iterative flagships + the ingest
+    # pipeline. Window policy: every capability's in-window row carries
+    # an oracle where one is expressible — the planted/single-step
+    # variants run the SAME operator code paths (signature folds, band
+    # joins, label propagation, Lloyd assignment, zip/charset/repair
+    # decode) with ground truth a SQL engine can state exactly. The
+    # auto-sized / multi-iteration twins (dedup_simhash, sim_cosine_lsh,
+    # sim_kmeans_assign, sim_topk_ivf, dedup_clusters_minhash) remain
+    # declared outside the window as rows-only evidence.
+    "dedup_simhash_planted",
+    "sim_topk_ivf_planted",
+    "sim_kmeans_assign_oracle",
+    "dedup_clusters_planted",
+    "ingest_zip_decode_repair",
 )
 
 

@@ -473,11 +473,108 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH (16-bit
     signatures, 2 bands): candidates from band-bucket collisions, exact
     cosine verified on candidates only. Recall vs the exhaustive pair
-    scan is asserted in tests/test_similarity.py."""
+    scan is asserted in tests/test_similarity.py.
+
+    Band width auto-sizes with the corpus row count, read from the
+    parquet footer metadata (driver-side file stats, no Spark job) —
+    the same number the operator's fallback ``df.count()`` would start
+    a job to learn."""
+    from k8e_fetch_spark.io import table_path
     from k8e_fetch_spark.operators.similarity import cosine_lsh_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    except Exception:  # multi-file layout or missing footer: operator sizes itself
+        n_rows = None
+    return cosine_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3, n_rows=n_rows)
+
+
+_KMEANS_ASSIGN_ORACLE = f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS c
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+        SELECT e.vec_id, cent.cid,
+               list_sum(list_transform(list_zip(e.embedding::DOUBLE[], cent.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM embeddings e CROSS JOIN cent
+    ),
+    best AS (
+        SELECT vec_id, cid, d2 FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, {sql_round('d2', 6)} AS d2
+    FROM best
+"""
+
+
+@register(
+    "sim_kmeans_assign_oracle",
+    oracle=_KMEANS_ASSIGN_ORACLE,
+    tags=("ext-topk-sim", "kmeans", "planted-oracle"),
+)
+def sim_kmeans_assign_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration hash-checked against SQL ground truth: a
+    single k-means step from the deterministic init (first k=8 vectors
+    by vec_id) IS SQL-expressible — assignment is the argmin of squared
+    L2 over k known centroids with the documented (d2, cid) tie-break.
+    The REAL iterative path executes (kmeans with iterations=1: literal-
+    inlined zero-shuffle assign + the stats aggregate); the oracle
+    recomputes the same argmin relationally in DuckDB. This covers the
+    assignment math the rows-only sim_kmeans_assign (3 iterations)
+    exercises at depth."""
+    from k8e_fetch_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _history = kmeans(emb, k=8, iterations=1)
+    return assigned.select("vec_id", "centroid_id", round_fixed(F.col("d2"), 6).alias("d2"))
+
+
+_CLUSTERS_PLANTED_ORACLE = """
+    WITH planted AS (SELECT doc_id FROM documents WHERE doc_id < 25)
+    SELECT doc_id, doc_id AS cluster_id FROM planted
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, doc_id AS cluster_id FROM planted
+"""
+
+
+@register(
+    "dedup_clusters_planted",
+    oracle=_CLUSTERS_PLANTED_ORACLE,
+    tags=("ext-minhash-dedup", "connected-components", "planted-oracle"),
+)
+def dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs->clusters flow hash-checked against known ground truth:
+    corpus augmented with exact copies of the first 25 docs
+    (doc_id+100000), MinHash pairs restricted to the planted edges
+    (doc_b - doc_a == 100000, which only an original/copy pair can
+    satisfy: originals are far below 100000 and copy-copy gaps differ),
+    then REAL iterative min-label connected components over that edge
+    list. The expected component structure is exact — 25 two-node
+    components labeled by the original doc_id — so the propagation
+    output is hash-checkable even though the general algorithm is not
+    SQL-expressible. Every planted edge is guaranteed: identical text
+    -> identical shingle set -> identical MinHash signature in every
+    band -> candidate pair with exact Jaccard 1."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = (
+        minhash_candidate_pairs(corpus, "doc_id", "text")
+        .filter(F.col("jaccard") == 1.0)
+        .filter(F.col("doc_b") - F.col("doc_a") == 100000)
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 @register("sim_kmeans_assign", oracle=None, tags=("ext-topk-sim", "kmeans", "iterative"))

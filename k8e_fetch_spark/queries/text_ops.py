@@ -443,13 +443,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf_dt"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df_t"))
-    n_docs = load(spark, sf_dir, "documents").count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # .count() action: the scalar stays inside the plan (one job total)
+    n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, on="token")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             round_fixed(
-                F.col("tf_dt") * F.log((n_docs + 1.0) / (F.col("df_t") + 1.0)), 4
+                F.col("tf_dt") * F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)), 4
             ),
         )
     )
