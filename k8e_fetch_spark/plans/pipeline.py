@@ -174,10 +174,14 @@ class Pipeline:
         return self.spark.read.parquet(path)
 
 
-def write_jdbc(df: DataFrame, url: str, table: str, **options: str) -> None:
-    """Optional Postgres sink — the literal "prepping for postgres" goal
-    (/root/reference/README.md:1). Requires a JDBC driver on the
-    classpath; not exercised in tests (no driver in this environment)."""
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append", **options: str
+) -> None:
+    """JDBC sink — the literal "prepping for postgres" goal
+    (/root/reference/README.md:1). Exercised end-to-end against embedded
+    Derby in tests/test_jdbc.py (same code path as Postgres — the URL
+    and driver are config), and against a live Postgres when the
+    composed service is up (K8E_POSTGRES_URL-gated test)."""
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
-    ).mode("append").save()
+    ).mode(mode).save()

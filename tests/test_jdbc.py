@@ -47,6 +47,47 @@ def test_write_jdbc_round_trip(spark, derby_ok):
     )
 
 
+PG_URL_ENV = "K8E_POSTGRES_URL"  # e.g. jdbc:postgresql://postgres:5432/fetch?user=fetch&password=fetch
+PG_DRIVER = "org.postgresql.Driver"
+
+
+@pytest.fixture(scope="module")
+def postgres_ok(spark):
+    """Run only where a live Postgres is composed (docker-compose CI):
+    gate on the URL env var AND the driver jar being on the classpath.
+    Everywhere else the Derby tests above cover the identical code path."""
+    import os
+
+    url = os.environ.get(PG_URL_ENV)
+    if not url:
+        pytest.skip(f"{PG_URL_ENV} not set (no composed Postgres)")
+    try:
+        spark._jvm.java.lang.Class.forName(PG_DRIVER)
+    except Exception:
+        pytest.skip("Postgres JDBC driver not on the Spark classpath")
+    return url
+
+
+def test_write_postgres_round_trip(spark, postgres_ok):
+    """The reference's literal mission (README.md:1 'prepping for
+    postgres') against the composed service: write via the production
+    sink, read back, compare."""
+    url = postgres_ok
+    src = spark.range(0, 100).select(
+        F.col("id").alias("voter_id"),
+        F.concat(F.lit("county_"), (F.col("id") % 7).cast("string")).alias("county"),
+    )
+    write_jdbc(src, url, "voters_ci", driver=PG_DRIVER, mode="overwrite")
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="voters_ci", driver=PG_DRIVER
+    ).load()
+    assert back.count() == 100
+    assert (
+        back.agg(F.sum("voter_id")).collect()[0][0]
+        == src.agg(F.sum("voter_id")).collect()[0][0]
+    )
+
+
 def test_write_jdbc_append_mode(spark, derby_ok):
     """mode=append accumulates (INSERT OR IGNORE semantics live upstream
     in the compress stage; the sink itself is append-only)."""
