@@ -699,3 +699,130 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+_OVERLAP_ORACLE = """
+    WITH toks AS (SELECT source, trim(text) AS tt,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    shingles AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle=_OVERLAP_ORACLE,
+    tags=("ext-exact-dedup", "corpus-diagnostics"),
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the dump-overlap diagnostic
+    run before mixing crawl snapshots into a training set (how much of
+    source B's content already appears in source A?). Counts distinct
+    3-gram shingles shared per source pair via an inverted-index
+    self-join on the shingle: a shingle present in k sources yields
+    C(k,2) pairs, bounded by the source count, never by corpus size —
+    no cross product at any scale. The shuffle carries (source, shingle)
+    pairs only; document payloads never leave the scan stage."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.split(F.trim("text"), r"\s+").alias("t"))
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, on="sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+    )
+
+
+_NOVELTY_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    shingles AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+    ),
+    intro AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE i.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+           {sql_round('count(*) FILTER (WHERE i.first_doc = s.doc_id) * 1.0 / count(*)', 6)} AS novelty
+    FROM shingles s JOIN intro i USING (sh)
+    GROUP BY s.doc_id
+"""
+
+
+@register(
+    "text_shingle_novelty",
+    oracle=_NOVELTY_ORACLE,
+    tags=("ext-text-stats", "corpus-diagnostics"),
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a doc's distinct
+    3-gram shingles it introduces to the corpus (first occurrence by
+    doc_id order) — the freshness signal behind dedup-aware data
+    curation (a doc whose grams all appeared earlier adds nothing).
+    Plan: one explode to the distinct (doc, shingle) inverted index,
+    one map-side-combined min aggregate per shingle, a join back on the
+    SAME shingle key (exchange reuse, no second shuffle of the index),
+    then the per-doc aggregate. No cross product; candidate volume is
+    linear in corpus shingle count."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    intro = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+    return (
+        sh.join(intro, on="sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            round_fixed(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

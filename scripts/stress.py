@@ -38,6 +38,8 @@ PROBES = [
     "text_winnowing_fingerprint",
     "corpus_prep_pipeline",
     "sim_cosine_lsh",
+    "sim_topk_ivf",
+    "sim_kmeans_assign",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
