@@ -174,9 +174,9 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="k8e_pipe_") as warehouse:
         pipe = Pipeline(spark, DEFAULT_SPEC, warehouse)
         components = pipe.run(str(fixtures / "manifest.json"), str(fixtures))
-        out = components["c_name"]
-        # materialize before the temp warehouse disappears
-        return spark.createDataFrame(out.collect(), out.schema)
+        # materialize to executor storage before the temp warehouse
+        # disappears — distributed, unlike a driver collect round-trip
+        return components["c_name"].localCheckpoint(eager=True)
 
 
 # Expected decode of the checked-in byte fixtures. Derivation is
