@@ -559,3 +559,64 @@ def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("int").alias("q"),
         F.date_trunc("week", "o_orderdate").alias("week_start"),
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("ext-typed-relational", "funnel", "sequential"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view -> click -> purchase): per user,
+    the first view, the first click AFTER that view, and the first
+    purchase AFTER that click — the sequential-pattern query every
+    event-analytics engine ships. Each stage is one pushed-filter scan
+    plus a map-side-combined min aggregate; stage chaining is a
+    key-equality join with the time predicate applied pre-aggregate, so
+    nothing wider than (user_id, ts) ever shuffles. NULLs mark funnel
+    drop-off (clicked-never-purchased users keep t_purchase NULL)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, on="user_id", how="left").join(p, on="user_id", how="left")
