@@ -88,8 +88,14 @@ def main() -> None:
     )
     qs = queries()
 
-    # warm-up: JVM/codegen/readers
-    qs["compress_distinct_status"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: JVM/codegen/readers (best-effort; a failure here must
+    # not kill the whole record)
+    try:
+        qs["compress_distinct_status"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
 
     # Two passes per query; report the warm (best) time as the headline
     # value — the first pass pays one-off plan analysis + whole-stage
@@ -97,18 +103,24 @@ def main() -> None:
     # Cold times are included for transparency.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         runs = []
-        for _ in range(2):
-            # drop persisted intermediates left by prior queries (the LSH
-            # pipelines cache their band/shingle tables); without this,
-            # accumulated cache pressure bleeds into later timings
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(2):
+                # drop persisted intermediates left by prior queries (the LSH
+                # pipelines cache their band/shingle tables); without this,
+                # accumulated cache pressure bleeds into later timings
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as e:  # record and continue: one broken query
+            # must not erase the whole suite's record (round-2 lesson)
+            errors[name] = str(e).split("\n")[0][:120]
+            continue
         cold[name] = round(runs[0], 2)
         warm[name] = round(min(runs), 2)
 
@@ -133,12 +145,15 @@ def main() -> None:
         for name in warm:
             if name not in oracles:
                 continue
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
-                runs.append(round(time.perf_counter() - t0, 3))
-            duck_times[name] = min(runs)
+            try:
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                duck_times[name] = min(runs)
+            except Exception:
+                continue
         con.close()
     except Exception:
         duck_times = {}
@@ -158,13 +173,21 @@ def main() -> None:
         "oracle_comparable_subtotal": oracle_subtotal,
         "duckdb_queries": duck_times,
         "duckdb_total": round(sum(duck_times.values()), 2),
+        # ratio over the queries BOTH engines completed, so a per-query
+        # error on either side cannot skew the comparison
         "warm_ratio_vs_duckdb": (
-            round(oracle_subtotal / sum(duck_times.values()), 2) if duck_times else None
+            round(
+                sum(warm[k] for k in duck_times) / sum(duck_times.values()), 2
+            )
+            if duck_times and sum(duck_times.values()) > 0
+            else None
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(warm),
         "n_registered": len(REGISTRY),
     }
+    if errors:
+        record["errors"] = errors
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 3800:  # belt-and-braces: shed detail, never the headline
         record.pop("duckdb_queries", None)
