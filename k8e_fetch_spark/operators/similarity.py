@@ -148,7 +148,12 @@ def lsh_bands(sig_col: Column, num_bands: int = 8, num_hashes: int = 32) -> Colu
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, num_bands: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join: candidate pairs with
     exact Jaccard verification over the distinct shingle sets.
@@ -162,6 +167,21 @@ def minhash_candidate_pairs(
     two sides shuffle on the same band key, so the second side rides the
     first's shuffle via exchange reuse, and a persist only blocks that
     (A/B at sf0.1: 1.85 s without vs 2.13 s with).
+
+    ``max_bucket`` is the 100 TB skew guard: web-scale corpora carry
+    boilerplate clusters of millions of near-identical documents, and a
+    band bucket of m members enumerates C(m,2) pairs — quadratic in the
+    worst bucket. Buckets above the cap switch from clique enumeration
+    to STAR linking (every member paired with the bucket's min doc id):
+    O(m) candidates whose connectivity is equivalent for the
+    connected-components dedup that consumes these pairs (members of a
+    mega-bucket reach each other through the anchor; exact Jaccard is
+    still verified per edge). Unlike dropping oversized buckets (the
+    right call for top-k search), dedup must KEEP them — the mega
+    cluster is precisely what needs deduping. The cap never triggers at
+    test scales (largest fixture bucket << 1024), so declared outputs
+    are unchanged; the size probe shuffles on the same band key as the
+    join and reuses its exchange.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -172,17 +192,28 @@ def minhash_candidate_pairs(
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )
-    left = bands.select(F.col("doc").alias("doc_a"), "b")
-    right = bands.select(F.col("doc").alias("doc_b"), "b")
+    sizes = bands.groupBy("b").agg(F.count(F.lit(1)).alias("_bsz"))
+    sized = bands.join(sizes.filter(F.col("_bsz") >= 2), on="b")
+    small = sized.filter(F.col("_bsz") <= max_bucket)
+    left = small.select(F.col("doc").alias("doc_a"), "b")
+    right = small.select(F.col("doc").alias("doc_b"), "b")
     # candidate pairs shuffle only (id, band-key) — shingle arrays are
     # attached AFTER pair dedup, once per side, so the wide payload
     # never rides through the band join
-    pairs = (
+    clique_pairs = (
         left.join(right, on="b")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    big = sized.filter(F.col("_bsz") > max_bucket)
+    star_pairs = (
+        big.groupBy("b")
+        .agg(F.min("doc").alias("doc_a"))
+        .join(big, on="b")
+        .filter(F.col("doc") != F.col("doc_a"))
+        .select("doc_a", F.col("doc").alias("doc_b"))
+    )
+    pairs = clique_pairs.unionByName(star_pairs).distinct()
     sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -182,3 +182,44 @@ def test_minhash_signature_arrow_matches_fold_form(spark):
     )
     assert both.filter(F.col("fold_sig") != F.col("arrow_sig")).count() == 0
     assert both.count() == 300
+
+
+def test_minhash_mega_bucket_star_linking(spark):
+    """Buckets above max_bucket switch from clique to star candidates:
+    O(m) edges anchored at the bucket's min doc id, exact-verified like
+    any other pair, and connectivity-equivalent for clustering."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+    from k8e_fetch_spark.operators.similarity import minhash_candidate_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)] + [(100, "a completely different document about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=8).filter(
+        F.col("jaccard") > 0.9
+    )
+    rows = pairs.collect()
+    # star form: every edge is (0, member), NOT the C(30,2)=435 clique
+    assert len(rows) == 29
+    assert all(r["doc_a"] == 0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, 30))
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    # connectivity is preserved: one 30-member component via the anchor
+    comps = connected_components(pairs).collect()
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == 30
+
+
+def test_minhash_small_buckets_unchanged_by_cap(spark):
+    """Below the cap the candidate set is identical with or without the
+    guard in range (the declared queries run in this regime)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import minhash_candidate_pairs
+
+    corpus = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    capped = minhash_candidate_pairs(corpus, "doc_id", "text", max_bucket=1024)
+    huge_cap = minhash_candidate_pairs(corpus, "doc_id", "text", max_bucket=1 << 30)
+    a = sorted(map(tuple, capped.select("doc_a", "doc_b").collect()))
+    b = sorted(map(tuple, huge_cap.select("doc_a", "doc_b").collect()))
+    assert a == b
