@@ -192,28 +192,45 @@ def minhash_candidate_pairs(
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )
-    sizes = bands.groupBy("b").agg(F.count(F.lit(1)).alias("_bsz"))
-    sized = bands.join(sizes.filter(F.col("_bsz") >= 2), on="b")
-    small = sized.filter(F.col("_bsz") <= max_bucket)
-    left = small.select(F.col("doc").alias("doc_a"), "b")
-    right = small.select(F.col("doc").alias("doc_b"), "b")
-    # candidate pairs shuffle only (id, band-key) — shingle arrays are
-    # attached AFTER pair dedup, once per side, so the wide payload
-    # never rides through the band join
-    clique_pairs = (
-        left.join(right, on="b")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    # ONE aggregation on the band key replaces the old two-sided
+    # self-join: collect each bucket's (sorted) member list, then emit
+    # its pair set as an array expression — clique below the cap, star
+    # above it. Shuffle volume is the same (doc, band-key) stream the
+    # join shuffled, but exactly once, with no join and no second
+    # subtree execution; pair explosion is scan-local on the aggregated
+    # row. Bucket member lists are bounded by the corpus's worst bucket
+    # (a mega bucket of 1M ids is ~8 MB in one aggregation buffer —
+    # fine; its STAR pair list is the same size, where the clique would
+    # have been 2^19x larger).
+    grouped = bands.groupBy("b").agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+    grouped = grouped.filter(F.size("ds") >= 2)
+    ds, m = F.col("ds"), F.size("ds")
+    clique = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), m - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, m - 1),
+                lambda j: F.struct(
+                    F.element_at(ds, i + 1).alias("doc_a"),
+                    F.element_at(ds, j + 1).alias("doc_b"),
+                ),
+            ),
+        )
     )
-    big = sized.filter(F.col("_bsz") > max_bucket)
-    star_pairs = (
-        big.groupBy("b")
-        .agg(F.min("doc").alias("doc_a"))
-        .join(big, on="b")
-        .filter(F.col("doc") != F.col("doc_a"))
-        .select("doc_a", F.col("doc").alias("doc_b"))
+    star = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda k: F.struct(
+            F.element_at(ds, 1).alias("doc_a"),
+            F.element_at(ds, k + 1).alias("doc_b"),
+        ),
     )
-    pairs = clique_pairs.unionByName(star_pairs).distinct()
+    pairs = (
+        grouped.select(
+            F.explode(F.when(m <= max_bucket, clique).otherwise(star)).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
     sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
