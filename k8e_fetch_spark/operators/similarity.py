@@ -286,6 +286,69 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    max_group: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs: signatures (zero-shuffle projection),
+    candidates blocked on the high 16 signature bits, kept when
+    Hamming distance <= ``max_hamming``. Returns (doc_a, doc_b, hamming).
+
+    ``max_group`` is the 100 TB boilerplate guard: a cluster of m
+    verbatim-duplicate documents produces m IDENTICAL signatures, and
+    the block self-join would enumerate its C(m,2) Hamming-0 pairs —
+    quadratic in the worst cluster. Identical-signature groups larger
+    than the cap collapse to their min-doc anchor: the anchor alone
+    enters the block join (standing in for the whole group against
+    other signatures), and members attach to it by Hamming-0 STAR
+    edges — O(m) candidates, connectivity-equivalent for the
+    clustering consumer. Groups at or below the cap keep every member
+    in the join, so outputs at test scale are bit-identical to the
+    unguarded form (largest natural group in the fixtures: 3).
+    """
+    sigs = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
+    groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+    m = F.size("ds")
+    # members entering the block join: whole group if small, anchor only if mega
+    joinable = groups.select(
+        "sig",
+        F.explode(
+            F.when(m <= max_group, F.col("ds")).otherwise(F.slice("ds", 1, 1))
+        ).alias("doc"),
+    )
+    joinable = joinable.withColumn("block", F.shiftright("sig", 48))
+    a = joinable.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "block")
+    b = joinable.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "block")
+    block_pairs = (
+        a.join(b, on="block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    star_pairs = (
+        groups.filter(m > max_group)
+        .select(
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), m - 1),
+                    lambda k: F.struct(
+                        F.element_at(F.col("ds"), 1).alias("doc_a"),
+                        F.element_at(F.col("ds"), k + 1).alias("doc_b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        # hamming64(sig, sig) == 0 with the same dtype the block side emits
+        .select("p.doc_a", "p.doc_b", hamming64(F.col("sig"), F.col("sig")).alias("hamming"))
+    )
+    return block_pairs.unionByName(star_pairs)
+
+
 def _rademacher_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[int]]:
     """Deterministic ±1 hyperplanes (same LCG family as _coefficients)."""
     planes: list[list[int]] = []

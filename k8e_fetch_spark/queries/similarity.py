@@ -16,10 +16,8 @@ from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
 from k8e_fetch_spark.functions.vectors import cosine, cosine_arrow, l2_norm, sql_cosine
 from k8e_fetch_spark.io import fan_out, load
 from k8e_fetch_spark.operators.similarity import (
-    hamming64,
     ivf_assign,
     minhash_candidate_pairs,
-    simhash64,
 )
 from k8e_fetch_spark.queries.registry import register
 
@@ -323,19 +321,13 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures (zero-shuffle
     projection), candidates blocked on the high 16 signature bits,
-    kept when Hamming distance <= 8."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
-    sigs = docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
-    sigs = sigs.withColumn("block", F.shiftright("sig", 48))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "block")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "block")
-    return (
-        a.join(b, on="block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    kept when Hamming distance <= 8. Identical-signature mega groups
+    (boilerplate clusters) collapse to anchor + Hamming-0 stars above
+    the operator's group cap — see simhash_candidate_pairs."""
+    from k8e_fetch_spark.operators.similarity import simhash_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
 _SIMHASH_PLANTED_ORACLE = """
@@ -368,21 +360,15 @@ def dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equal-text pair set. The full SimHash path (signature fold ->
     prefix block join -> Hamming filter -> verify) executes on every
     row."""
+    from k8e_fetch_spark.operators.similarity import simhash_candidate_pairs
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    corpus = fan_out(docs.unionByName(planted))
-    sigs = corpus.select("doc_id", simhash64(F.col("text")).alias("sig"))
-    sigs = sigs.withColumn("block", F.shiftright("sig", 48))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "block")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "block")
-    cands = (
-        a.join(b, on="block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("hamming") == 0)
-        .select("doc_a", "doc_b")
+    corpus = docs.unionByName(planted)
+    cands = simhash_candidate_pairs(corpus, "doc_id", "text", max_hamming=0).select(
+        "doc_a", "doc_b"
     )
     ta = corpus.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = corpus.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))

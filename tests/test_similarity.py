@@ -223,3 +223,40 @@ def test_minhash_small_buckets_unchanged_by_cap(spark):
     a = sorted(map(tuple, capped.select("doc_a", "doc_b").collect()))
     b = sorted(map(tuple, huge_cap.select("doc_a", "doc_b").collect()))
     assert a == b
+
+
+def test_simhash_mega_group_star_linking(spark):
+    """Identical-signature groups above max_group collapse to anchor +
+    Hamming-0 stars; the anchor still represents the group in the block
+    join against other signatures."""
+    from k8e_fetch_spark.operators.similarity import simhash_candidate_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_candidate_pairs(docs, "doc_id", "text", max_group=8)
+    rows = pairs.collect()
+    # the 29 star edges at Hamming 0, instead of the C(30,2)=435 clique
+    assert len(rows) == 29
+    assert all(r["doc_a"] == 0 and r["hamming"] == 0 for r in rows)
+    assert sorted(r["doc_b"] for r in rows) == list(range(1, 30))
+    # with the cap out of range the same corpus produces the full clique
+    clique = simhash_candidate_pairs(docs, "doc_id", "text", max_group=1 << 30).collect()
+    assert len(clique) == 435
+
+
+def test_simhash_small_groups_unchanged_by_cap(spark):
+    """Below the cap the pair set is identical with or without the
+    guard in range (the declared queries run in this regime; the
+    fixtures' largest natural identical-sig group is 3)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import simhash_candidate_pairs
+
+    corpus = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    capped = simhash_candidate_pairs(corpus, "doc_id", "text", max_group=256)
+    huge_cap = simhash_candidate_pairs(corpus, "doc_id", "text", max_group=1 << 30)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, huge_cap.collect()))
+    assert a == b
