@@ -491,19 +491,29 @@ def cosine_lsh_pairs(
     Pass ``n_bits`` to pin total width explicitly (bits_per_band =
     n_bits // n_bands), or ``n_rows`` to skip the sizing count job.
 
-    ``max_bucket`` is the skew safety valve: buckets larger than it
-    (degenerate key regions — near-constant vectors, zero vectors) are
-    dropped from candidate generation, bounding any single bucket's
-    pair fan-out; the size probe is one count on the band table,
-    shuffled on the same key as the self-join that follows.
+    ``max_bucket`` is the skew guard: a bucket of m members would
+    enumerate C(m,2) candidates. Auto-width keeps EXPECTED occupancy at
+    ``target_bucket``, but identical/near-identical vector clusters
+    (the dedup target itself) share keys in EVERY band at ANY width, so
+    a mega cluster always lands in one bucket. Above the cap the bucket
+    switches from clique enumeration to STAR candidates anchored at the
+    min vid — O(m) edges, every one still exact-cosine-verified, and
+    connectivity-equivalent for near-dup clustering (dropping the
+    bucket, the previous policy, silently missed exactly the mega
+    duplicate clusters dedup exists to find).
 
-    The (vid, band-keys) table is persisted: it is referenced three
-    times (size probe + both self-join sides) and each reference would
-    otherwise recompute the n_bands*bits_per_band hyperplane dot
-    products (the minhash_candidate_pairs lesson). Keys only — ids plus
-    a few longs per row — so the cache is orders of magnitude smaller
-    than the vector table; vectors are attached after pair dedup from
-    the column-pruned scan, never riding through the band join."""
+    The (vid, band-keys) table is persisted: it is referenced four
+    times (size probe + both self-join sides + the star branch) and
+    each reference would otherwise recompute the
+    n_bands*bits_per_band hyperplane dot products (the
+    minhash_candidate_pairs lesson). Keys only — ids plus a few longs
+    per row — so the cache is orders of magnitude smaller than the
+    vector table; vectors are attached after pair dedup from the
+    column-pruned scan, never riding through the band join. (The
+    single-aggregation collect_list form used by MinHash measured
+    ~1 s SLOWER here at sf0.1 — the band self-join's exchange reuse
+    wins at this bucket geometry — so this pipeline keeps the join
+    and bolts the star branch onto the existing size probe.)"""
     if n_bits is not None:
         bits_per_band = max(1, n_bits // n_bands)
     else:
@@ -524,18 +534,26 @@ def cosine_lsh_pairs(
         "vid", F.posexplode("bkeys").alias("band_idx", "band_key")
     ).select("vid", F.struct("band_idx", "band_key").alias("b"))
     sizes = bands.groupBy("b").agg(F.count(F.lit(1)).alias("_bsz"))
-    bands = (
+    small = (
         bands.join(sizes.filter((F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)), on="b")
         .select("vid", "b")
     )
-    left = bands.select(F.col("vid").alias("id_a"), "b")
-    right = bands.select(F.col("vid").alias("id_b"), "b")
-    pairs = (
+    left = small.select(F.col("vid").alias("id_a"), "b")
+    right = small.select(F.col("vid").alias("id_b"), "b")
+    clique_pairs = (
         left.join(right, on="b")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    big = bands.join(sizes.filter(F.col("_bsz") > max_bucket), on="b").select("vid", "b")
+    star_pairs = (
+        big.groupBy("b")
+        .agg(F.min("vid").alias("id_a"))
+        .join(big, on="b")
+        .filter(F.col("vid") != F.col("id_a"))
+        .select("id_a", F.col("vid").alias("id_b"))
+    )
+    pairs = clique_pairs.unionByName(star_pairs).distinct()
     va = src.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = src.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
     return (

@@ -260,3 +260,27 @@ def test_simhash_small_groups_unchanged_by_cap(spark):
     a = sorted(map(tuple, capped.collect()))
     b = sorted(map(tuple, huge_cap.collect()))
     assert a == b
+
+
+def test_cosine_lsh_mega_bucket_star_linking(spark):
+    """Identical-vector clusters share keys in every band at any width;
+    above max_bucket they star-link to the min-vid anchor (exact-cosine
+    verified) instead of being dropped or clique-enumerated."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    v = rng.randn(64).tolist()
+    others = [(200 + i, rng.randn(64).tolist()) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(30)] + others, "vec_id long, embedding array<double>"
+    )
+    pairs = cosine_lsh_pairs(
+        df, "vec_id", "embedding", dim=64, n_bits=40, n_bands=4, threshold=0.9, max_bucket=8
+    )
+    rows = [r for r in pairs.collect() if r["id_b"] < 200]
+    assert len(rows) == 29
+    assert all(r["id_a"] == 0 for r in rows)
+    assert sorted(r["id_b"] for r in rows) == list(range(1, 30))
+    assert all(r["score"] > 0.99 for r in rows)
