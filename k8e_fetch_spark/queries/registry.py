@@ -44,12 +44,22 @@ def register(
             raise ValueError(f"duplicate query name: {name}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Ship the package to Python workers first: UDF-bearing plans
-            # pickle references into k8e_fetch_spark, which executor
-            # workers can't otherwise import when the driver process was
-            # not launched from the repo root (grading driver, clusters).
+            # Every declared query is self-sufficient on a session we did
+            # not build: set the CORRECTNESS-critical invariant (UTC
+            # session tz — timestamp values and their oracle hashes are
+            # computed against it) and ship the package zip to executor
+            # Python workers (UDF-bearing plans pickle references into
+            # k8e_fetch_spark, which workers can't import when the driver
+            # process was not launched from the repo root: grading
+            # driver, real clusters). Perf knobs (AQE, shuffle width)
+            # stay with the session owner — tune_session/bench set them
+            # deliberately and the wrapper must not fight that.
             from k8e_fetch_spark.session import ship_package
 
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
             ship_package(spark)
             return fn(spark, sf_dir)
 
