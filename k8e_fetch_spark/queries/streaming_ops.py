@@ -19,6 +19,51 @@ from k8e_fetch_spark.io import load
 from k8e_fetch_spark.queries.registry import register
 
 
+def _drain_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    build_stream,
+    output_mode: str,
+    n_copies: int = 1,
+    max_files_per_trigger: int | None = None,
+    prefix: str = "k8e_stream_",
+) -> DataFrame:
+    """Shared setup for the real-stream queries: stage the events parquet
+    as a streaming file source, drain with availableNow into a parquet
+    sink dir (no driver round-trip — see run_available_now_to_dir), and
+    hand back the read-back result.
+
+    The source + checkpoint dirs are removed as soon as the drain
+    finishes; the result parquet is scanned lazily by the returned plan,
+    so it must outlive this call and is removed at interpreter exit.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.streaming import windows as sw
+
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(workdir, "events")
+    os.makedirs(src)
+    for i in range(n_copies):
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, f"part-{i:03d}.parquet"))
+    stream = build_stream(
+        sw.stream_events(spark, src, max_files_per_trigger=max_files_per_trigger)
+    )
+    out = sw.run_available_now_to_dir(
+        stream,
+        os.path.join(workdir, "ckpt"),
+        os.path.join(workdir, "result"),
+        output_mode=output_mode,
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return out
+
+
 @register(
     "events_tumbling_window",
     oracle="""
@@ -106,36 +151,28 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_tumbling_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregation executed as an actual Structured
-    Streaming query (file source → watermark → memory sink, availableNow
-    trigger) rather than its batch twin. Same window expression as
-    events_tumbling_window — the batch/stream parity the engine
-    guarantees; correctness of the values is covered by that query's
-    oracle and tests/test_streaming.py."""
-    import shutil
-    import tempfile
-
+    Streaming query (file source → watermark → parquet sink via
+    foreachBatch, availableNow trigger) rather than its batch twin. Same
+    window expression as events_tumbling_window — the batch/stream
+    parity the engine guarantees; correctness of the values is covered
+    by that query's oracle and tests/test_streaming.py."""
     from k8e_fetch_spark.streaming import windows as sw
 
-    workdir = tempfile.mkdtemp(prefix="k8e_stream_")
-    src = f"{workdir}/events"
-    import os
-
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
-    stream = sw.tumbling(sw.stream_events(spark, src), watermark="0 seconds")
-    out = sw.run_available_now(stream, f"{workdir}/ckpt", output_mode="complete")
-    # round at the query boundary (cross-engine-stable half-up), then
-    # materialize before the temp source dir disappears
-    out = out.select(
+    out = _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.tumbling(ev, watermark="0 seconds"),
+        output_mode="complete",
+        prefix="k8e_stream_",
+    )
+    # round at the query boundary (cross-engine-stable half-up)
+    return out.select(
         "window_start",
         "window_end",
         "event_type",
         "n_events",
         round_fixed(F.col("total_value"), 2).alias("total_value"),
     )
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(workdir, ignore_errors=True)
-    return result
 
 
 @register(
@@ -158,31 +195,21 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches, final emission per user returned. Deterministic
     (single drain over a fixed file set); state-across-batches behavior
     is asserted in tests/test_streaming.py."""
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql.window import Window
 
     from k8e_fetch_spark.streaming import windows as sw
 
-    workdir = tempfile.mkdtemp(prefix="k8e_state_")
-    src = os.path.join(workdir, "events")
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
-    stream = sw.running_user_stats(sw.stream_events(spark, src))
-    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="update")
-    # keep the final (maximal) emission per user; materialize before the
-    # temp source disappears
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    final = (
+    out = _drain_events_stream(
+        spark, sf_dir, sw.running_user_stats, output_mode="update", prefix="k8e_state_"
+    )
+    # keep the final emission per user (last micro-batch wins; n_events
+    # is monotone within a user so it is an equivalent tie-break)
+    w = Window.partitionBy("user_id").orderBy(F.desc("_batch_id"), F.desc("n_events"))
+    return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", round_fixed(F.col("total_value"), 4).alias("total_value"))
     )
-    result = spark.createDataFrame(final.collect(), final.schema)
-    shutil.rmtree(workdir, ignore_errors=True)
-    return result
 
 
 @register(
@@ -249,27 +276,18 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redelivery horizon — with a short one, state for old events
     would be evicted between micro-batches and duplicates would leak
     (the bounded-state trade documented in streaming/windows.py)."""
-    import os
-    import shutil
-    import tempfile
-
     from k8e_fetch_spark.streaming import windows as sw
 
-    workdir = tempfile.mkdtemp(prefix="k8e_dedup_stream_")
-    src = os.path.join(workdir, "events")
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-001.parquet")
-    stream = sw.dedup_within_watermark(
-        sw.stream_events(spark, src, max_files_per_trigger=1),
-        keys=["event_id"],
-        watermark="365 days",
+    out = _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.dedup_within_watermark(ev, keys=["event_id"], watermark="365 days"),
+        output_mode="append",
+        n_copies=2,
+        max_files_per_trigger=1,
+        prefix="k8e_dedup_stream_",
     )
-    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="append")
-    out = out.select("event_id", "ts", "user_id", "event_type", "value")
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(workdir, ignore_errors=True)
-    return result
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @register(
@@ -299,19 +317,12 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides watermarked so join state is evictable. availableNow over a
     fixed file set makes the inner-join output deterministic and equal
     to the batch join — which is the declared oracle."""
-    import os
-    import shutil
-    import tempfile
-
     from k8e_fetch_spark.streaming import windows as sw
 
-    workdir = tempfile.mkdtemp(prefix="k8e_join_stream_")
-    src = os.path.join(workdir, "events")
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-000.parquet")
-    ev = sw.stream_events(spark, src)
-    stream = sw.clicks_to_purchases(ev, horizon="1 hour", watermark="365 days")
-    out = sw.run_available_now(stream, os.path.join(workdir, "ckpt"), output_mode="append")
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(workdir, ignore_errors=True)
-    return result
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.clicks_to_purchases(ev, horizon="1 hour", watermark="365 days"),
+        output_mode="append",
+        prefix="k8e_join_stream_",
+    )

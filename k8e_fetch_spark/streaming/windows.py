@@ -198,6 +198,67 @@ def clicks_to_purchases(events: DataFrame, horizon: str = "1 hour", watermark: s
     )
 
 
+def run_available_now_to_dir(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink_dir: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a streaming DataFrame with an availableNow trigger into a
+    parquet directory via ``foreachBatch`` and read it back as a batch
+    DataFrame — the whole result stays executor-side (the memory-sink /
+    ``collect()`` form buffers everything on the driver, which at 100 TB
+    scale — one row per user/window — is a driver OOM, not a test nit).
+
+    ``foreachBatch`` is the one sink that supports every output mode:
+
+    - ``append``: each micro-batch's new rows append as files;
+    - ``complete``: each batch carries the FULL result, so the final
+      batch's overwrite is the final state;
+    - ``update``: per-batch emissions append tagged with ``_batch_id``
+      so consumers can keep the last emission per key.
+
+    The per-batch ``batch_df.write`` is a distributed job (the Python
+    callback only schedules it), so this is the same pattern a
+    production ingest uses for exactly-once parquet/Delta sinks.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(sink_dir)
+        elif output_mode == "update":
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                sink_dir
+            )
+        else:
+            batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream did not drain in time")
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = df.sparkSession
+    try:
+        return spark.read.parquet(sink_dir)
+    except Exception:
+        # zero micro-batches fired -> the sink dir was never created;
+        # an empty frame with the stream's schema is the honest result
+        schema = df.schema
+        if output_mode == "update":
+            schema = T.StructType(list(schema.fields) + [T.StructField("_batch_id", T.LongType())])
+        return spark.createDataFrame([], schema)
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,
@@ -206,6 +267,9 @@ def run_available_now(
 ) -> DataFrame:
     """Drain a streaming DataFrame with an availableNow trigger into a
     memory sink; returns the sink contents as a batch DataFrame.
+
+    Test-scale convenience only — the memory sink buffers results on the
+    driver. Declared queries use :func:`run_available_now_to_dir`.
 
     availableNow processes everything currently discoverable then stops
     — the batch-backfill mode of a production stream (and the only
