@@ -152,9 +152,29 @@ def catalog_skip_unknown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest.select(key.alias("key"), reader.alias("reader")).filter(F.col("reader").isNotNull())
 
 
+# Expected c_name dimension for the full pipeline run, derived by hand
+# the same way _INGEST_ORACLE below is: apply the reference's pipe
+# (manifest select → unzip|iconv|quotequote → .import → compress
+# SELECT DISTINCT + INSERT OR IGNORE into the c_name column group with
+# the a_ncvoter subst midl_name→middle_name / name_sufx_cd→
+# name_suffix_lbl) to the checked-in byte fixtures. The vr_snapshot and
+# ncvoter spellings of AA1 differ (RENEE vs RENÉE) so both survive the
+# dedup; ncvoter's duplicated raw SMITH row collapses to one; empty
+# strings land as NULL (Spark CSV emptyValue) on both sides.
+_PIPELINE_ORACLE = """
+    SELECT * FROM (VALUES
+        ('AA1', 'RENEE', 'MARIE', 'L', NULL),
+        ('AA1', 'RENÉE', 'MARIE', 'L', NULL),
+        ('AA2', 'MUÑOZ', 'JOSÉ', NULL, 'JR'),
+        ('AA3', 'SMITH', 'JOHN', 'Q', NULL),
+        ('AA5', 'O''BRIEN', 'JOHN ""JACK""', NULL, NULL)
+    ) AS t(ncid, last_name, first_name, middle_name, name_suffix_lbl)
+"""
+
+
 @register(
     "pipeline_end_to_end",
-    oracle=None,  # file-based: runs the cfg-driven fetch→load→compress flow
+    oracle=_PIPELINE_ORACLE,
     tags=("pipeline", "op-multi-source-union", "op-insert-ignore", "op-zip-extract"),
 )
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,15 +182,15 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manifest select → zip/charset/quote-repair ingest → component
     compress), returning the merged c_name dimension. Deterministic:
     repeat runs produce identical rows (INSERT OR IGNORE semantics).
-    ``sf_dir`` is unused — inputs are the byte-level fixtures, not the
-    synthetic parquet."""
+    ``sf_dir`` is unused — inputs are the packaged byte fixtures, not
+    the synthetic parquet."""
     import tempfile
-    from pathlib import Path
 
     from k8e_fetch_spark.plans.pipeline import Pipeline
     from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+    from k8e_fetch_spark.resources import fixtures_root
 
-    fixtures = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures"
+    fixtures = fixtures_root()
     with tempfile.TemporaryDirectory(prefix="k8e_pipe_") as warehouse:
         pipe = Pipeline(spark, DEFAULT_SPEC, warehouse)
         components = pipe.run(str(fixtures / "manifest.json"), str(fixtures))
@@ -215,12 +235,11 @@ def ingest_zip_decode_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     families in one declared output: the UTF-16 VR snapshot zip (both
     quotequote repair cases) and the LATIN1 ncvoter zip (accented
     bytes, duplicate raw row preserved — dedup is a later op).
-    ``sf_dir`` is unused; inputs are the byte-level fixtures."""
-    from pathlib import Path
-
+    ``sf_dir`` is unused; inputs are the packaged byte fixtures."""
+    from k8e_fetch_spark.resources import fixtures_root
     from k8e_fetch_spark.sources.ingest import dispatch, read_source
 
-    fix = Path(__file__).resolve().parent.parent.parent / "tests" / "fixtures"
+    fix = fixtures_root()
     vr = read_source(
         spark, [str(fix / "VR_Snapshot_20240514.zip")], dispatch("VR_Snapshot_20240514.zip")
     )

@@ -50,17 +50,64 @@ def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None, tags=("ext-multimodal", "decode-stub"))
+# Full oracle for the decode pipeline INCLUDING the byte-histogram
+# features: the stub codec's feature i is (sum of payload bytes at
+# positions i, i+8, i+16, ... mod 997) / 997.0 (float32), so feature*997
+# is an exact integer recoverable from the float — the query emits those
+# integers (f0..f7) as the engine-portable serialization, and DuckDB
+# recomputes them relationally via hex-pair byte extraction. This
+# hash-checks the REAL Arrow decode path end to end, features included.
+_DECODE_FEATURES_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               hex(encode(text)) AS h
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, n,
+               list_transform(range(0, 8),
+                 i -> CAST(COALESCE(list_sum(list_transform(range(i, n, 8),
+                        j -> CAST('0x' || substr(h, 2*j+1, 2) AS INT))), 0) % 997 AS INT)
+               ) AS fi
+        FROM base
+    )
+    SELECT doc_id,
+           n AS byte_len,
+           CAST(64 + (n % 512) AS INTEGER) AS width,
+           CAST(64 + ((n // 2) % 512) AS INTEGER) AS height,
+           CAST(1 + (n % 4) AS INTEGER) AS n_frames,
+           CASE WHEN 1 + (n % 4) >= 3 THEN '[0,2]' ELSE '[0]' END AS sampled_frames,
+           fi[1] AS f0, fi[2] AS f1, fi[3] AS f2, fi[4] AS f3,
+           fi[5] AS f4, fi[6] AS f5, fi[7] AS f6, fi[8] AS f7
+    FROM feats
+"""
+
+
+@register(
+    "mm_decode_features",
+    oracle=_DECODE_FEATURES_ORACLE,
+    tags=("ext-multimodal", "decode-stub"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode pipeline end-to-end: binary column -> Arrow-batched
     mapInPandas decode (stubbed codec) -> typed feature frame -> frame
-    sampling. Deterministic, so repeat runs hash identically."""
+    sampling. Deterministic, so repeat runs hash identically; the
+    features serialize as exact integers (feature*997 — integral by
+    the stub's construction) so the full decode output is oracle-
+    checkable cross-engine without float-rendering hazards."""
     docs = load(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     decoded = decode_media(with_payload)
     # Serialize array columns at the query boundary: downstream
     # consumers (and the grading driver's pandas canonicalizer) need
     # hashable scalar cells; the arrays stay typed inside the plan.
+    # float32 relative error is ~6e-8, so feature*997 (< 997) is within
+    # 6e-5 of the true integer and floor(x + 0.5) recovers it exactly.
+    feature_ints = [
+        F.floor(F.col("features")[i] * 997 + F.lit(0.5)).cast("int").alias(f"f{i}")
+        for i in range(8)
+    ]
     return frame_sample(decoded).select(
         "doc_id",
         "byte_len",
@@ -68,7 +115,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
         F.to_json("sampled_frames").alias("sampled_frames"),
-        F.to_json("features").alias("features"),
+        *feature_ints,
     )
 
 

@@ -84,8 +84,12 @@ def ship_package(spark: SparkSession) -> None:
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
                 for f in files:
-                    if f.endswith(".py"):
+                    # ship sources AND package data (resources/fixtures)
+                    # so the zip is self-sufficient off-repo
+                    if not f.endswith((".pyc", ".pyo")):
                         full = os.path.join(root, f)
                         zf.write(full, os.path.relpath(full, parent))
     sc.addPyFile(zip_path)

@@ -15,8 +15,10 @@ operators can be unit-tested:
   and a layout*.txt that must be synced-but-skipped (fetcher.bash:115-118).
 - B5 zips of B1/B2 (unzip -p path, fetcher.bash:96,120).
 
-Run: python tests/fixtures/make_fixtures.py  (idempotent; writes beside
-itself). Files are checked in — regeneration must be byte-identical.
+Run: python tests/fixtures/make_fixtures.py  (idempotent; writes to the
+package data dir k8e_fetch_spark/resources/fixtures — the fixtures ship
+inside the package so declared queries are self-sufficient off-repo).
+Files are checked in — regeneration must be byte-identical.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import json
 import zipfile
 from pathlib import Path
 
-HERE = Path(__file__).resolve().parent
+HERE = Path(__file__).resolve().parents[2] / "k8e_fetch_spark" / "resources" / "fixtures"
 
 # --- B1: LATIN1 TSV, headers with spaces + uppercase -------------------
 NCVOTER_HEADER = [

@@ -12,7 +12,9 @@ from pyspark.sql import types as T
 
 from k8e_fetch_spark.sources import ingest
 
-FIXTURES = Path(__file__).resolve().parent / "fixtures"
+from k8e_fetch_spark.resources import fixtures_root
+
+FIXTURES = fixtures_root()
 
 
 def _all_string(df):

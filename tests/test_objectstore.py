@@ -19,7 +19,9 @@ from k8e_fetch_spark.sources.objectstore import (
     list_versions,
 )
 
-FIXTURE = Path(__file__).parent / "fixtures" / "manifest.json"
+from k8e_fetch_spark.resources import fixtures_root
+
+FIXTURE = fixtures_root() / "manifest.json"
 
 
 class RecordedS3Client:

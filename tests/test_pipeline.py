@@ -13,7 +13,9 @@ import pytest
 from k8e_fetch_spark.plans.pipeline import Pipeline
 from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
 
-FIXTURES = Path(__file__).resolve().parent / "fixtures"
+from k8e_fetch_spark.resources import fixtures_root
+
+FIXTURES = fixtures_root()
 
 
 @pytest.fixture(scope="module")
