@@ -94,3 +94,25 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     # which the pandas_udf type inferrer cannot resolve
     _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
     return pandas_udf(_cos, "double")(a, b)
+
+
+def validate_finite_centroids(rows: list[tuple[int, list[float]]]) -> None:
+    """Fail fast on non-finite centroid components.
+
+    Centroid state is inlined into generated Spark SQL as double
+    literals (the zero-shuffle assign form); ``float('nan')`` renders as
+    ``nanD`` — invalid SQL that would surface as an opaque parse error
+    far from the cause. NaN/Inf centroids mean upstream went wrong
+    (empty cluster average, corrupt embeddings), so raise a descriptive
+    error here instead.
+    """
+    import math
+
+    for cid, vec in rows:
+        bad = [i for i, x in enumerate(vec) if not math.isfinite(float(x))]
+        if bad:
+            raise ValueError(
+                f"centroid {cid} has non-finite component(s) at dims {bad[:8]}"
+                f"{'...' if len(bad) > 8 else ''}; refusing to inline into SQL"
+                " (check for empty clusters or corrupt embedding rows)"
+            )

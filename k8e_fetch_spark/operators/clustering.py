@@ -31,6 +31,9 @@ def _assign(df: DataFrame, centroid_rows: list[tuple[int, list[float]]], id_col:
     this is the difference between a k-fold shuffle per iteration and
     none at all (the only iteration shuffle left is the k-row partial
     aggregate in the stats step)."""
+    from k8e_fetch_spark.functions.vectors import validate_finite_centroids
+
+    validate_finite_centroids([(int(cid), [float(x) for x in vec]) for cid, vec in centroid_rows])
     # One SQL string -> ONE Py4J call. Building k x dim literals as
     # Column objects costs ~0.6 s of driver round trips per iteration;
     # the string form is free. (Driver-side latency, not a plan change.)
@@ -61,17 +64,32 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
-) -> DataFrame:
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Connected components over an edge list — the step that turns
     near-duplicate PAIRS into dedup CLUSTERS (keep one doc per
     component). Iterative min-label propagation: every node repeatedly
     adopts the smallest label among itself and its neighbors until a
-    fixpoint; rounds needed = graph diameter (near-dup clusters are
-    shallow, so this converges in 2-3 rounds in practice).
+    fixpoint.
+
+    Convergence bound: the minimum label travels one hop per round, so
+    rounds needed = the component's diameter in hops from its min-id
+    node, plus one fixpoint-detection round (a planted path graph in
+    tests/test_clustering.py pins this exactly). The dedup stack's
+    inputs keep that diameter small by construction: LSH mega buckets
+    are star-linked to a min-id anchor (operators/similarity.py), which
+    caps a boilerplate cluster's diameter at 2 regardless of its size,
+    and organic near-dup clusters are shallow (2-3 rounds in practice).
+    If ``max_iterations`` is reached before the fixpoint (a pathological
+    deep chain), the returned labels are NOT converged — callers that
+    cannot bound the diameter should pass ``return_rounds=True`` and
+    check ``rounds < max_iterations``; a log-rounds large-star/small-star
+    variant is the upgrade path if such graphs ever become the norm.
 
     Each round is two DataFrame ops (join + min-aggregate) on the edge
     list; convergence is checked with a count of changed labels. Returns
-    (node, component) where component = min node id in the component.
+    (node, component) where component = min node id in the component —
+    or ``(labels, rounds_executed)`` with ``return_rounds=True``.
     """
     # Both edge directions from ONE pass over pairs (explode of a
     # 2-array), not a union of two selects: a union references the
@@ -99,6 +117,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    rounds = 0
     for _ in range(max_iterations):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -120,9 +139,10 @@ def connected_components(
         # previous rounds (exponential lineage); localCheckpoint keeps
         # iteration cost linear. Cluster form: checkpoint to HDFS/S3.
         labels = labels.localCheckpoint(eager=True)
+        rounds += 1
         if changed == 0:
             break
-    return labels
+    return (labels, rounds) if return_rounds else labels
 
 
 def kmeans(

@@ -187,3 +187,37 @@ def test_repetition_stats_known_counts(spark):
     assert rows[2] == (3, 1, 3)
     assert rows[3] == (1, 1, 1)
     assert rows[4] == (3, 2, 2)
+
+
+def test_connected_components_long_chain_diameter(spark):
+    """The documented convergence bound, pinned: a planted path graph
+    0-1-2-...-11 forces the min label to travel one hop per round, so
+    min-label propagation needs diameter (=11) rounds plus one
+    fixpoint-detection round — far beyond the 2-3 rounds shallow
+    near-dup clusters take. Asserts full convergence AND the round
+    count, so a silent change to the propagation step can't hide."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(pairs, max_iterations=n + 3, return_rounds=True)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # diameter hops + 1 detection round; > 3 proves this fixture really
+    # exercises the deep-propagation path
+    assert 3 < rounds <= n, rounds
+
+
+def test_kmeans_assign_rejects_nonfinite_centroids(spark):
+    """NaN/Inf centroid components would render as nanD/infD in the
+    inlined SQL literal and fail with an opaque parse error; the assign
+    step must refuse them with a descriptive message instead."""
+    import pytest
+
+    from k8e_fetch_spark.operators.clustering import _assign
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-finite"):
+        _assign(df, [(0, [float("nan"), 0.5])], "vec_id", "embedding")
