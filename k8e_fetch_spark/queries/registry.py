@@ -54,12 +54,28 @@ def register(
             # driver, real clusters). Perf knobs (AQE, shuffle width)
             # stay with the session owner — tune_session/bench set them
             # deliberately and the wrapper must not fight that.
+            #
+            # PUBLIC CONTRACT NOTE: the tz pin intentionally PERSISTS on
+            # the caller's session after the query returns (runtime conf
+            # has no scoped form) — callers needing a different session
+            # tz for their own queries must restore it themselves. A
+            # failed set is surfaced as a warning, not swallowed: with a
+            # non-UTC session every timestamp output would silently
+            # diverge from the UTC-computed oracle hashes.
             from k8e_fetch_spark.session import ship_package
 
             try:
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
-            except Exception:
-                pass
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "could not pin spark.sql.session.timeZone=UTC "
+                    f"({e!r}); timestamp results may diverge from the "
+                    "UTC-computed oracle hashes",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             ship_package(spark)
             return fn(spark, sf_dir)
 
