@@ -1,0 +1,122 @@
+"""Postgres staging: the reference's declared destination, made real.
+
+The reference's one-line mission is "prepping for postgres"
+(/root/reference/README.md:1); its pipeline stops at SQLite staging.
+Here the contract is explicit and executed:
+
+- :func:`postgres_ddl` maps a DataFrame schema to a ``CREATE TABLE``
+  statement in Postgres types (the component tables are all-text by
+  design, but typed frames map too);
+- :func:`copy_into_postgres` bulk-loads a DataFrame through the
+  canonical Postgres ingest path — ``COPY FROM`` over CSV — without a
+  driver-side collect: Spark writes distributed CSV part files, each
+  streamed to the server via ``psql \\copy``.
+
+Two sink paths exist on purpose. ``write_jdbc``
+(:mod:`k8e_fetch_spark.plans.pipeline`) is the executor-parallel path a
+cluster uses (N partitions -> N concurrent INSERT streams; exercised
+against embedded Derby and, when ``K8E_POSTGRES_URL`` is set, live
+Postgres). COPY is Postgres's own bulk protocol — the fastest path into
+a single instance and the one the reference's sqlite ``.import`` maps
+to semantically. At 100 TB you would run one COPY per partition from
+executors (foreachPartition + libpq); the part-file loop here is the
+same shape driven from one process, sized for staging runs.
+
+Tested against a REAL postgres server (initdb + unix socket, no
+container needed) in tests/test_postgres.py.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_PG_TYPES: dict[type, str] = {
+    T.StringType: "text",
+    T.BooleanType: "boolean",
+    T.ByteType: "smallint",
+    T.ShortType: "smallint",
+    T.IntegerType: "integer",
+    T.LongType: "bigint",
+    T.FloatType: "real",
+    T.DoubleType: "double precision",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.BinaryType: "bytea",
+}
+
+
+def _pg_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"numeric({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return _pg_type(dt.elementType) + "[]"
+    if isinstance(dt, (T.MapType, T.StructType)):
+        # nested data stages as jsonb; loaders emit to_json upstream
+        return "jsonb"
+    for spark_t, pg in _PG_TYPES.items():
+        if isinstance(dt, spark_t):
+            return pg
+    raise TypeError(f"no Postgres mapping for Spark type {dt}")
+
+
+def postgres_ddl(df: DataFrame, table: str) -> str:
+    """``CREATE TABLE`` DDL for a DataFrame's schema in Postgres types.
+
+    Column names are lower-cased and double-quoted (the header-norm op
+    already lower-cases; quoting keeps reserved words like ``fetch``
+    safe — the reference's own database name is one).
+    """
+    cols = ",\n  ".join(
+        f'"{f.name.lower()}" {_pg_type(f.dataType)}' + ("" if f.nullable else " NOT NULL")
+        for f in df.schema.fields
+    )
+    return f'CREATE TABLE IF NOT EXISTS "{table}" (\n  {cols}\n)'
+
+
+def copy_into_postgres(
+    df: DataFrame,
+    table: str,
+    psql_args: list[str],
+    workdir: str,
+    create: bool = True,
+) -> int:
+    """Bulk-load ``df`` into Postgres via distributed CSV + ``\\copy``.
+
+    ``psql_args`` is the connection argv tail (e.g. ``["-h", sockdir,
+    "-U", "fetch", "-d", "fetchdb"]``). Returns the number of part
+    files loaded. Spark writes the CSV parts in parallel (no collect);
+    each part streams through one COPY — the batched, WAL-friendly
+    ingest Postgres documents for bulk loads.
+    """
+    out = str(Path(workdir) / f"csv_{table}")
+    (
+        df.write.mode("overwrite")
+        .options(header=False, nullValue="\\N", emptyValue="")
+        .csv(out)
+    )
+    if create:
+        _psql(psql_args, postgres_ddl(df, table))
+    cols = ", ".join(f'"{f.name.lower()}"' for f in df.schema.fields)
+    parts = sorted(Path(out).glob("part-*.csv"))
+    for part in parts:
+        _psql(
+            psql_args,
+            f"\\copy \"{table}\" ({cols}) from '{part}' with (format csv, null '\\N')",
+        )
+    return len(parts)
+
+
+def _psql(psql_args: list[str], command: str) -> str:
+    proc = subprocess.run(
+        ["psql", "-v", "ON_ERROR_STOP=1", *psql_args, "-c", command],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"psql failed ({proc.returncode}): {proc.stderr.strip()}")
+    return proc.stdout
