@@ -90,3 +90,38 @@ def content_hash(cols: Sequence[str]) -> Column:
     """256-bit content hash for hash-based dedup at scale: dedup on a
     32-byte digest instead of shuffling wide text rows."""
     return F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]), 256)
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Dedup retention policy: keep the highest-quality member of each
+    near-duplicate cluster (production pipelines keep the BEST copy,
+    not an arbitrary one — boilerplate mirrors often include one clean
+    original among many degraded scrapes). Ties break on the smallest
+    id, so the policy is deterministic.
+
+    One shuffle on the cluster key with map-side partial aggregation:
+    argmax is a struct ``max`` — (quality, -id) orders by quality then
+    lowest id — so no window sort and no join-back; buffer per cluster
+    is one struct regardless of cluster size (mega-cluster safe).
+    Returns (cluster, keep id, its quality, member count).
+    """
+    joined = clusters.join(quality, on=id_col)
+    best = F.max(
+        F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id"))
+    ).alias("best")
+    return (
+        joined.groupBy(cluster_col)
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            cluster_col,
+            (-F.col("best.neg_id")).cast("long").alias("keep_doc_id"),
+            F.col("best.q").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -808,3 +808,54 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "score")
     )
+
+
+# Expected retention under the keep-best policy on the planted clusters:
+# each cluster is {original doc_id < 25, verbatim copy doc_id+100000};
+# identical text -> identical quality, so the tie-break keeps the
+# original (min id) and best_quality is the quality expression itself.
+# (quality SQL lives with the text ops — same package, safe import.)
+from k8e_fetch_spark.queries.text_ops import _QUALITY_SQL as _KB_QUALITY_SQL  # noqa: E402
+
+_KEEP_BEST_ORACLE = f"""
+    WITH planted AS (SELECT doc_id, text FROM documents WHERE doc_id < 25)
+    SELECT doc_id AS cluster_id,
+           doc_id AS keep_doc_id,
+           {sql_round(_KB_QUALITY_SQL, 6)} AS best_quality,
+           CAST(2 AS BIGINT) AS n_members
+    FROM planted
+"""
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("ext-minhash-dedup", "retention-policy", "planted-oracle"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy on top of the pairs->clusters flow: near-dup
+    clusters (REAL MinHash LSH + connected components over the planted
+    copies, exactly the dedup_clusters_planted construction) reduced to
+    one kept doc each — the highest quality_score, ties to the smallest
+    doc_id. Production dedup keeps the BEST copy, not an arbitrary one;
+    this is that policy as a single struct-max aggregation (no window
+    sort, one-struct buffer per cluster — mega-cluster safe)."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+    from k8e_fetch_spark.operators.dedup import keep_best_per_cluster
+    from k8e_fetch_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = (
+        minhash_candidate_pairs(corpus, "doc_id", "text")
+        .filter(F.col("jaccard") == 1.0)
+        .filter(F.col("doc_b") - F.col("doc_a") == 100000)
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return keep_best_per_cluster(clusters, quality)

@@ -826,3 +826,70 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_fixed(novel / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "corpus_split_assign",
+    oracle="""
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    tags=("ext-text-stats", "split"),
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by hashing
+    the row key — the split every training pipeline needs to be STABLE:
+    membership is a pure function of doc_id (first md5 byte vs fixed
+    ceilings), so it survives reruns, repartitioning, corpus growth
+    (old docs never switch splits) and engine changes. Scan-local
+    projection; zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket <= "cb", "train").when(bucket <= "e5", "val").otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {_N_TOKENS_SQL} AS ws_tokens,
+                   sum({_N_TOKENS_SQL}) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, ws_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM t WHERE cum_tokens <= 800
+    """,
+    tags=("ext-text-stats", "sampling", "token-budget"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: take docs per source in deterministic
+    priority order (doc_id) until a fixed token budget is reached — the
+    data-mixing primitive for hitting per-source token targets in a
+    training mixture. One window pass per source partition (cumulative
+    sum), budget applied as a filter; at 100 TB the per-source
+    partitions stream through the window sort independently (no global
+    ordering anywhere)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id",
+        "source",
+        nt.alias("ws_tokens"),
+        F.sum(nt).over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return with_cum.filter(F.col("cum_tokens") <= 800)

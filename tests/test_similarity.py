@@ -284,3 +284,26 @@ def test_cosine_lsh_mega_bucket_star_linking(spark):
     assert all(r["id_a"] == 0 for r in rows)
     assert sorted(r["id_b"] for r in rows) == list(range(1, 30))
     assert all(r["score"] > 0.99 for r in rows)
+
+
+def test_keep_best_per_cluster_policy(spark):
+    """Retention policy: highest quality wins; exact ties keep the
+    smallest id; the aggregation is a single struct-max (no window),
+    so member count is unbounded-cluster safe."""
+    from k8e_fetch_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20), (8, 20)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.4), (8, 0.4)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["cluster_id"]: (r["keep_doc_id"], r["best_quality"], r["n_members"])
+        for r in keep_best_per_cluster(clusters, quality).collect()
+    }
+    # cluster 10: quality tie 0.9 between 2 and 3 -> min id 2
+    # cluster 20: tie 0.4 between 7 and 8 -> min id 7
+    assert got == {10: (2, 0.9, 3), 20: (7, 0.4, 2)}
