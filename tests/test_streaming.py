@@ -271,3 +271,48 @@ def test_stream_dedup_with_watermark(spark, tmp_path):
     got = sw.run_available_now(stream, str(tmp_path / "ck"), output_mode="append")
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == [1, 2, 3]  # the redelivered event_id=1 emitted once
+
+
+def test_parquet_drain_matches_memory_sink(spark, events_dir, tmp_path):
+    """run_available_now_to_dir (the declared queries' driver-safe drain)
+    produces exactly the memory sink's rows for the same stream, for
+    both complete and append modes."""
+    stream = sw.tumbling(sw.stream_events(spark, events_dir), watermark="0 seconds")
+    via_mem = sw.run_available_now(stream, str(tmp_path / "ck_mem"), output_mode="complete")
+    stream2 = sw.tumbling(sw.stream_events(spark, events_dir), watermark="0 seconds")
+    via_dir = sw.run_available_now_to_dir(
+        stream2, str(tmp_path / "ck_dir"), str(tmp_path / "out"), output_mode="complete"
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert sorted(map(tuple, via_mem.select(cols).collect())) == sorted(
+        map(tuple, via_dir.select(cols).collect())
+    )
+
+
+def test_parquet_drain_empty_stream(spark, tmp_path):
+    """Zero rows drained -> the sink dir may hold only empty part files
+    (or none at all when no batch fires); the drain must still return a
+    frame with the stream's schema rather than erroring."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # one parquet file whose rows are ALL dropped by a filter: the
+    # micro-batch fires but emits nothing
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": [dt.datetime(2024, 1, 1, 0, 0, 0)],
+                "user_id": [1],
+                "event_type": ["click"],
+                "value": [1.0],
+            }
+        )
+    ).write.parquet(str(src), mode="overwrite")
+    stream = sw.stream_events(spark, str(src)).filter(F.col("event_type") == "no_such_type")
+    out = sw.run_available_now_to_dir(
+        stream, str(tmp_path / "ck"), str(tmp_path / "out"), output_mode="append"
+    )
+    assert out.count() == 0
+    assert "event_type" in out.columns
