@@ -119,26 +119,31 @@ def connected_components(
     )
     rounds = 0
     for _ in range(max_iterations):
+        # ONE join + ONE aggregation per round: the node's own label
+        # rides the union tagged with own=true, so the aggregation
+        # yields the new min-label AND the previous label side by side —
+        # no second join to detect changes (the old form's
+        # per-round change-count join was half the iteration cost).
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "component")
+            .select(F.col("src").alias("node"), "component", F.lit(False).alias("own"))
         )
+        own_labels = labels.select("node", "component", F.lit(True).alias("own"))
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            own_labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias("_old"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
         # materialization barrier: without it each round's plan nests the
         # previous rounds (exponential lineage); localCheckpoint keeps
         # iteration cost linear. Cluster form: checkpoint to HDFS/S3.
-        labels = labels.localCheckpoint(eager=True)
+        # The change count is a plain scan of the checkpointed result.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        labels = new_labels.select("node", "component")
         rounds += 1
         if changed == 0:
             break
