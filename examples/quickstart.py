@@ -43,8 +43,10 @@ def main() -> None:
     print("== query registry: dedup_exact_documents ==")
     qs["dedup_exact_documents"](spark, sf_dir).orderBy("keep_doc_id").show(5, truncate=40)
 
-    # 3. The reference pipeline on the byte-level fixtures
-    fixtures = REPO_ROOT / "tests" / "fixtures"
+    # 3. The reference pipeline on the packaged byte-level fixtures
+    from k8e_fetch_spark.resources import fixtures_root
+
+    fixtures = fixtures_root()
     with tempfile.TemporaryDirectory(prefix="quickstart_wh_") as wh:
         pipe = Pipeline(spark, DEFAULT_SPEC, wh)
         components = pipe.run(str(fixtures / "manifest.json"), str(fixtures))
