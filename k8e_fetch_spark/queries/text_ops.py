@@ -893,3 +893,48 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nt).over(w).cast("bigint").alias("cum_tokens"),
     )
     return with_cum.filter(F.col("cum_tokens") <= 800)
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # DEFLATE output size is not SQL-expressible; values
+    # are pinned against direct zlib in tests/test_text_compression.py
+    tags=("ext-text-stats", "quality", "compression", "mapInPandas"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: per-doc zlib ratio via a REAL
+    (non-stubbed) Arrow-batched Python stage — near-random text ~1.0,
+    boilerplate near 0; both tails are filter targets in production
+    corpora. Deterministic across runs."""
+    from k8e_fetch_spark.operators.text import compression_ratio
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return compression_ratio(docs)
+
+
+@register(
+    "corpus_source_profile",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum({_N_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+               {sql_round(f"avg({sql_round(_QUALITY_SQL, 6)})", 6)} AS mean_quality,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("ext-text-stats", "profile"),
+)
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile — the mixture dashboard a data curator
+    reads before setting sampling weights: volume (docs, tokens), mean
+    quality, language spread. One map-side-combined aggregate on the
+    source key; quality/token expressions fold into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    nt = n_tokens(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("bigint").alias("total_tokens"),
+        round_fixed(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
