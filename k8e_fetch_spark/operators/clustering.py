@@ -156,13 +156,16 @@ def kmeans(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 5,
-) -> tuple[DataFrame, list[float]]:
+    return_centroids: bool = False,
+) -> tuple[DataFrame, list[float]] | tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
     """Lloyd's k-means; returns (assignments DataFrame, inertia per
-    iteration). Centroids collect to the driver each step (k × dim
-    doubles — bytes, not data); assignment is a zero-shuffle projection
-    (centroids inlined as literals), so the only per-iteration exchange
-    is the k-row map-side-combined stats aggregate. ONE job per
-    iteration (the stats collect)."""
+    iteration) — plus the trained centroid rows when
+    ``return_centroids`` is set (the IVF training handoff: feed them to
+    ``ivf_assign``/probe search). Centroids collect to the driver each
+    step (k × dim doubles — bytes, not data); assignment is a
+    zero-shuffle projection (centroids inlined as literals), so the
+    only per-iteration exchange is the k-row map-side-combined stats
+    aggregate. ONE job per iteration (the stats collect)."""
     from k8e_fetch_spark.io import fan_out
 
     # single-split parquet arrives as 1 partition; the assignment
@@ -205,4 +208,7 @@ def kmeans(
         centroid_rows = [
             (cid, means[cid] if cid in means else vec) for cid, vec in centroid_rows
         ]
-    return assigned.select(id_col, "centroid_id", "d2"), inertia_history
+    result = assigned.select(id_col, "centroid_id", "d2")
+    if return_centroids:
+        return result, inertia_history, centroid_rows
+    return result, inertia_history

@@ -859,3 +859,50 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
     return keep_best_per_cluster(clusters, quality)
+
+
+@register(
+    "sim_topk_ivf_trained",
+    oracle=None,  # iterative training feeding approximate search: rows-
+    # only; recall vs exact top-k is asserted in tests/test_similarity.py
+    tags=("ext-topk-sim", "ivf", "kmeans", "ann", "train+search"),
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF path end to end: TRAIN the coarse quantizer
+    (Lloyd's k-means, 2 iterations, deterministic init) and search with
+    it — rather than the fixed first-16-vectors codebook sim_topk_ivf
+    uses for its planted oracle. Training is the zero-shuffle-assign
+    loop (one job per iteration); the trained k x dim centroids hand
+    off to ivf_assign as driver state; search probes the 4 nearest
+    cells per query. Deterministic end to end, so repeat runs hash
+    identically."""
+    from k8e_fetch_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    _assigned, _hist, cent_rows = kmeans(emb, k=16, iterations=2, return_centroids=True)
+    centroids = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows], "centroid_id int, centroid array<double>"
+    )
+    assigned = ivf_assign(emb, centroids, "vec_id")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("centroid_id"))
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine_arrow(F.col("q_emb"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= 4)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("score", round_fixed(cosine_arrow(F.col("q_emb"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("n_id"), "rank", "score")
+    )

@@ -307,3 +307,26 @@ def test_keep_best_per_cluster_policy(spark):
     # cluster 10: quality tie 0.9 between 2 and 3 -> min id 2
     # cluster 20: tie 0.4 between 7 and 8 -> min id 7
     assert got == {10: (2, 0.9, 3), 20: (7, 0.4, 2)}
+
+
+def test_ivf_trained_recall_vs_exact(spark):
+    """The trained IVF path (kmeans codebook -> coarse assign -> probe
+    search) must keep recall@5 vs the exact top-k above the same bar
+    the fixed-codebook variant meets."""
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    from tests.conftest import SF_DIR
+
+    approx = REGISTRY["sim_topk_ivf_trained"].fn(spark, SF_DIR).collect()
+    exact = REGISTRY["sim_topk_cosine_exact"].fn(spark, SF_DIR).collect()
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(approx_sets[q] & exact_sets[q]) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
