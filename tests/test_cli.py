@@ -1,0 +1,46 @@
+"""The command front door (parity with ``fetcher.bash [group]``).
+
+``main()`` is called in-process: get_spark()'s getOrCreate returns the
+test session, so no second JVM spins up. ``spark.stop()`` inside main
+is tolerated because the conftest session fixture is module-scoped per
+pytest run — so these tests run LAST via their own session fixture
+usage pattern: we pass through the live session and monkeypatch stop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from k8e_fetch_spark import cli
+
+
+@pytest.fixture()
+def no_stop(spark, monkeypatch):
+    """main() stops the session it thinks it owns; keep the shared test
+    session alive."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    return spark
+
+
+def test_cli_list(capsys):
+    assert cli.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "* tpch_q1_pricing_summary" in out
+    assert "  dedup_minhash_lsh" in out  # rows-only: no star
+
+
+def test_cli_query_runs(no_stop, capsys):
+    assert cli.main(["query", "compress_distinct_status", "--show", "3"]) == 0
+    assert "status" in capsys.readouterr().out
+
+
+def test_cli_query_unknown(no_stop, capsys):
+    assert cli.main(["query", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_pipeline_defaults_to_fixtures(no_stop, tmp_path, capsys):
+    assert cli.main(["pipeline", "--warehouse", str(tmp_path / "wh")]) == 0
+    out = capsys.readouterr().out
+    assert "c_name: 5 rows" in out
+    assert "c_status:" in out
