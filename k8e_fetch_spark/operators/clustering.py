@@ -83,8 +83,10 @@ def connected_components(
     If ``max_iterations`` is reached before the fixpoint (a pathological
     deep chain), the returned labels are NOT converged — callers that
     cannot bound the diameter should pass ``return_rounds=True`` and
-    check ``rounds < max_iterations``; a log-rounds large-star/small-star
-    variant is the upgrade path if such graphs ever become the norm.
+    check ``rounds < max_iterations``, or switch to
+    :func:`connected_components_star` (large-star/small-star), which
+    converges in O(log n) alternations on exactly those graphs and is
+    equivalence-tested against this function.
 
     Each round is two DataFrame ops (join + min-aggregate) on the edge
     list; convergence is checked with a count of changed labels. Returns
@@ -212,3 +214,95 @@ def kmeans(
     if return_centroids:
         return result, inertia_history, centroid_rows
     return result, inertia_history
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the log-rounds upgrade path :func:`connected_components` documents
+    for graphs whose diameter is NOT small: min-label propagation needs
+    diameter rounds (a 1M-hop chain = 1M rounds); star contraction
+    halves long paths every alternation, converging in O(log n) rounds
+    on pathological graphs and matching min-label everywhere.
+
+    Each half-round is buffer-bounded: per-node neighborhood minima come
+    from a map-side-combined ``min`` aggregation joined back to the edge
+    list (never a collected neighbor list), so a 100M-degree hub costs a
+    fixed-size buffer. Each round materializes via localCheckpoint (same
+    lineage-barrier rationale as min-label); convergence = the directed
+    edge set reaching a fixpoint (star edges only). Returns
+    (node, component) with component = min node id, identical to
+    :func:`connected_components`.
+    """
+    # symmetric edge list, self-loops dropped
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+
+    rounds = 0
+    for _ in range(max_iterations):
+        # ---- large-star: every neighbor v > u links to m(u) ----------
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large→small orientation ---------------
+        directed = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        j = directed.join(mins2, on="u")
+        new_edges = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # fixpoint: edge sets equal (both checkpointed, cheap set diff)
+        changed = (
+            new_edges.unionByName(edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct())
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 1)
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+
+    # converged: edges are (member -> root) stars; roots label themselves
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = all_nodes.join(labels, on="node", how="left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    out = labels.unionByName(roots)
+    return (out, rounds) if return_rounds else out

@@ -221,3 +221,57 @@ def test_kmeans_assign_rejects_nonfinite_centroids(spark):
     df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-finite"):
         _assign(df, [(0, [float("nan"), 0.5])], "vec_id", "embedding")
+
+
+def _cc_sets(labels):
+    comps = {}
+    for r in labels.collect():
+        comps.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_star_components_match_min_label(spark):
+    """large-star/small-star must produce exactly min-label's components
+    on assorted graph shapes: disjoint cliques, a chain, a hub star,
+    and a random (seeded) edge soup."""
+    import random
+
+    from k8e_fetch_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = []
+    # two cliques
+    for base in (0, 10):
+        ids = list(range(base, base + 5))
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    # a chain
+    edges += [(i, i + 1) for i in range(20, 30)]
+    # a hub star
+    edges += [(40, m) for m in range(41, 50)]
+    # random soup over 60..90
+    edges += [
+        (rng.randint(60, 90), rng.randint(60, 90)) for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _cc_sets(connected_components(pairs, max_iterations=60))
+    got = _cc_sets(connected_components_star(pairs))
+    assert got == want
+
+
+def test_star_components_log_rounds_on_chain(spark):
+    """The documented upgrade-path property: a 40-hop chain needs ~40
+    min-label rounds but only O(log n) star alternations."""
+    from k8e_fetch_spark.operators.clustering import connected_components_star
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components_star(pairs, return_rounds=True)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, rounds  # log2(40) ~ 5.3 alternations + slack
