@@ -906,3 +906,31 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", F.col("vec_id").alias("n_id"), "rank", "score")
     )
+
+
+@register(
+    "dedup_clusters_star_planted",
+    oracle=_CLUSTERS_PLANTED_ORACLE,
+    tags=("ext-minhash-dedup", "connected-components", "large-star-small-star", "planted-oracle"),
+)
+def dedup_clusters_star_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_clusters_planted construction executed through the
+    log-rounds large-star/small-star contraction instead of min-label
+    propagation — same planted ground truth, same oracle, so the scale
+    variant for unbounded-diameter graphs carries its own hash-checked
+    evidence (beyond the structural equivalence tests)."""
+    from k8e_fetch_spark.operators.clustering import connected_components_star
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = (
+        minhash_candidate_pairs(corpus, "doc_id", "text")
+        .filter(F.col("jaccard") == 1.0)
+        .filter(F.col("doc_b") - F.col("doc_a") == 100000)
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
