@@ -934,3 +934,43 @@ def dedup_clusters_star_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_apply_retention",
+    # applying keep-best retention to the planted corpus must return
+    # EXACTLY the original documents: every planted copy sits in a
+    # 2-node cluster whose original wins the quality tie on min id
+    oracle="SELECT doc_id FROM documents",
+    tags=("ext-minhash-dedup", "retention-policy", "end-to-end"),
+)
+def dedup_apply_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable artifact of near-dup dedup: the CLEANED corpus.
+    Near-dup clusters (real MinHash LSH + connected components over the
+    planted copies) reduce to their keep-best member; non-kept members
+    anti-join out of the corpus. On the planted construction the result
+    is provably the original document set — copies lose the min-id
+    quality tie-break — which is the whole-flow oracle."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+    from k8e_fetch_spark.operators.dedup import keep_best_per_cluster
+    from k8e_fetch_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = (
+        minhash_candidate_pairs(corpus, "doc_id", "text")
+        .filter(F.col("jaccard") == 1.0)
+        .filter(F.col("doc_b") - F.col("doc_a") == 100000)
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    keep = keep_best_per_cluster(clusters, quality)
+    dropped = clusters.join(
+        keep.select(F.col("keep_doc_id").alias("doc_id")), on="doc_id", how="left_anti"
+    )
+    return corpus.join(dropped.select("doc_id"), on="doc_id", how="left_anti").select("doc_id")
