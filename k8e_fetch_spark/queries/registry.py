@@ -96,30 +96,39 @@ def register(
 # is exactly 50 names — one correctness row per capability, oracle-
 # bearing queries first, then the rows-only LSH/iterative flagships.
 _PRIORITY = (
-    # §2.1/§2.2 catalog scan, sync, filters. Rotation policy (r4): rows
-    # with 2-3 rounds of green driver history (catalog_sync_delta,
-    # catalog_skip_unknown, compress_schema_clone/add_column/concat_expr,
-    # sim_embedding_norms, text_token_count/chunk/redact,
-    # sample_stratified_deterministic — see CORRECTNESS_r01-r03) rotate
-    # OUT to make room for never-driver-checked oracle queries; their
-    # ops keep that recorded history plus pytest parity as evidence, and
-    # pipeline_end_to_end (now in-window, oracle-bearing) exercises the
-    # whole compress flow end to end.
-    "catalog_include_keys",
+    # Rotation policy (established r4, continued r5): rows with 3-4
+    # rounds of green driver history rotate OUT each round to give
+    # never-driver-checked oracle queries a recorded CORRECTNESS row;
+    # rotated-out ops keep that recorded history plus pytest parity
+    # (tests/test_oracle_parity.py) as evidence. Rotated out in r5
+    # (each 4×green, CORRECTNESS_r01-r04): catalog_include_keys,
+    # catalog_temporal_prune, compress_distinct_status,
+    # compress_component_union, compress_insert_ignore,
+    # repair_quote_malformed, repair_header_norm, mm_binary_meta,
+    # dedup_ngram_jaccard, sim_topk_cosine_exact,
+    # sim_cosine_pairs_threshold, tpch_q1_pricing_summary,
+    # tpch_q3_shipping_priority, tpch_q5_local_supplier,
+    # window_order_rank. Rotated IN: the 15 oracle-bearing queries with
+    # zero driver history (retention/corpus-mixing/star-CC/funnel/
+    # hybrid-search/q10 — VERDICT r4 next-round #1). Previously rotated
+    # out (r4): catalog_sync_delta, catalog_skip_unknown,
+    # compress_schema_clone/add_column/concat_expr, sim_embedding_norms,
+    # text_token_count/chunk/redact, sample_stratified_deterministic.
+    #
+    # §2.1/§2.2 catalog scan + filters (version-latest had an r2 miss,
+    # keeps its seat for a 4th green)
     "catalog_version_latest",
-    "catalog_temporal_prune",
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",
-    "compress_distinct_status",
-    "compress_component_union",
-    "compress_insert_ignore",
-    "repair_quote_malformed",
-    "repair_header_norm",
     # ext-multimodal
-    "mm_binary_meta",
     "mm_decode_meta",
     "mm_decode_features",
-    # ext-text-stats + corpus prep
+    # ext-text-stats + corpus prep (first-time driver rows first)
+    "text_vocabulary",
+    "text_unigram_logprob",
+    "text_repetition_filter",
+    "text_sequence_packing",
+    "text_shingle_novelty",
     "text_stats_per_lang",
     "text_language_id",
     "text_quality_score",
@@ -127,27 +136,32 @@ _PRIORITY = (
     "text_tfidf_topk",
     "text_decontaminate_ngram",
     "corpus_prep_pipeline",
+    # corpus mixing / retention / sampling (round-4 flagships, first
+    # driver rows)
+    "corpus_source_profile",
+    "corpus_split_assign",
+    "sample_token_budget",
+    "dedup_apply_retention",
+    "dedup_cluster_keep_best",
+    "dedup_cross_source_overlap",
     "dedup_exact_documents",
     # ext-minhash-dedup / ext-topk-sim (oracle-bearing)
-    "dedup_ngram_jaccard",
     "dedup_containment_ngram",
     "dedup_minhash_lsh_planted",
     "sim_cosine_lsh_planted",
-    "sim_topk_cosine_exact",
-    "sim_cosine_pairs_threshold",
     "sim_quantize_int8",
+    "sim_hybrid_search",
     "array_funcs_embeddings",
     "map_funcs_events",
-    # ext-typed-relational core
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "window_order_rank",
+    # ext-typed-relational (q10 first driver row; asof/range/cube keep
+    # seats at 2-3 greens)
+    "tpch_q10_returned_items",
     "join_asof_purchase",
     "join_range_price_bands",
     "cube_orders",
     "rollup_lineitem",
     "grouping_sets_orders",
+    "events_funnel_conversion",
     # ext-stream-window (batch twins + real streams)
     "events_tumbling_window",
     "events_sliding_window",
@@ -166,9 +180,10 @@ _PRIORITY = (
     # sim_kmeans_assign, sim_topk_ivf, dedup_clusters_minhash) remain
     # declared outside the window as rows-only evidence.
     "dedup_simhash_planted",
+    "dedup_clusters_planted",
+    "dedup_clusters_star_planted",
     "sim_topk_ivf_planted",
     "sim_kmeans_assign_oracle",
-    "dedup_clusters_planted",
     "ingest_zip_decode_repair",
 )
 
