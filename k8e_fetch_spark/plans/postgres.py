@@ -92,11 +92,35 @@ def copy_into_postgres(
     files loaded. Spark writes the CSV parts in parallel (no collect);
     each part streams through one COPY — the batched, WAL-friendly
     ingest Postgres documents for bulk loads.
+
+    CSV dialect contract (every choice here is load-bearing):
+
+    - ``escape='"'``: Spark's CSV writer defaults to backslash escapes
+      (a quote inside a quoted field becomes backslash-quote), which
+      Postgres COPY CSV does not understand — it would silently load a
+      literal backslash and prematurely close the field. Setting the
+      escape char to the quote char makes Spark emit RFC-4180 doubled
+      quotes, which is exactly what COPY CSV parses.
+    - ``nullValue=''`` + ``null ''`` in COPY: NULL travels as an
+      *unquoted* empty field (COPY CSV's own default). A marker that
+      can appear as real data (``\\N`` is a legal string value) would
+      collide: Spark only quotes fields containing quote/delimiter/
+      newline chars, so a literal ``\\N`` string would load back as
+      NULL. The empty marker cannot collide because...
+    - ``emptyValue='""'``: ...the one string that *would* collide (the
+      empty string) is written as a quoted empty field, and COPY CSV
+      never null-matches a quoted value. Round-trip is exact: NULL ->
+      unquoted empty -> NULL; ``""`` -> quoted empty -> ``""``;
+      ``"\\N"`` -> unquoted ``\\N`` -> ``"\\N"``.
+
+    Pinned end-to-end (including embedded quotes, the repair op's
+    doubled-quote output, literal ``\\N`` and empty-vs-NULL) against a
+    real server in tests/test_postgres.py.
     """
     out = str(Path(workdir) / f"csv_{table}")
     (
         df.write.mode("overwrite")
-        .options(header=False, nullValue="\\N", emptyValue="")
+        .options(header=False, nullValue="", emptyValue='""', escape='"')
         .csv(out)
     )
     if create:
@@ -106,7 +130,7 @@ def copy_into_postgres(
     for part in parts:
         _psql(
             psql_args,
-            f"\\copy \"{table}\" ({cols}) from '{part}' with (format csv, null '\\N')",
+            f"\\copy \"{table}\" ({cols}) from '{part}' with (format csv, null '')",
         )
     return len(parts)
 

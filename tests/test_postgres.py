@@ -120,6 +120,26 @@ def test_component_tables_copy_into_real_postgres(spark, pg, tmp_path):
         )
         == "MUÑOZ"
     )
+    # the quote-bearing row loads verbatim — this is exactly the value
+    # class the old backslash-escaped CSV write corrupted silently
+    # (Postgres COPY CSV reads \" as a literal backslash + closing
+    # quote). Assert server == Spark bit-for-bit, and that the value
+    # really does carry double-quote chars (guards fixture drift).
+    spark_aa5 = {
+        r["ncid"]: (r["first_name"], r["last_name"])
+        for r in components["c_name"].where(F.col("ncid") == "AA5").collect()
+    }
+    assert spark_aa5, "fixture drift: quote-bearing AA5 row missing"
+    (first, last) = spark_aa5["AA5"]
+    assert '"' in first, "fixture drift: AA5 first_name lost its quotes"
+    assert (
+        _psql_value(psql_args, "SELECT first_name FROM \"c_name\" WHERE ncid = 'AA5'")
+        == first
+    )
+    assert (
+        _psql_value(psql_args, "SELECT last_name FROM \"c_name\" WHERE ncid = 'AA5'")
+        == last
+    )
     # both source spellings of AA1 survived the dedup (distinct rows)
     assert (
         int(_psql_value(psql_args, "SELECT count(*) FROM \"c_name\" WHERE ncid = 'AA1'"))
@@ -132,9 +152,49 @@ def test_component_tables_copy_into_real_postgres(spark, pg, tmp_path):
     )
 
 
+def test_copy_roundtrip_hostile_strings(spark, pg, tmp_path):
+    """Every CSV-dialect edge the COPY path must not corrupt: embedded
+    double quotes (single and doubled), backslash-before-quote, commas,
+    newlines, a literal ``\\N`` string (must NOT load as NULL), and the
+    empty-string-vs-NULL distinction."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "\\N"),
+        (4, 'JOHN "JACK"'),
+        (5, 'JOHN ""JACK""'),
+        (6, 'O"BRIEN'),
+        (7, "a,b"),
+        (8, 'tricky\\"mix'),
+        (9, "line1\nline2"),
+        (10, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v string")
+    psql_args = pg["psql_args"]
+    copy_into_postgres(df, "hostile_roundtrip", psql_args, str(tmp_path))
+    assert int(_psql_value(psql_args, 'SELECT count(*) FROM "hostile_roundtrip"')) == 10
+    # probe one key at a time: psql -tA emits embedded newlines raw, so
+    # a single multi-row fetch would be ambiguous to split client-side
+    for k, v in rows:
+        if v is None:
+            assert (
+                _psql_value(psql_args, f'SELECT v IS NULL FROM "hostile_roundtrip" WHERE k = {k}')
+                == "t"
+            ), f"k={k}: expected NULL"
+        else:
+            assert (
+                _psql_value(psql_args, f'SELECT v IS NULL FROM "hostile_roundtrip" WHERE k = {k}')
+                == "f"
+            ), f"k={k}: {v!r} loaded as NULL"
+            assert (
+                _psql_value(psql_args, f'SELECT v FROM "hostile_roundtrip" WHERE k = {k}')
+                == v
+            ), f"k={k}: value corrupted"
+
+
 def test_copy_roundtrip_typed_frame(spark, pg, tmp_path):
     """Typed frames (bigint/double/bool/timestamp) survive the CSV+COPY
-    path bit-exactly, including NULLs (the \\N marker)."""
+    path bit-exactly, including NULLs (the empty-field marker)."""
     df = spark.range(0, 50).select(
         F.col("id").alias("k"),
         (F.col("id") * 2.5).alias("score"),
