@@ -106,21 +106,30 @@ def keep_best_per_cluster(
     id, so the policy is deterministic.
 
     One shuffle on the cluster key with map-side partial aggregation:
-    argmax is a struct ``max`` — (quality, -id) orders by quality then
-    lowest id — so no window sort and no join-back; buffer per cluster
-    is one struct regardless of cluster size (mega-cluster safe).
+    argmax is a struct ``min`` ordered by (-quality, id) — highest
+    quality first, then smallest id — so no window sort and no
+    join-back; buffer per cluster is one struct regardless of cluster
+    size (mega-cluster safe). The id tie-break uses the column's OWN
+    ordering, so string doc ids (URLs, UUIDs — the common web-corpus
+    case) work as well as numeric ones and ``keep_doc_id`` keeps the
+    input id type. ``quality`` must be numeric (it is negated for the
+    ordering); NaN quality sorts as worst.
     Returns (cluster, keep id, its quality, member count).
     """
     joined = clusters.join(quality, on=id_col)
-    best = F.max(
-        F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("neg_id"))
+    best = F.min(
+        F.struct(
+            (-F.col(quality_col)).alias("neg_q"),
+            F.col(id_col).alias("id"),
+            F.col(quality_col).alias("q"),
+        )
     ).alias("best")
     return (
         joined.groupBy(cluster_col)
         .agg(best, F.count(F.lit(1)).alias("n_members"))
         .select(
             cluster_col,
-            (-F.col("best.neg_id")).cast("long").alias("keep_doc_id"),
+            F.col("best.id").alias("keep_doc_id"),
             F.col("best.q").alias("best_quality"),
             "n_members",
         )

@@ -309,6 +309,31 @@ def test_keep_best_per_cluster_policy(spark):
     assert got == {10: (2, 0.9, 3), 20: (7, 0.4, 2)}
 
 
+def test_keep_best_per_cluster_string_ids(spark):
+    """Web-corpus doc ids are strings (URLs, UUIDs): the retention
+    policy must order ties lexicographically on the id's own type and
+    return keep_doc_id as a string, not require numeric ids."""
+    from k8e_fetch_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [("urn:a", 10), ("urn:b", 10), ("urn:c", 10), ("urn:z", 20), ("urn:y", 20)],
+        "doc_id string, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [("urn:a", 0.5), ("urn:b", 0.9), ("urn:c", 0.9), ("urn:z", 0.4), ("urn:y", 0.4)],
+        "doc_id string, quality double",
+    )
+    out = keep_best_per_cluster(clusters, quality)
+    assert dict(out.dtypes)["keep_doc_id"] == "string"
+    got = {
+        r["cluster_id"]: (r["keep_doc_id"], r["best_quality"], r["n_members"])
+        for r in out.collect()
+    }
+    # cluster 10: 0.9 tie between urn:b and urn:c -> lexicographic min
+    # cluster 20: 0.4 tie -> urn:y < urn:z
+    assert got == {10: ("urn:b", 0.9, 3), 20: ("urn:y", 0.4, 2)}
+
+
 def test_ivf_trained_recall_vs_exact(spark):
     """The trained IVF path (kmeans codebook -> coarse assign -> probe
     search) must keep recall@5 vs the exact top-k above the same bar
