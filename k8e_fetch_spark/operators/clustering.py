@@ -234,11 +234,21 @@ def connected_components_star(
     Each half-round is buffer-bounded: per-node neighborhood minima come
     from a map-side-combined ``min`` aggregation joined back to the edge
     list (never a collected neighbor list), so a 100M-degree hub costs a
-    fixed-size buffer. Each round materializes via localCheckpoint (same
-    lineage-barrier rationale as min-label); convergence = the directed
-    edge set reaching a fixpoint (star edges only). Returns
-    (node, component) with component = min node id, identical to
-    :func:`connected_components`.
+    fixed-size buffer. Each round materializes ONE checkpointed frame
+    that carries both the new edge set and the old-set membership tags,
+    so the fixpoint probe (any edge whose old/new membership differs) is
+    a scan of already-materialized local blocks, not a second pass over
+    the edge set — the same one-action-per-round shape as min-label's
+    fused change count. Convergence = the normalized edge set reaching a
+    fixpoint (star edges only). Returns (node, component) with
+    component = min node id, identical to :func:`connected_components`.
+
+    If ``max_iterations`` is exhausted before the fixpoint, residual
+    non-star edges could label a node twice; labels are then deduped
+    with a per-node min-aggregate (best-effort, same caveat as
+    min-label's unconverged return) and a RuntimeWarning is raised —
+    callers that need certainty pass ``return_rounds=True`` and check
+    ``rounds < max_iterations``.
     """
     # symmetric edge list, self-loops dropped
     edges = (
@@ -258,6 +268,7 @@ def connected_components_star(
     all_nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
 
     rounds = 0
+    changed = 0
     for _ in range(max_iterations):
         # ---- large-star: every neighbor v > u links to m(u) ----------
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -276,31 +287,58 @@ def connected_components_star(
         ).distinct()
         mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
         j = directed.join(mins2, on="u")
-        new_edges = (
+        new_raw = (
             j.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+        )
+        # Fused fixpoint probe: tag new rows and (normalized) old rows,
+        # then ONE groupBy(u, v) both dedupes the new edge set (the
+        # distinct this pipeline needs anyway — same shuffle) and
+        # records old-set membership. The checkpoint is the round's
+        # single full-compute action; the change probe and the next
+        # round's edge scan read its local blocks.
+        tagged = new_raw.select(
+            "u", "v", F.lit(1).alias("in_new"), F.lit(0).alias("in_old")
+        ).unionByName(
+            edges.select(
+                F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"),
+                F.lit(0).alias("in_new"),
+                F.lit(1).alias("in_old"),
+            )
+        )
+        merged = (
+            tagged.groupBy("u", "v")
+            .agg(F.max("in_new").alias("in_new"), F.max("in_old").alias("in_old"))
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        # fixpoint: edge sets equal (both checkpointed, cheap set diff)
         changed = (
-            new_edges.unionByName(edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct())
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") == 1)
-            .limit(1)
-            .count()
+            merged.filter(F.col("in_new") != F.col("in_old")).limit(1).count()
         )
-        edges = new_edges
+        edges = merged.filter(F.col("in_new") == 1).select("u", "v")
         if changed == 0:
             break
 
     # converged: edges are (member -> root) stars; roots label themselves
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    if changed != 0:
+        # max_iterations exhausted: residual non-star edges can carry a
+        # node under two targets — collapse to the smallest so the
+        # output is at least one-row-per-node (best effort, warned).
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge in {rounds} "
+            "rounds; returning per-node min labels (may split true "
+            "components)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        labels = labels.groupBy("node").agg(F.min("component").alias("component"))
     roots = all_nodes.join(labels, on="node", how="left_anti").select(
         "node", F.col("node").alias("component")
     )

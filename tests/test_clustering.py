@@ -275,3 +275,30 @@ def test_star_components_log_rounds_on_chain(spark):
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10, rounds  # log2(40) ~ 5.3 alternations + slack
+
+
+def test_star_components_unconverged_one_label_per_node(spark):
+    """max_iterations exhausted: the output must still be one row per
+    node (residual non-star edges min-collapse) and must warn — silent
+    multi-labeling was the failure mode before this guard."""
+    import warnings
+
+    from k8e_fetch_spark.operators.clustering import connected_components_star
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels, rounds = connected_components_star(
+            pairs, max_iterations=1, return_rounds=True
+        )
+        rows = labels.collect()
+    assert rounds == 1
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes)) == n  # exactly one label each
