@@ -119,6 +119,91 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-codec decode with a FULL oracle. Payloads are genuine PNGs
+# (DEFLATE, CRCs, rotating predictor filters) built on executors as a
+# pure function of doc_id: a (4 + id%13) x (3 + id%11) image of the
+# constant color (id*7%256, id*13%256, id*29%256). Constant color makes
+# every decoded-pixel statistic SQL-expressible — while the decode path
+# still must inflate real zlib streams and reverse Sub/Up/Average/Paeth
+# filtering (a constant-color row filtered with Sub/Paeth is NOT
+# constant bytes) to get these numbers right. Gradient-image pixel
+# exactness is pinned separately in tests/test_multimodal.py.
+_DECODE_REAL_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+               (doc_id * 7) % 256 AS r,
+               (doc_id * 13) % 256 AS g,
+               (doc_id * 29) % 256 AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(r AS INTEGER) AS f0,
+           CAST(g AS INTEGER) AS f1,
+           CAST(b AS INTEGER) AS f2,
+           CAST(floor((r + g + b) / 3.0 + 0.5) AS INTEGER) AS f3,
+           CAST(least(r, g, b) AS INTEGER) AS f4,
+           CAST(greatest(r, g, b) AS INTEGER) AS f5,
+           CAST(r = 0 AS INTEGER) + CAST(g = 0 AS INTEGER)
+             + CAST(b = 0 AS INTEGER) AS f6,
+           CAST(255 AS INTEGER) AS f7
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_real",
+    oracle=_DECODE_REAL_ORACLE,
+    tags=("ext-multimodal", "decode-real-png"),
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL image bytes through the decode stage: executors encode a
+    real PNG per document (stdlib codec, all five scanline filters in
+    play), then ``decode_media_png`` parses the chunk stream, inflates,
+    unfilters, and computes pixel statistics — hash-checked against
+    ground truth stated relationally on the image parameters. This is
+    the evidence the stub codec cannot give: the plan demonstrably
+    handles real compressed image payloads end to end."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_png
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 13, 3 + i % 11
+                px = bytes((i * 7 % 256, i * 13 % 256, i * 29 % 256)) * (w * h)
+                payloads.append(encode_png(w, h, px, color_type=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    decoded = decode_media_png(with_payload)
+    # integer-exact serialization (same rationale as mm_decode_features):
+    # f0..f5, f7 recover the 0..255 channel stats; f6 counts zero channels
+    fcols = [
+        F.floor(F.col("features")[i] * 255 + F.lit(0.5)).cast("int").alias(f"f{i}")
+        for i in (0, 1, 2, 3, 4, 5)
+    ]
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        *fcols,
+        F.floor(F.col("features")[6] * 3 + F.lit(0.5)).cast("int").alias("f6"),
+        F.floor(F.col("features")[7] * 255 + F.lit(0.5)).cast("int").alias("f7"),
+    )
+
+
 @register(
     "mm_decode_meta",
     # The stub codec's geometry is a pure function of payload byte
