@@ -97,6 +97,124 @@ def test_prefix_passed_through():
     assert client.calls[0].get("Prefix") == "data/"
 
 
+class _S3VersionsHandler:
+    """WSGI-free S3 ListObjectVersions REST endpoint: serves the fixture
+    manifest as paginated XML over real HTTP, honoring the
+    ``key-marker`` / ``version-id-marker`` request params — the wire
+    contract `aws s3api list-object-versions` itself speaks."""
+
+    @staticmethod
+    def make(versions, page_size):
+        import http.server
+        from urllib.parse import parse_qs, urlsplit
+        from xml.sax.saxutils import escape
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+            def do_GET(self):
+                q = parse_qs(urlsplit(self.path).query, keep_blank_values=True)
+                start = 0
+                if q.get("key-marker", [""])[0]:
+                    marker = (
+                        q["key-marker"][0],
+                        q.get("version-id-marker", [""])[0],
+                    )
+                    for i, v in enumerate(versions):
+                        if (v["Key"], v["VersionId"]) == marker:
+                            start = i + 1
+                            break
+                page = versions[start : start + page_size]
+                truncated = start + page_size < len(versions)
+                parts = [
+                    '<?xml version="1.0" encoding="UTF-8"?>',
+                    '<ListVersionsResult xmlns='
+                    '"http://s3.amazonaws.com/doc/2006-03-01/">',
+                    "<Name>nc-bucket</Name>",
+                    f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
+                ]
+                if truncated and page:
+                    parts.append(
+                        f"<NextKeyMarker>{escape(page[-1]['Key'])}</NextKeyMarker>"
+                        f"<NextVersionIdMarker>{escape(page[-1]['VersionId'])}"
+                        "</NextVersionIdMarker>"
+                    )
+                for v in page:
+                    parts.append(
+                        "<Version>"
+                        f"<Key>{escape(v['Key'])}</Key>"
+                        f"<VersionId>{escape(v['VersionId'])}</VersionId>"
+                        f"<IsLatest>{'true' if v.get('IsLatest') else 'false'}</IsLatest>"
+                        f"<LastModified>{v['LastModified']}</LastModified>"
+                        f"<ETag>{escape(v.get('ETag', ''))}</ETag>"
+                        f"<Size>{v.get('Size', 0)}</Size>"
+                        "<StorageClass>STANDARD</StorageClass>"
+                        "</Version>"
+                    )
+                parts.append("</ListVersionsResult>")
+                body = "".join(parts).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+
+def test_live_listing_over_real_http_boto3(spark):
+    """UN-GATED live path: a REAL boto3 client (signed requests, XML
+    response parsing, its own pagination field mapping) walks our
+    in-process S3 versions endpoint over HTTP. This is the evidence the
+    recorded-response stub cannot give — the adapter consumes
+    botocore's actual parsed page dicts (datetime LastModified, bool
+    IsLatest) rather than dicts we shaped ourselves."""
+    import http.server
+    import threading
+    from datetime import datetime, timezone
+
+    import pytest
+
+    boto3 = pytest.importorskip("boto3")
+    from botocore.config import Config
+
+    versions = _fixture_versions()
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _S3VersionsHandler.make(versions, page_size=64)
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        client = boto3.client(
+            "s3",
+            endpoint_url=f"http://127.0.0.1:{server.server_address[1]}",
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+            config=Config(s3={"addressing_style": "path"}, retries={"max_attempts": 1}),
+        )
+        live = list_versions(spark, client, "nc-bucket")
+        assert live.schema == MANIFEST_SCHEMA
+        rows = {(r["key"], r["version_id"]): r for r in live.collect()}
+        assert len(rows) == len(versions)
+        for v in versions:
+            r = rows[(v["Key"], v["VersionId"])]
+            assert r["size"] == v["Size"]
+            assert r["etag"] == v["ETag"]
+            assert r["is_latest"] == bool(v.get("IsLatest"))
+            # botocore parses LastModified into a datetime; compare
+            # instants, not string renderings
+            want = datetime.fromisoformat(
+                v["LastModified"].replace("Z", "+00:00")
+            ).astimezone(timezone.utc)
+            got = datetime.fromisoformat(r["last_modified"]).astimezone(timezone.utc)
+            assert got == want
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
 def test_live_bucket_listing_gated(spark):
     """Against a REAL bucket when composed (CI/cluster): gate on the
     bucket env var and boto3 being importable — everywhere else the
