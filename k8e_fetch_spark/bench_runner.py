@@ -1,4 +1,3 @@
-#!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
@@ -6,22 +5,21 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is fully materialized through the noop sink (measures compute
 + shuffle, not driver collect). A warm-up query first touches the JVM so
 session startup is not billed to the first query.
+
+Lives inside the package so the installed wheel can bench itself
+(``k8e-fetch-spark bench`` / ``python -m k8e_fetch_spark.bench_runner``);
+the repo-root ``bench.py`` shim preserves the driver's ``python
+bench.py`` contract.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
-from pathlib import Path
 
-REPO_ROOT = str(Path(__file__).resolve().parent)
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
-
-from k8e_fetch_spark.queries import REGISTRY, queries  # noqa: E402
-from k8e_fetch_spark.session import (  # noqa: E402
+from k8e_fetch_spark.queries import REGISTRY, queries
+from k8e_fetch_spark.session import (
     adaptive_enabled_for_dir,
     get_spark,
     shuffle_partitions_for_dir,

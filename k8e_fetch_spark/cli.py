@@ -49,11 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
     if args.cmd == "bench":
-        # bench.py owns its session/config; delegate wholesale
-        import runpy
-        from pathlib import Path
+        # the packaged harness owns its session/config; works from an
+        # installed wheel as well as a repo checkout
+        from k8e_fetch_spark.bench_runner import main as bench_main
 
-        runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"), run_name="__main__")
+        bench_main()
         return 0
 
     from k8e_fetch_spark.queries.registry import oracle_sql, queries

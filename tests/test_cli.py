@@ -44,3 +44,15 @@ def test_cli_pipeline_defaults_to_fixtures(no_stop, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "c_name: 5 rows" in out
     assert "c_status:" in out
+
+
+def test_cli_bench_dispatches_to_packaged_runner(monkeypatch):
+    """`bench` must resolve from the installed package, not a repo-root
+    file (the wheel has no bench.py) — dispatch is to
+    k8e_fetch_spark.bench_runner.main."""
+    import k8e_fetch_spark.bench_runner as br
+
+    called = []
+    monkeypatch.setattr(br, "main", lambda: called.append(True))
+    assert cli.main(["bench"]) == 0
+    assert called == [True]
