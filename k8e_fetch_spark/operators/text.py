@@ -141,45 +141,39 @@ def winnowing_fingerprints(
     window of ``window`` grams — the rolling-hash fingerprint set whose
     overlap survives local edits (unlike a whole-doc digest).
 
-    Shape: ZERO-shuffle scan-local fold. A single ``aggregate`` over
-    the gram-hash array carries (last window-1 hashes, fingerprints so
-    far, running min) through one left fold — the same single-fold trick
-    as minhash_signature (operators/similarity.py), which keeps the
-    token→gram→hash chain evaluated once per row instead of once per
-    lambda reference (projection-collapse pathology). The earlier
-    relational form (posexplode + windowed min + distinct) shuffled
-    every gram by doc id and then shuffled again for distinct; this
-    form emits already-distinct (id, fp) rows straight out of the scan
-    stage, so fingerprinting 100 TB is embarrassingly parallel.
+    Shape: ZERO-shuffle scan-local projection. The gram-hash array is
+    bound ONCE as a lambda variable (the single-element ``transform``
+    wrapper — same single-evaluation trick as the fold it replaces:
+    naming it as a select column would let CollapseProject re-inline
+    the token→gram→hash chain per reference), then every window's min
+    is a ``slice`` + ``array_min`` over an index ``sequence``. That is
+    O(grams × window) work per document; the earlier fold accumulated
+    the fingerprint array element by element, and Catalyst's immutable
+    array appends made that O(grams²) copying per document — measured
+    3× slower at the 20× stress scale. The earlier relational form
+    (posexplode + windowed min + distinct) shuffled every gram by doc
+    id and then shuffled again for distinct; this form emits
+    already-distinct (id, fp) rows straight out of the scan stage, so
+    fingerprinting 100 TB is embarrassingly parallel.
     Windows: the min of every full ``window``-gram sliding window; a
     doc with fewer than ``window`` grams contributes the min over all
-    its grams (same semantics as the relational form it replaced).
+    its grams (same semantics as the forms it replaced).
     """
     hashes = F.transform(word_grams(F.col(text_col), k), lambda g: F.xxhash64(g))
 
-    init = F.struct(
-        F.array().cast("array<bigint>").alias("buf"),
-        F.array().cast("array<bigint>").alias("fps"),
-        F.lit(None).cast("bigint").alias("all_min"),
-    )
+    def winnow(arr: Column) -> Column:
+        n_wins = F.size(arr) - window + 1
+        return F.when(
+            n_wins >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                    lambda i: F.array_min(F.slice(arr, i, window)),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(arr)))
 
-    def step(acc: Column, h: Column) -> Column:
-        win = F.concat(acc["buf"], F.array(h))  # at most `window` elems
-        full = F.size(win) >= window
-        return F.struct(
-            # keep the trailing window-1 hashes for the next step
-            F.when(full, F.slice(win, 2, window - 1)).otherwise(win).alias("buf"),
-            F.when(full, F.concat(acc["fps"], F.array(F.array_min(win))))
-            .otherwise(acc["fps"])
-            .alias("fps"),
-            F.least(acc["all_min"], h).alias("all_min"),  # least() skips nulls
-        )
-
-    def finish(acc: Column) -> Column:
-        fps = F.array_distinct(acc["fps"])
-        return F.when(F.size(fps) > 0, fps).otherwise(F.array(acc["all_min"]))
-
-    fps = F.aggregate(hashes, init, step, finish)
+    fps = F.get(F.transform(F.array(hashes), winnow), 0)
     return df.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
