@@ -398,3 +398,231 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+_Q6_ORACLE = f"""
+    SELECT {sql_round('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("ext-typed-relational", "tpch"))
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: the purest pushdown probe in
+    the suite — three scan-level predicates, zero joins, one global
+    aggregate. All three filters (date range, discount band, quantity
+    cap) must reach the parquet scan as PushedFilters; the aggregate is
+    a single partial+final pair over one row of state."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round_fixed(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", oracle=_Q4_ORACLE, tags=("ext-typed-relational", "tpch", "semi-join"))
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check, adapted to this schema (no
+    l_commitdate column): count orders in a quarter having at least one
+    line item shipped after the order date. The EXISTS becomes a
+    LEFT SEMI join — Spark's dedicated semi-join operator keeps the
+    probe side unduplicated (no distinct needed) and the orders-side
+    date filter still pushes to the scan."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        how="left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", oracle=_Q13_ORACLE, tags=("ext-typed-relational", "tpch", "outer-join"))
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution, adapted (the
+    original excludes orders by comment pattern; this schema has no
+    o_comment, so the exclusion predicate is on o_orderpriority).
+    Exercises the outer-join-with-join-side-predicate shape — the
+    filter belongs in the JOIN CONDITION, not a WHERE (a WHERE would
+    silently drop the zero-order customers the query exists to count)
+    — plus a two-level aggregation."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            how="left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q14_ORACLE = f"""
+    SELECT {sql_round(
+        "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount))", 4)} AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@register("tpch_q14_promo_effect", oracle=_Q14_ORACLE, tags=("ext-typed-relational", "tpch"))
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (p_type here is a plain category, so
+    the match is equality rather than LIKE 'PROMO%'): conditional
+    aggregation over a fact-dimension join. The part side broadcasts;
+    the month filter pushes to the lineitem scan; one row out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            round_fixed(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q18_ORACLE = f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_round('sum(l.l_quantity)', 2)} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+"""
+
+
+@register("tpch_q18_large_volume", oracle=_Q18_ORACLE, tags=("ext-typed-relational", "tpch", "having"))
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the IN-subquery-with-HAVING
+    shape. The big-order keyset is computed once (aggregate + filter)
+    and semi-joined into the fact flow; at scale that keyset is tiny
+    relative to lineitem, so AQE turns the semi join into a broadcast.
+    Top-25 via rounded total + unique orderkey tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), on="o_orderkey", how="left_semi"
+    )
+    customer = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round_fixed(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+_Q22_ORACLE = f"""
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           {sql_round('sum(c_acctbal)', 2)} AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22_sales_opportunity", oracle=_Q22_ORACLE, tags=("ext-typed-relational", "tpch", "anti-join"))
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity, adapted (no c_phone
+    column: the country-code prefix test becomes a c_nationkey set).
+    Composes the suite's two remaining decorrelation shapes in one
+    query: a scalar subquery (above-average account balance, computed
+    once and broadcast as a literal predicate) and a NOT EXISTS
+    anti-join against orders."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    customer = load(spark, sf_dir, "customer")
+    in_set = customer.filter(F.col("c_nationkey").isin(nations))
+    # scalar subquery: one tiny aggregate, joined as a 1-row broadcast
+    avg_bal = in_set.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        in_set.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), how="left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_fixed(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
