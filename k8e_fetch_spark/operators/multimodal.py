@@ -9,9 +9,12 @@ and tested. TWO codecs sit behind it:
   outputs are pure functions of the payload bytes, SQL-recomputable);
 - :func:`decode_media_png` — a REAL image decode: stdlib PNG codec
   (:mod:`k8e_fetch_spark.operators.png` — DEFLATE, CRC, all five
-  predictor filters), emitting actual pixel statistics. Audio/video
-  codecs are the remaining stubs (no ffmpeg in this container); a
-  deployment swaps the per-payload call, the plan is unchanged.
+  predictor filters), emitting actual pixel statistics;
+- :func:`decode_media_wav` — a REAL audio decode: stdlib RIFF/PCM
+  parse (:mod:`k8e_fetch_spark.operators.wav`), emitting exact sample
+  statistics. Video remains the one stubbed modality (no ffmpeg in
+  this container); a deployment swaps the per-payload call, the plan
+  is unchanged.
 
 Scale notes (100 TB of media): decode runs inside ``mapInPandas`` with
 an iterator signature, so one task streams many Arrow batches without
@@ -168,6 +171,78 @@ def decode_media_png(
             )
 
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+# Decoded-audio feature schema: container metadata + sample statistics.
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        # [duration_sec, peak/32768, rms/32768, mean/32768, zero_cross_frac]
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_media_wav(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode in the same Arrow-batched shape as the image
+    path: each binary payload is parsed as an actual RIFF/PCM WAV
+    (:func:`k8e_fetch_spark.operators.wav.decode_wav`) and the features
+    are statistics of the DECODED SAMPLES: ``[duration_sec,
+    peak/32768, rms/32768, mean/32768, zero_crossing_fraction]``.
+    Undecodable payloads quarantine as null-metadata rows."""
+    import math
+
+    from k8e_fetch_spark.operators.wav import decode_wav
+
+    def stats(rate: int, n_frames: int, samples: list[int]) -> list[float]:
+        n = len(samples)
+        if n == 0:
+            return [0.0, 0.0, 0.0, 0.0, 0.0]
+        zc = sum(
+            1 for i in range(1, n) if (samples[i] < 0) != (samples[i - 1] < 0)
+        )
+        return [
+            n_frames / rate if rate else 0.0,
+            max(abs(s) for s in samples) / 32768.0,
+            math.sqrt(sum(s * s for s in samples) / n) / 32768.0,
+            (sum(samples) / n) / 32768.0,
+            zc / (n - 1) if n > 1 else 0.0,
+        ]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    rate, channels, n_frames, samples = decode_wav(payload)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(payload),
+                            rate,
+                            channels,
+                            n_frames,
+                            stats(rate, n_frames, samples),
+                        )
+                    )
+                except (ValueError, struct.error, EOFError):
+                    rows.append((int(doc_id), len(payload), None, None, None, []))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "sample_rate", "n_channels",
+                    "n_frames", "features",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -204,6 +204,85 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-audio decode with a FULL oracle: per-doc square-wave PCM
+# (+amp/-amp alternating, even frame count) makes peak == rms == amp
+# and mean == 0 exactly, while the decode still walks a genuine RIFF
+# container. Parameters are pure functions of doc_id.
+_DECODE_AUDIO_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 1000 AS rate,
+               2 * (50 + doc_id % 25) AS frames,
+               100 + (doc_id * 37) % 30000 AS amp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(frames AS INTEGER) AS n_frames,
+           CAST(round(1000000.0 * frames / rate) AS BIGINT) AS duration_us,
+           CAST(amp AS INTEGER) AS peak_i16,
+           CAST(amp AS INTEGER) AS rms_i16,
+           CAST(0 AS INTEGER) AS mean_i16,
+           CAST(frames - 1 AS INTEGER) AS zero_crossings
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_audio_real",
+    oracle=_DECODE_AUDIO_ORACLE,
+    tags=("ext-multimodal", "decode-real-wav"),
+)
+def mm_decode_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL audio bytes through the decode stage: executors write a
+    real 16-bit PCM WAV per document (square wave, parameters derived
+    from doc_id), then ``decode_media_wav`` parses the RIFF container
+    and computes sample statistics — hash-checked against ground truth
+    stated relationally. Square-wave construction makes every statistic
+    integral: peak == rms == amplitude, mean == 0 (even frame count),
+    zero crossings == frames - 1."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 5) * 1000
+                frames = 2 * (50 + i % 25)
+                amp = 100 + (i * 37) % 30000
+                samples = [amp if j % 2 == 0 else -amp for j in range(frames)]
+                payloads.append(encode_wav(rate, 1, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    decoded = decode_media_wav(with_payload)
+    # integer-exact serialization: features are
+    # [duration_sec, peak/32768, rms/32768, mean/32768, zc_frac]
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.floor(F.col("features")[0] * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.floor(F.col("features")[1] * 32768 + F.lit(0.5)).cast("int").alias("peak_i16"),
+        F.floor(F.col("features")[2] * 32768 + F.lit(0.5)).cast("int").alias("rms_i16"),
+        F.floor(F.col("features")[3] * 32768 + F.lit(0.5)).cast("int").alias("mean_i16"),
+        F.floor(F.col("features")[4] * (F.col("n_frames") - 1) + F.lit(0.5))
+        .cast("int")
+        .alias("zero_crossings"),
+    )
+
+
 @register(
     "mm_decode_meta",
     # The stub codec's geometry is a pure function of payload byte

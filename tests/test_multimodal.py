@@ -134,3 +134,53 @@ def test_png_decode_stage_binary_file_source(spark, tmp_path):
         assert (g["width"], g["height"], g["n_frames"]) == (w, h, 1)
         for a, b in zip(g["features"], feats):
             assert abs(a - b) < 1e-6, (i, g["features"], feats)
+
+
+# ---------------------------------------------------------------- real WAV
+
+
+def test_wav_roundtrip_exact_samples():
+    """Noise PCM survives encode -> decode sample-exactly (mono and
+    stereo, different rates)."""
+    import random
+
+    from k8e_fetch_spark.operators.wav import decode_wav, encode_wav
+
+    rng = random.Random(99)
+    for rate, ch, n in [(8000, 1, 256), (44100, 2, 300), (16000, 1, 1)]:
+        samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+        got_rate, got_ch, got_frames, got = decode_wav(encode_wav(rate, ch, samples))
+        assert (got_rate, got_ch, got_frames) == (rate, ch, n)
+        assert got == samples
+
+
+def test_wav_decode_stage_stats(spark):
+    """The Arrow decode stage's sample statistics match an independent
+    driver-side computation; corrupt bytes quarantine."""
+    import math
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_wav
+    from k8e_fetch_spark.operators.wav import encode_wav
+
+    rows, expected = [], {}
+    for i in range(6):
+        rate = 8000 + i * 500
+        samples = [((j * 997 + i * 31) % 2001) - 1000 for j in range(64 + i)]
+        rows.append((i, bytearray(encode_wav(rate, 1, samples))))
+        n = len(samples)
+        zc = sum(1 for j in range(1, n) if (samples[j] < 0) != (samples[j - 1] < 0))
+        expected[i] = (
+            rate, n,
+            [n / rate, max(abs(s) for s in samples) / 32768.0,
+             math.sqrt(sum(s * s for s in samples) / n) / 32768.0,
+             sum(samples) / n / 32768.0, zc / (n - 1)],
+        )
+    rows.append((999, bytearray(b"RIFFnope")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_media_wav(df).collect()}
+    assert got[999]["sample_rate"] is None and got[999]["features"] == []
+    for i, (rate, n, feats) in expected.items():
+        g = got[i]
+        assert (g["sample_rate"], g["n_channels"], g["n_frames"]) == (rate, 1, n)
+        for a, b in zip(g["features"], feats):
+            assert abs(a - b) < 1e-6, (i, g["features"], feats)
