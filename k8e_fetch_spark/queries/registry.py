@@ -220,6 +220,7 @@ def _ensure_loaded() -> None:
         multimodal_ops,
         relational,
         relational_ext,
+        relational_tpch,
         similarity,
         streaming_ops,
         text_ops,
