@@ -249,8 +249,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q9_ORACLE = f"""
-    SELECT nation, o_year, {sql_round('sum(amount)', 2)} AS sum_profit
+_Q9_ORACLE = """
+    SELECT nation, o_year,
+           CAST(CAST(sum(CAST(floor(amount * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
@@ -269,19 +270,28 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the discounted revenue without the ps_supplycost * l_quantity
     term). The LIKE '%bolt%' part filter broadcasts as a reduced join
     list; supplier routes the revenue to its nation; one aggregate
-    shuffle on (nation, year)."""
+    shuffle on (nation, year).
+
+    Float discipline: the (nation, year) groups are the largest sums in
+    the suite (~1e7 at sf0.1) — large enough that engine-dependent sum
+    order can land a post-hoc rounding on different sides of a cent
+    boundary. Each amount is therefore fixed to EXACT integer cents per
+    row (identical input doubles -> identical bigints) and summed as
+    int64: the per-group total is bit-identical on both engines by
+    construction, at any scale."""
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
+    cents = F.floor(_rev() * F.lit(100.0) + F.lit(0.5)).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(round_fixed(F.sum(_rev()), 2).alias("sum_profit"))
+        .agg((F.sum(cents).cast("double") / F.lit(100.0)).cast("double").alias("sum_profit"))
     )
 
 
