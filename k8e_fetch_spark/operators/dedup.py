@@ -134,3 +134,50 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def segment_dedup_keep_first(
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "seg_idx",
+    text_col: str = "seg",
+) -> DataFrame:
+    """Paragraph/segment-level exact dedup, keep-first (the C4/Dolma
+    recipe): across the WHOLE corpus, every repeated paragraph keeps
+    only its first occurrence — ordered by (id, position) — and each
+    document is reassembled from its surviving segments, in order.
+    Boilerplate (headers, navigation, license blocks) repeated across
+    millions of pages disappears from all but one document while the
+    unique prose stays.
+
+    Input is one row per segment (id, idx, text); pair with a
+    segmenter (split on blank lines for real corpora, fixed word
+    windows for delimiter-free text).
+
+    Scale shape — two shuffles, both buffer-bounded:
+    1. keep-first is a groupBy on the segment TEXT with a one-struct
+       ``min`` buffer per distinct segment (no window sort, no
+       join-back; a boilerplate paragraph repeated 1e6 times still
+       folds map-side to one partial per partition);
+    2. reassembly groups by document id; the collect_list buffer is
+       bounded by a single document's own segment count — the same
+       bound as holding one input document, never corpus-scale.
+    Documents whose every segment was claimed earlier drop out (their
+    text would be empty).
+    Returns (id, cleaned_text, n_kept) with n_kept an int segment
+    count.
+    """
+    first = F.min(F.struct(F.col(id_col).alias("id"), F.col(idx_col).alias("idx"))).alias("k")
+    kept = (
+        segments.groupBy(text_col)
+        .agg(first)
+        .select(F.col("k.id").alias(id_col), F.col("k.idx").alias(idx_col), text_col)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t"))))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(" ", F.transform(ordered, lambda s: s["t"])).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )

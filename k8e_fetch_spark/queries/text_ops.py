@@ -938,3 +938,64 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+_PARA_W = 32  # words per pseudo-paragraph segment (delimiter-free corpus)
+
+_PARA_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    segs AS (
+        SELECT doc_id, CAST((s - 1) / {_PARA_W} AS INTEGER) AS seg_idx,
+               array_to_string(t[s:least(s + {_PARA_W} - 1, len(t))], ' ') AS seg
+        FROM toks, UNNEST(generate_series(1, len(t), {_PARA_W})) AS g(s)
+        WHERE s <= len(t)
+    ),
+    kept AS (
+        SELECT doc_id, seg_idx, seg FROM (
+            SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+            FROM segs) WHERE rn = 1
+    )
+    SELECT doc_id,
+           array_to_string(list(seg ORDER BY seg_idx), ' ') AS cleaned_text,
+           CAST(count(*) AS INTEGER) AS n_kept
+    FROM kept GROUP BY doc_id
+"""
+
+
+@register("dedup_paragraphs", oracle=_PARA_DEDUP_ORACLE, tags=("ext-exact-dedup", "paragraph"))
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup, keep-first (the C4/Dolma recipe):
+    repeated paragraphs keep only their first (doc_id, position)
+    occurrence corpus-wide and documents are reassembled from the
+    survivors. This corpus has no newline delimiters, so paragraphs
+    are fixed {_PARA_W}-word segments — the operator
+    (operators/dedup.py:segment_dedup_keep_first) takes any
+    segmentation. Segmentation is scan-local (sequence -> slice ->
+    explode, no shuffle); then one groupBy on segment text with a
+    one-struct min buffer, one bounded per-document reassembly. The
+    oracle states keep-first with a window rank; the Spark side uses
+    the shuffle-lean groupBy-min form — same semantics."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_W))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    ((s - 1) / _PARA_W).cast("int").alias("seg_idx"),
+                    F.concat_ws(" ", F.slice(F.col("t"), s, F.lit(_PARA_W))).alias("seg"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.seg_idx").alias("seg_idx"), F.col("c.seg").alias("seg"))
+    return segment_dedup_keep_first(segs)

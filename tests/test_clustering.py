@@ -302,3 +302,35 @@ def test_star_components_unconverged_one_label_per_node(spark):
     )
     nodes = [r["node"] for r in rows]
     assert len(nodes) == len(set(nodes)) == n  # exactly one label each
+
+
+def test_segment_dedup_keep_first_planted(spark):
+    """A boilerplate paragraph shared by three docs survives only in
+    the earliest (doc, position); unique paragraphs all survive; a
+    doc made entirely of claimed boilerplate drops out."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+
+    rows = [
+        # doc 1: boiler at idx 0, unique at idx 1
+        (1, 0, "the quick brown fox"),
+        (1, 1, "alpha beta gamma"),
+        # doc 2: unique, then the same boiler (later doc -> dropped)
+        (2, 0, "delta epsilon zeta"),
+        (2, 1, "the quick brown fox"),
+        # doc 3: ONLY the boiler -> whole doc disappears
+        (3, 0, "the quick brown fox"),
+        # doc 4: internal repetition -> second copy dropped
+        (4, 0, "eta theta iota"),
+        (4, 1, "eta theta iota"),
+        (4, 2, "kappa lambda mu"),
+    ]
+    segs = spark.createDataFrame(rows, ["doc_id", "seg_idx", "seg"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"])
+        for r in segment_dedup_keep_first(segs).collect()
+    }
+    assert got == {
+        1: ("the quick brown fox alpha beta gamma", 2),
+        2: ("delta epsilon zeta", 1),
+        4: ("eta theta iota kappa lambda mu", 2),
+    }
