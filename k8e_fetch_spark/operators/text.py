@@ -246,3 +246,37 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(compress_batches, schema)
+
+
+def source_temperature_rates(
+    docs: "DataFrame",
+    source_col: str = "source",
+    target_frac: float = 0.5,
+) -> "DataFrame":
+    """Per-source keep rates for temperature-weighted mixing
+    (alpha = 0.5): source i's share of the output is proportional to
+    sqrt(n_i), so small high-value sources are up-weighted against
+    bulk crawl; rate_i = target_docs * share_i / n_i, capped at 1.
+
+    The alpha is expressed as ``sqrt`` (correctly rounded IEEE on
+    every engine, unlike ``pow``) and the rate is arithmetic-rounded
+    to 6dp so a DuckDB/Spark twin computes the identical keep set.
+    Input: any frame with a source column; output: (source, rate) —
+    dimension-sized, meant to broadcast back onto the corpus."""
+    from k8e_fetch_spark.functions.rounding import round_fixed
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        round_fixed(
+            (F.lit(target_frac) * F.col("total").cast("double"))
+            * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+            / F.col("n").cast("double"),
+            6,
+        ),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(source_col, rate.alias("rate"))

@@ -999,3 +999,64 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     ).select("doc_id", F.col("c.seg_idx").alias("seg_idx"), F.col("c.seg").alias("seg"))
     return segment_dedup_keep_first(segs)
+
+
+_TEMP_RATE_SQL = (
+    "least(1.0, "
+    + sql_round(
+        "(0.5 * CAST(total AS DOUBLE)) * (sqrt(CAST(n AS DOUBLE)) / z) / CAST(n AS DOUBLE)", 6
+    )
+    + ")"
+)
+
+_TEMP_SAMPLE_ORACLE = f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   sum(sqrt(CAST(n AS DOUBLE))) AS z
+            FROM counts),
+    rates AS (SELECT source, {_TEMP_RATE_SQL} AS rate FROM counts, tot)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+"""
+
+
+@register(
+    "sample_source_temperature",
+    oracle=_TEMP_SAMPLE_ORACLE,
+    tags=("ext-text-stats", "sampling", "mixing"),
+)
+def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling (the GPT-3-style mixing
+    rule, alpha = 0.5): each source's share of the output mixture is
+    proportional to sqrt(its size) rather than its size, up-weighting
+    small high-value sources against bulk web crawl; the overall
+    target is half the corpus. Per-source keep rate = target *
+    weight_i / n_i (capped at 1), membership a pure md5 hash-fraction
+    of doc_id — deterministic, stable under repartitioning, reruns and
+    corpus growth.
+
+    Scale shape: the per-source counts and rates are a dimension-sized
+    aggregate broadcast back; the corpus side is ONE scan-local filter
+    — no fact shuffle at any size. Cross-engine float discipline:
+    alpha is expressed as sqrt (correctly rounded IEEE on both
+    engines, unlike pow), and the rate is arithmetic-rounded to 6dp on
+    both sides before the hash-fraction comparison, so the keep set is
+    engine-exact. The rate math lives in
+    operators/text.py:source_temperature_rates; its skew behavior
+    (small sources up-weighted, caps) is pinned by a planted test —
+    this corpus's sources are uniform-sized, so every rate here lands
+    at the target fraction."""
+    from k8e_fetch_spark.operators.text import source_temperature_rates
+
+    docs = load(spark, sf_dir, "documents")
+    rates = source_temperature_rates(docs, target_frac=0.5)
+    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(rates), on="source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )

@@ -334,3 +334,20 @@ def test_segment_dedup_keep_first_planted(spark):
         2: ("delta epsilon zeta", 1),
         4: ("eta theta iota kappa lambda mu", 2),
     }
+
+
+def test_source_temperature_rates_upweight_small(spark):
+    """alpha=0.5 mixing: with sources 900/100 and target half the
+    corpus, shares go 0.75/0.25 -> the small source's rate caps at 1.0
+    while the big one samples at ~0.417 (exact 6dp arithmetic round)."""
+    from k8e_fetch_spark.operators.text import source_temperature_rates
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(900)] + [(i, "small") for i in range(900, 1000)],
+        ["doc_id", "source"],
+    )
+    rates = {r["source"]: r["rate"] for r in source_temperature_rates(docs).collect()}
+    # big: 0.5*1000 * (30/40) / 900 = 0.416667 (rounded 6dp)
+    assert rates["big"] == 0.416667
+    # small: 0.5*1000 * (10/40) / 100 = 1.25 -> capped
+    assert rates["small"] == 1.0
