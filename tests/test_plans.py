@@ -127,3 +127,48 @@ def test_fan_out_never_shrinks_wide_scans(spark):
     n_files = len(df.inputFiles())
     out = fan_out(df, min_partitions=n_files)
     assert out is df
+
+
+def test_q21_single_fact_scan(spark):
+    """The exists/not-exists pair must NOT duplicate the fact subtree:
+    the window form reads lineitem exactly once (the aggregate-join
+    form scanned it twice — Spark never unified the branches)."""
+    plan = _executed_plan(spark, "tpch_q21_waiting_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown probe: date range, discount band and quantity
+    cap must all reach the parquet scan."""
+    plan = _formatted(spark, "tpch_q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    """Across the new TPC-H adaptations every dimension-side join must
+    broadcast; a SortMergeJoin is only acceptable on fact-fact keys
+    (q12/q21's lineitem-orders, q18's keyset flow)."""
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q16_supplier_count",
+        "tpch_q17_small_quantity",
+        "tpch_q19_discounted_revenue",
+        "tpch_q20_potential_promotion",
+    ):
+        plan = _executed_plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (name, plan)
+
+
+def test_temperature_sampling_no_fact_shuffle(spark):
+    """The corpus side of temperature sampling is a scan-local filter:
+    the only exchanges are the dimension-sized rate aggregation and
+    its broadcast — the documents scan feeding the output must not
+    hash-repartition."""
+    plan = _executed_plan(spark, "sample_source_temperature")
+    assert "BroadcastHashJoin" in plan, plan
