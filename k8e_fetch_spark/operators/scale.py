@@ -94,3 +94,26 @@ def skew_metrics(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         *keys, "n", (F.col("n") / F.col("_t")).alias("share")
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    dynamic: bool = True,
+) -> None:
+    """op-table-sink, hive-partitioned form: directory-partition the
+    table on low-cardinality keys (date, source, lang). Readers with a
+    predicate on the partition key then PRUNE whole directories before
+    any I/O — at 100 TB a day-filter over a date-partitioned corpus
+    reads 1/Nth of the files, the single biggest scan reducer there is
+    (verified by plan + inputFiles inspection in tests/test_scale.py).
+
+    ``dynamic=True`` scopes the overwrite to the partitions present in
+    ``df`` (Spark's dynamic partitionOverwriteMode) — the incremental
+    daily-append contract; static mode would truncate the whole table.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_cols).save(path)

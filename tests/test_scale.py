@@ -152,3 +152,53 @@ def test_minhash_two_phase_matches_unguarded(spark):
     assert got == want
     # strict-inequality invariant: no self pairs, canonical orientation
     assert all(a < b for a, b, _ in got)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A predicate on the partition key must prune directories at plan
+    time: the scan lists PartitionFilters and touches only the
+    matching partition's files."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.scale import write_partitioned
+
+    path = str(tmp_path / "events_by_type")
+    events = load(spark, SF_DIR, "events")
+    write_partitioned(events, path, ["event_type"])
+
+    table = spark.read.parquet(path)
+    n_types = events.select("event_type").distinct().count()
+    one = table.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "event_type" in plan, plan
+    # file-level proof: only the one partition directory is actually
+    # scanned (input_file_name reflects post-pruning execution;
+    # inputFiles() would show the whole pre-pruning file index)
+    read_files = [r["f"] for r in one.select(F.input_file_name().alias("f")).distinct().collect()]
+    assert read_files and all("event_type=click" in f for f in read_files)
+    assert len(read_files) < len(table.inputFiles())
+    assert n_types > 1  # pruning actually had something to prune
+    # round trip: partition column is restored as a data column
+    assert one.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_partitioned_dynamic_overwrite_scopes_to_present_partitions(spark, tmp_path):
+    """Dynamic overwrite must replace ONLY the partitions present in
+    the new frame — the daily-append contract (static mode would
+    truncate every other partition)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.scale import write_partitioned
+
+    path = str(tmp_path / "events_dyn")
+    events = load(spark, SF_DIR, "events")
+    write_partitioned(events, path, ["event_type"])
+    before = spark.read.parquet(path).count()
+
+    one_type = events.filter(F.col("event_type") == "click").limit(5)
+    write_partitioned(one_type, path, ["event_type"])
+    after = spark.read.parquet(path)
+    n_click_before = events.filter(F.col("event_type") == "click").count()
+    # click partition replaced (shrunk to 5); every other partition intact
+    assert after.filter(F.col("event_type") == "click").count() == 5
+    assert after.count() == before - n_click_before + 5
