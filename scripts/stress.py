@@ -40,6 +40,8 @@ PROBES = [
     "sim_cosine_lsh",
     "sim_topk_ivf",
     "sim_kmeans_assign",
+    "tpch_q21_waiting_supplier",
+    "dedup_paragraphs",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
