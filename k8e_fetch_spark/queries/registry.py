@@ -114,6 +114,15 @@ _PRIORITY = (
     # out (r4): catalog_sync_delta, catalog_skip_unknown,
     # compress_schema_clone/add_column/concat_expr, sim_embedding_norms,
     # text_token_count/chunk/redact, sample_stratified_deterministic.
+    # LATE-ROUND-5 swaps (same policy applied to rows that reached 3-4
+    # greens, freeing seats for this round's new flagships):
+    # join_range_price_bands (4x green r1-r4) ->
+    # tpch_q21_waiting_supplier; text_fingerprint (3x green r2-r4) ->
+    # dedup_paragraphs; array_funcs_embeddings (3x green r2-r4) ->
+    # sample_source_temperature. Capability balance holds: range-join
+    # keeps its r1-r4 history + pytest parity, exact-dedup stays
+    # covered in-window by dedup_exact_documents plus the paragraph
+    # form, array functions by sim_quantize_int8 / sim_hybrid_search.
     #
     # §2.1/§2.2 catalog scan + filters (version-latest had an r2 miss,
     # keeps its seat for a 4th green)
@@ -132,7 +141,7 @@ _PRIORITY = (
     "text_stats_per_lang",
     "text_language_id",
     "text_quality_score",
-    "text_fingerprint",
+    "dedup_paragraphs",
     "text_tfidf_topk",
     "text_decontaminate_ngram",
     "corpus_prep_pipeline",
@@ -151,13 +160,13 @@ _PRIORITY = (
     "sim_cosine_lsh_planted",
     "sim_quantize_int8",
     "sim_hybrid_search",
-    "array_funcs_embeddings",
+    "sample_source_temperature",
     "map_funcs_events",
-    # ext-typed-relational (q10 first driver row; asof/range/cube keep
+    # ext-typed-relational (q10 + q21 first driver rows; asof/cube keep
     # seats at 2-3 greens)
     "tpch_q10_returned_items",
     "join_asof_purchase",
-    "join_range_price_bands",
+    "tpch_q21_waiting_supplier",
     "cube_orders",
     "rollup_lineitem",
     "grouping_sets_orders",
