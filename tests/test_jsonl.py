@@ -1,0 +1,86 @@
+"""JSONL source/sink: round trip, corrupt-line quarantine, and the
+parquet schema-evolution read (mergeSchema) a growing corpus needs."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.io import load
+from k8e_fetch_spark.sources.jsonl import (
+    CORRUPT_COL,
+    DOCUMENTS_SCHEMA,
+    read_jsonl,
+    split_corrupt,
+    write_jsonl,
+)
+from tests.conftest import SF_DIR
+
+
+def test_jsonl_round_trip_documents(spark, tmp_path):
+    """documents -> gzip jsonl -> explicit-schema read reproduces the
+    table exactly (values and dtypes; no inference pass)."""
+    path = str(tmp_path / "docs_jsonl")
+    docs = load(spark, SF_DIR, "documents")
+    write_jsonl(docs, path)
+    # gzip'd parts actually on disk
+    parts = [f for f in os.listdir(path) if f.endswith(".json.gz")]
+    assert parts
+    back = read_jsonl(spark, path, DOCUMENTS_SCHEMA, keep_corrupt=False)
+    assert back.schema == docs.schema
+    orig = sorted(map(tuple, docs.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == orig
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    """PERMISSIVE mode parses good lines and captures the raw text of
+    bad ones; DROPMALFORMED silently drops them."""
+    p = tmp_path / "mixed.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s", "n_chars": 5}',
+        '{"doc_id": 2, "text": "beta", "lang": "fr"',  # truncated
+        "not json at all",
+        '{"doc_id": 3, "text": "gamma", "lang": "de", "source": "s", "n_chars": 5}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_jsonl(spark, str(p), DOCUMENTS_SCHEMA)
+    good, bad = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    quarantined = sorted(r[CORRUPT_COL] for r in bad.collect())
+    assert quarantined == sorted([lines[1], "not json at all"])
+    assert CORRUPT_COL not in good.columns
+    dropped = read_jsonl(spark, str(p), DOCUMENTS_SCHEMA, keep_corrupt=False)
+    assert dropped.count() == 2
+
+
+def test_jsonl_gzip_lines_still_parse(spark, tmp_path):
+    """A hand-gzipped jsonl file (the wild-corpus shape) reads through
+    the same path via Spark's codec-by-extension handling."""
+    p = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 10, "text": "t", "lang": "en", "source": "w", "n_chars": 1}\n')
+    df = read_jsonl(spark, str(p), DOCUMENTS_SCHEMA, keep_corrupt=False)
+    assert df.collect()[0]["doc_id"] == 10
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A corpus that grows a column mid-life must stay readable as ONE
+    table: mergeSchema unions the parts' schemas, old rows null-fill
+    the new column. (Off by default because schema merging touches
+    every file footer — turn it on per-read, not globally.)"""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).write.parquet(
+        path + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], ["doc_id", "text", "lang"]
+    ).write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang", "batch"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+    # and the new column is filterable across the union
+    assert merged.filter(F.col("lang").isNull()).count() == 1
