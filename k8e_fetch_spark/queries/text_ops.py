@@ -1060,3 +1060,131 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+def _punct_sql(c: str) -> str:
+    return (
+        f"CASE WHEN length({c}) = 0 THEN 0.0 "
+        f"ELSE length(regexp_replace({c}, '[A-Za-z0-9 ]', '', 'g')) / length({c}) END"
+    )
+
+
+def _stop_sql(c: str) -> str:
+    return (
+        f"CASE WHEN length(trim({c})) = 0 THEN 0.0 "
+        f"ELSE len(list_filter(string_split_regex(lower(trim({c})), '\\s+'), "
+        f"t -> list_contains(['the','a','and','of','to','in'], t))) "
+        f"/ len(string_split_regex(lower(trim({c})), '\\s+')) END"
+    )
+
+
+def _qual_sql(c: str) -> str:
+    return (
+        f"0.4 * least(length({c}) / 500.0, 1.0) "
+        f"+ 0.3 * (1.0 - least(({_punct_sql(c)}) * 4, 1.0)) "
+        f"+ 0.3 * least(({_stop_sql(c)}) * 5, 1.0)"
+    )
+
+
+_CLEAN_MIX_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        WHERE length(trim(text)) > 0),
+    segs AS (
+        SELECT doc_id, CAST((s - 1) / {_PARA_W} AS INTEGER) AS seg_idx,
+               array_to_string(t[s:least(s + {_PARA_W} - 1, len(t))], ' ') AS seg
+        FROM toks, UNNEST(generate_series(1, len(t), {_PARA_W})) AS g(s)
+        WHERE s <= len(t)),
+    kept AS (
+        SELECT doc_id, seg_idx, seg FROM (
+            SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+            FROM segs) WHERE rn = 1),
+    cleaned AS (
+        SELECT doc_id, array_to_string(list(seg ORDER BY seg_idx), ' ') AS ct,
+               CAST(count(*) AS INTEGER) AS n_kept
+        FROM kept GROUP BY doc_id),
+    scored AS (
+        SELECT c.doc_id AS doc_id, d.source AS source, n_kept,
+               {sql_round(_qual_sql('ct'), 6)} AS quality
+        FROM cleaned c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE {sql_round(_qual_sql('ct'), 6)} >= 0.5),
+    counts AS (SELECT source, count(*) AS n FROM scored GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   sum(sqrt(CAST(n AS DOUBLE))) AS z
+            FROM counts),
+    rates AS (SELECT source, {_TEMP_RATE_SQL} AS rate FROM counts, tot)
+    SELECT s.doc_id, s.source, s.quality, s.n_kept,
+           CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+                WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                ELSE 'test' END AS split
+    FROM scored s JOIN rates r ON s.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+"""
+
+
+@register(
+    "corpus_clean_mix_pipeline",
+    oracle=_CLEAN_MIX_ORACLE,
+    tags=("ext-text-stats", "pipeline", "mixing", "paragraph"),
+)
+def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's ops composed as ONE plan — the full curation flow a
+    training corpus goes through: paragraph-level exact dedup with
+    keep-first reassembly -> quality re-score of the CLEANED text ->
+    quality floor -> temperature-weighted source mixing (rates computed
+    from post-filter counts) -> deterministic train/val/test split.
+
+    Scale shape: segmentation is scan-local; dedup's two shuffles are
+    buffer-bounded (one struct per distinct segment, one doc's own
+    segments for reassembly); the source join-back co-keys on doc_id;
+    quality is a pure projection of the reassembled text; rates are a
+    dimension-sized broadcast; sampling + split are scan-local hash
+    projections. No step's memory grows with corpus size.
+
+    Cross-engine: quality is a per-row function of the string (identical
+    bits both engines) rounded to 6dp BEFORE the floor comparison; the
+    rate rounding follows sample_source_temperature."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+    from k8e_fetch_spark.operators.text import source_temperature_rates
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_W))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    ((s - 1) / _PARA_W).cast("int").alias("seg_idx"),
+                    F.concat_ws(" ", F.slice(F.col("t"), s, F.lit(_PARA_W))).alias("seg"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.seg_idx").alias("seg_idx"), F.col("c.seg").alias("seg"))
+    cleaned = segment_dedup_keep_first(segs)
+    scored = (
+        cleaned.join(docs.select("doc_id", "source"), on="doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_kept",
+            round_fixed(quality_score(F.col("cleaned_text")), 6).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    rates = source_temperature_rates(scored, target_frac=0.5)
+    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket <= "cb", "train").when(bucket <= "e5", "val").otherwise("test")
+    return (
+        scored.join(F.broadcast(rates), on="source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source", "quality", "n_kept", split.alias("split"))
+    )

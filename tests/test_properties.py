@@ -115,3 +115,63 @@ def test_quote_repair_matches_actual_sed_binary(spark_session_holder):
     df = spark.createDataFrame([(ln,) for ln in lines], ["line"])
     got = [r["out"] for r in df.select(quote_repair(F.col("line")).alias("out")).collect()]
     assert got == sed_data, f"spark={got}\nsed={sed_data}"
+
+
+def _py_segment_dedup(rows):
+    """Independent Python reference of keep-first segment dedup."""
+    seen = {}
+    for doc, idx, seg in sorted(rows, key=lambda r: (r[0], r[1])):
+        if seg not in seen:
+            seen[seg] = (doc, idx)
+    out = {}
+    for seg, (doc, idx) in seen.items():
+        out.setdefault(doc, []).append((idx, seg))
+    return {
+        doc: (" ".join(s for _, s in sorted(pairs)), len(pairs))
+        for doc, pairs in out.items()
+    }
+
+
+_SEG_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "boiler plate"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # doc id (collisions likely)
+            st.integers(min_value=0, max_value=4),   # segment index
+            _SEG_WORDS,                               # segment text (few distinct)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),            # one seg per (doc, idx)
+    )
+)
+def test_segment_dedup_matches_reference_and_is_idempotent(spark_session_holder, rows):
+    """Against arbitrary (doc, idx, seg) corpora with heavy duplication:
+    Spark keep-first == independent Python reference; every surviving
+    segment is unique corpus-wide; re-deduping the survivors is a
+    no-op (idempotence)."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+
+    spark = spark_session_holder
+    segs = spark.createDataFrame(rows, ["doc_id", "seg_idx", "seg"])
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"])
+        for r in segment_dedup_keep_first(segs).collect()
+    }
+    assert got == _py_segment_dedup(rows)
+
+    # idempotence at the operator level: re-deduping the surviving
+    # (doc, idx, seg) rows changes nothing
+    seen = {}
+    for doc, idx, seg in sorted(rows, key=lambda r: (r[0], r[1])):
+        seen.setdefault(seg, (doc, idx))
+    kept_rows = [(d, i, s) for s, (d, i) in seen.items()]
+    segs2 = spark.createDataFrame(kept_rows, ["doc_id", "seg_idx", "seg"])
+    again = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"])
+        for r in segment_dedup_keep_first(segs2).collect()
+    }
+    assert again == got
