@@ -64,6 +64,12 @@ HEADLINE = [
     "sim_cosine_lsh_planted",
     "text_language_id",
     "text_chunk_documents",
+    # round-5 flagships
+    "tpch_q21_waiting_supplier",
+    "tpch_q9_product_profit",
+    "dedup_paragraphs",
+    "sample_source_temperature",
+    "corpus_clean_mix_pipeline",
 ]
 
 

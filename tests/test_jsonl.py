@@ -84,3 +84,43 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows == {1: None, 2: "en"}
     # and the new column is filterable across the union
     assert merged.filter(F.col("lang").isNull()).count() == 1
+
+
+def test_jsonl_streaming_incremental_ingest(spark, tmp_path):
+    """JSONL plugs straight into the incremental ELT flow: a streaming
+    read over a landing directory of jsonl files drains exactly-once
+    through foreachBatch into the insert-ignore component table —
+    re-delivered files (same checkpoint) change nothing."""
+    from k8e_fetch_spark.streaming.incremental import (
+        IncrementalComponent,
+        run_incremental_compress,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+        '{"doc_id": 2, "text": "y", "lang": "fr", "source": "s", "n_chars": 1}\n'
+    )
+    comp = IncrementalComponent(spark, str(tmp_path / "docs_table"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+
+    run_incremental_compress(stream(), comp, ckpt, ["doc_id", "lang"])
+    assert sorted(r["doc_id"] for r in comp.read().collect()) == [1, 2]
+
+    # second file lands; earlier file is NOT re-consumed (checkpoint)
+    (landing / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "y2", "lang": "fr", "source": "s", "n_chars": 2}\n'
+        '{"doc_id": 3, "text": "z", "lang": "de", "source": "s", "n_chars": 1}\n'
+    )
+    run_incremental_compress(stream(), comp, ckpt, ["doc_id", "lang"])
+    rows = sorted(map(tuple, comp.read().collect()))
+    # doc 2 already present -> insert-ignore keeps one row per key pair
+    assert rows == [(1, "en"), (2, "fr"), (3, "de")]
