@@ -351,3 +351,15 @@ def test_source_temperature_rates_upweight_small(spark):
     assert rates["big"] == 0.416667
     # small: 0.5*1000 * (10/40) / 100 = 1.25 -> capped
     assert rates["small"] == 1.0
+
+
+def test_segment_dedup_and_rates_on_empty_input(spark):
+    """Empty corpora must flow through (a fresh pipeline's first run,
+    a filter that removed everything): zero rows out, no crash."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+    from k8e_fetch_spark.operators.text import source_temperature_rates
+
+    empty_segs = spark.createDataFrame([], "doc_id long, seg_idx int, seg string")
+    assert segment_dedup_keep_first(empty_segs).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, source string")
+    assert source_temperature_rates(empty_docs).count() == 0
