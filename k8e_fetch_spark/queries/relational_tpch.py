@@ -453,10 +453,13 @@ _Q17_ORACLE = f"""
 def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 small-quantity-order revenue: the correlated
     avg(l_quantity) subquery decorrelates into a per-part aggregate
-    joined back to the fact. At scale the threshold frame is one row
-    per part (dimension-sized) and broadcasts; quantities are
-    integer-valued so the 0.2*avg comparison cannot sit inside float
-    noise of a boundary."""
+    joined back to the fact. The threshold frame is deliberately NOT
+    hint-broadcast: it is fact-DERIVED with one row per part, and at
+    extreme scale the part dimension outgrows broadcast memory — AQE
+    broadcasts it while it fits and falls back to a shuffle join when
+    it does not (the brand dim, genuinely small, does broadcast).
+    Quantities are integer-valued so the 0.2*avg comparison cannot sit
+    inside float noise of a boundary."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
@@ -464,7 +467,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(pavg), li.l_partkey == F.col("pk"))
+        .join(pavg, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             round_fixed(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
