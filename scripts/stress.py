@@ -42,6 +42,7 @@ PROBES = [
     "sim_kmeans_assign",
     "tpch_q21_waiting_supplier",
     "dedup_paragraphs",
+    "corpus_clean_mix_pipeline",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
