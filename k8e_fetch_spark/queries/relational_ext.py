@@ -620,3 +620,90 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     return v.join(c, on="user_id", how="left").join(p, on="user_id", how="left")
+
+
+_CONSTRAINT_ORACLE = """
+    SELECT 'orders_fk_customer' AS constraint_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           ) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           (SELECT count(*) FROM customer WHERE c_name IS NULL)
+    UNION ALL
+    SELECT 'lineitem_ship_not_before_order',
+           (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+"""
+
+
+@register(
+    "quality_constraint_checks",
+    oracle=_CONSTRAINT_ORACLE,
+    tags=("ext-typed-relational", "constraints", "data-quality"),
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint validation — the pre-load
+    gate an ELT pipeline runs before the table sink (the reference
+    loads blind; a Postgres target would reject or, worse, accept bad
+    rows): referential integrity (orders->customer, lineitem->orders as
+    anti-join counts), domain ranges (discount in [0,1], positive
+    totals), null checks, and a cross-table temporal sanity join (no
+    line ships before its order). One row per constraint with its
+    violation count — zero everywhere on healthy data, and the shape
+    stays cheap at scale: FK checks are key-only anti-joins (dimension
+    side broadcasts; the fact-fact one shuffles keys, not payloads),
+    everything else folds into scan-local aggregates."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("constraint_name"), F.col("n_violations")
+        )
+
+    checks = [
+        one(
+            "orders_fk_customer",
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                how="left_anti",
+            ),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.select("l_orderkey").join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                how="left_anti",
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("orders_totalprice_positive", orders.filter(F.col("o_totalprice") <= 0)),
+        one("customer_name_not_null", customer.filter(F.col("c_name").isNull())),
+        one(
+            "lineitem_ship_not_before_order",
+            li.select("l_orderkey", "l_shipdate")
+            .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
