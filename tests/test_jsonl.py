@@ -124,3 +124,57 @@ def test_jsonl_streaming_incremental_ingest(spark, tmp_path):
     rows = sorted(map(tuple, comp.read().collect()))
     # doc 2 already present -> insert-ignore keeps one row per key pair
     assert rows == [(1, "en"), (2, "fr"), (3, "de")]
+
+
+def test_constraint_checks_catch_planted_violations(spark, tmp_path):
+    """Doctored copies of the tables -> every constraint's count
+    reflects exactly the violations planted into it."""
+    from pyspark.sql import functions as F
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    d = str(tmp_path)
+    customer = load(spark, SF_DIR, "customer")
+    orders = load(spark, SF_DIR, "orders")
+    li = load(spark, SF_DIR, "lineitem")
+
+    # null name + keep custkeys intact
+    bad_customer = customer.unionByName(
+        customer.limit(1).withColumn("c_name", F.lit(None).cast("string"))
+        .withColumn("c_custkey", F.lit(999_999).cast("bigint"))
+    )
+    # one orphan order (unknown custkey) + one non-positive total
+    bad_orders = orders.unionByName(
+        orders.limit(1)
+        .withColumn("o_orderkey", F.lit(888_888).cast("bigint"))
+        .withColumn("o_custkey", F.lit(123_456_789).cast("bigint"))
+    ).unionByName(
+        orders.limit(1)
+        .withColumn("o_orderkey", F.lit(888_889).cast("bigint"))
+        .withColumn("o_totalprice", F.lit(-5.0))
+    )
+    # one orphan lineitem + one out-of-range discount
+    bad_li = li.unionByName(
+        li.limit(1).withColumn("l_orderkey", F.lit(777_777).cast("bigint"))
+    ).unionByName(
+        li.limit(1)
+        .withColumn("l_discount", F.lit(1.5))
+        .withColumn("l_linenumber", F.lit(99))
+    )
+    bad_customer.write.parquet(f"{d}/customer.parquet")
+    bad_orders.write.parquet(f"{d}/orders.parquet")
+    bad_li.write.parquet(f"{d}/lineitem.parquet")
+
+    base = {
+        r["constraint_name"]: r["n_violations"]
+        for r in REGISTRY["quality_constraint_checks"].fn(spark, SF_DIR).collect()
+    }
+    got = {
+        r["constraint_name"]: r["n_violations"]
+        for r in REGISTRY["quality_constraint_checks"].fn(spark, d).collect()
+    }
+    assert got["orders_fk_customer"] == base["orders_fk_customer"] + 1
+    assert got["lineitem_fk_orders"] == base["lineitem_fk_orders"] + 1
+    assert got["lineitem_discount_range"] == base["lineitem_discount_range"] + 1
+    assert got["orders_totalprice_positive"] == base["orders_totalprice_positive"] + 1
+    assert got["customer_name_not_null"] == base["customer_name_not_null"] + 1
