@@ -966,27 +966,16 @@ _PARA_DEDUP_ORACLE = f"""
 """
 
 
-@register("dedup_paragraphs", oracle=_PARA_DEDUP_ORACLE, tags=("ext-exact-dedup", "paragraph"))
-def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph-level exact dedup, keep-first (the C4/Dolma recipe):
-    repeated paragraphs keep only their first (doc_id, position)
-    occurrence corpus-wide and documents are reassembled from the
-    survivors. This corpus has no newline delimiters, so paragraphs
-    are fixed {_PARA_W}-word segments — the operator
-    (operators/dedup.py:segment_dedup_keep_first) takes any
-    segmentation. Segmentation is scan-local (sequence -> slice ->
-    explode, no shuffle); then one groupBy on segment text with a
-    one-struct min buffer, one bounded per-document reassembly. The
-    oracle states keep-first with a window rank; the Spark side uses
-    the shuffle-lean groupBy-min form — same semantics."""
-    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
-
-    docs = fan_out(load(spark, sf_dir, "documents"))
+def _word_segments(docs: DataFrame) -> DataFrame:
+    """Scan-local pseudo-paragraph segmentation: fixed _PARA_W-word
+    windows as (doc_id, seg_idx, seg) rows — sequence -> slice ->
+    explode, no shuffle. Shared by dedup_paragraphs and the composed
+    curation pipeline."""
     toks = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     )
     starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_W))
-    segs = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -998,7 +987,25 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", F.col("c.seg_idx").alias("seg_idx"), F.col("c.seg").alias("seg"))
-    return segment_dedup_keep_first(segs)
+
+
+@register("dedup_paragraphs", oracle=_PARA_DEDUP_ORACLE, tags=("ext-exact-dedup", "paragraph"))
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup, keep-first (the C4/Dolma recipe):
+    repeated paragraphs keep only their first (doc_id, position)
+    occurrence corpus-wide and documents are reassembled from the
+    survivors. This corpus has no newline delimiters, so paragraphs
+    are fixed {_PARA_W}-word segments — the operator
+    (operators/dedup.py:segment_dedup_keep_first) takes any
+    segmentation. Segmentation is scan-local; then one groupBy on
+    segment text with a one-struct min buffer, one bounded
+    per-document reassembly. The oracle states keep-first with a
+    window rank; the Spark side uses the shuffle-lean groupBy-min form
+    — same semantics."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return segment_dedup_keep_first(_word_segments(docs))
 
 
 _TEMP_RATE_SQL = (
@@ -1150,23 +1157,7 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k8e_fetch_spark.operators.text import source_temperature_rates
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    toks = docs.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
-    )
-    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_W))
-    segs = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    ((s - 1) / _PARA_W).cast("int").alias("seg_idx"),
-                    F.concat_ws(" ", F.slice(F.col("t"), s, F.lit(_PARA_W))).alias("seg"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.seg_idx").alias("seg_idx"), F.col("c.seg").alias("seg"))
-    cleaned = segment_dedup_keep_first(segs)
+    cleaned = segment_dedup_keep_first(_word_segments(docs))
     scored = (
         cleaned.join(docs.select("doc_id", "source"), on="doc_id")
         .select(
