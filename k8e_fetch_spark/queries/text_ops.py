@@ -1179,3 +1179,44 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("rate"))
         .select("doc_id", "source", "quality", "n_kept", split.alias("split"))
     )
+
+
+_INCR_DEDUP_ORACLE = """
+    WITH old AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, source, fp FROM new
+    WHERE fp NOT IN (SELECT fp FROM old)
+"""
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("ext-exact-dedup", "incremental"),
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup — the daily/yearly-refresh shape (the
+    reference re-fetches whole statewide snapshots each cycle,
+    fetcher.bash VR_Snapshot handling; a Spark pipeline instead admits
+    only NEW content): documents arriving in the new batch are dropped
+    when their normalized fingerprint already exists in the ingested
+    corpus. Split is modeled by doc_id parity here; in production the
+    'old' side is the fingerprint column of the running store.
+
+    Scale shape: a key-only LEFT ANTI join on the 32-char md5 — the
+    historical side ships fingerprints, never text, and the join
+    shuffles 32-byte keys; with the store bucketed on fp (see
+    operators/scale.py:write_bucketed) the daily run needs no shuffle
+    on the historical side at all."""
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text")).alias("fp")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(fp)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
+    return new.join(old, on="fp", how="left_anti").select("doc_id", "source", "fp")
