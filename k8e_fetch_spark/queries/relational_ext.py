@@ -707,3 +707,49 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+_COHORT_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS INTEGER) AS weeks_since,
+           count(*) AS n_active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_retention_cohort",
+    oracle=_COHORT_ORACLE,
+    tags=("ext-typed-relational", "cohort", "retention"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis — the classic product-analytics shape:
+    users bucketed by first-seen week, activity counted per
+    (cohort week, weeks since). Exercises a self-derived dimension
+    (first_seen is an aggregate of the same fact it then joins) plus a
+    distinct-then-count two-level aggregation. Both derived frames key
+    on user_id, so the join rides one shuffle partitioning; the
+    distinct folds map-side before it."""
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    weeks_since = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        activity.join(first_seen, on="user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
