@@ -733,23 +733,26 @@ _COHORT_ORACLE = """
 def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort analysis — the classic product-analytics shape:
     users bucketed by first-seen week, activity counted per
-    (cohort week, weeks since). Exercises a self-derived dimension
-    (first_seen is an aggregate of the same fact it then joins) plus a
-    distinct-then-count two-level aggregation. Both derived frames key
-    on user_id, so the join rides one shuffle partitioning; the
-    distinct folds map-side before it."""
+    (cohort week, weeks since). The oracle states it as
+    first-seen-aggregate JOIN activity; the Spark plan exploits that
+    ``min`` commutes with the monotone ``date_trunc`` to express the
+    cohort week as a window-min over the user's distinct active weeks
+    — ONE fact scan and a single linear pipeline (the aggregate+join
+    form reads the fact twice; Spark does not unify duplicate
+    aggregate branches — the q21 lesson), with the distinct folding
+    map-side before the window."""
+    from pyspark.sql.window import Window
+
     events = load(spark, sf_dir, "events")
-    first_seen = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
     activity = events.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
+    cohort = F.min("active_week").over(Window.partitionBy("user_id"))
     weeks_since = (
         F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
     ).cast("int")
     return (
-        activity.join(first_seen, on="user_id")
+        activity.withColumn("cohort_week", cohort)
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
