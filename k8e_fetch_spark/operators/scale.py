@@ -117,3 +117,28 @@ def write_partitioned(
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy(*partition_cols).save(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """op-table-sink, range-clustered form: repartitionByRange +
+    sortWithinPartitions on the hot filter column(s) before the parquet
+    write. Each output file then covers a narrow, near-disjoint value
+    range, so its row-group min/max statistics let readers SKIP whole
+    files/row groups on a range predicate — the data-skipping layout
+    for columns too high-cardinality to directory-partition (timestamps,
+    ids). Complements write_partitioned (low-cardinality dirs) and
+    write_bucketed (join keys); verified by footer-statistics
+    inspection in tests/test_scale.py.
+
+    ``n_files`` caps output width; default keeps the session's range
+    partitioning (at scale: size so each file lands near the HDFS/S3
+    block sweet spot, ~128-512 MB).
+    """
+    cols = [F.col(c) for c in sort_cols]
+    ranged = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -202,3 +202,49 @@ def test_partitioned_dynamic_overwrite_scopes_to_present_partitions(spark, tmp_p
     # click partition replaced (shrunk to 5); every other partition intact
     assert after.filter(F.col("event_type") == "click").count() == 5
     assert after.count() == before - n_click_before + 5
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: each written file's footer min/max for
+    the sort column covers a narrow slice, and the slices are
+    (near-)disjoint across files — the property parquet row-group
+    skipping needs to prune range predicates."""
+    import pyarrow.parquet as pq
+
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.scale import write_range_sorted
+
+    path = str(tmp_path / "orders_ranged")
+    orders = load(spark, SF_DIR, "orders")
+    write_range_sorted(orders, path, ["o_orderdate"], n_files=4)
+
+    import os
+
+    files = sorted(
+        f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # consecutive files must not interleave beyond the range boundary:
+    # each file's max <= the next file's min (range partitioning puts
+    # boundary duplicates on one side, so strict disjointness holds up
+    # to equal boundary values)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # and a range predicate's matching files are a strict subset
+    lo, hi = ranges[0]
+    n_match = sum(1 for (l, h) in ranges if not (h < lo or l > hi))
+    assert n_match < len(ranges)
