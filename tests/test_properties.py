@@ -175,3 +175,58 @@ def test_segment_dedup_matches_reference_and_is_idempotent(spark_session_holder,
         for r in segment_dedup_keep_first(segs2).collect()
     }
     assert again == got
+
+
+_DOC_TEXT = st.text(
+    st.sampled_from(list('abcXYZ 09.,;\n\t"\\') + ["é", "ñ", "中", "文"]),
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1000), _DOC_TEXT), min_size=1, max_size=12,
+                unique_by=lambda r: r[0]))
+def test_jsonl_round_trips_arbitrary_text(spark_session_holder, tmp_path_factory, rows):
+    """Any text content — embedded newlines, quotes, backslashes,
+    non-ASCII — must survive the jsonl sink/source round trip intact
+    (the JSON encoder escapes line breaks, so line-delimited framing is
+    content-safe)."""
+    from pyspark.sql import types as T
+
+    from k8e_fetch_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    spark = spark_session_holder
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    path = str(tmp_path_factory.mktemp("jsonl_prop"))
+    df = spark.createDataFrame(rows, schema)
+    write_jsonl(df, path, compression=None)
+    back = read_jsonl(spark, path, schema, keep_corrupt=False)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+                          st.integers(1, 50)), min_size=1, max_size=4,
+                unique_by=lambda r: r[0]))
+def test_temperature_rates_match_python_reference(spark_session_holder, source_sizes):
+    """Rates match an independent Python implementation of the
+    alpha=0.5 rule (sqrt shares, capped, 6dp arithmetic rounding) on
+    arbitrary source-size distributions."""
+    import math
+
+    from k8e_fetch_spark.operators.text import source_temperature_rates
+
+    spark = spark_session_holder
+    rows = [(f"{src}-{i}", src) for src, n in source_sizes for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r["source"]: r["rate"] for r in source_temperature_rates(docs).collect()}
+
+    total = sum(n for _, n in source_sizes)
+    z = sum(math.sqrt(n) for _, n in source_sizes)
+    want = {}
+    for src, n in source_sizes:
+        raw = (0.5 * total) * (math.sqrt(n) / z) / n
+        want[src] = min(1.0, math.floor(raw * 1e6 + 0.5) / 1e6)
+    assert got == want
