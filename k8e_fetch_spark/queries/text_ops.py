@@ -1024,7 +1024,7 @@ _TEMP_SAMPLE_ORACLE = f"""
     rates AS (SELECT source, {_TEMP_RATE_SQL} AS rate FROM counts, tot)
     SELECT d.doc_id, d.source, r.rate
     FROM documents d JOIN rates r ON d.source = r.source
-    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           / 4294967296.0 < r.rate
 """
 
@@ -1041,8 +1041,13 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     small high-value sources against bulk web crawl; the overall
     target is half the corpus. Per-source keep rate = target *
     weight_i / n_i (capped at 1), membership a pure md5 hash-fraction
-    of doc_id — deterministic, stable under repartitioning, reruns and
-    corpus growth.
+    of 'mix:'+doc_id — deterministic, stable under repartitioning,
+    reruns and corpus growth. The hash is DOMAIN-SALTED ('mix:') so it
+    is statistically independent of every other hash decision keyed on
+    the raw doc_id (the train/val/test split bucket): un-salted, the
+    same md5 drives both, and keep-rate < 0.5 forces first-hex < '8'
+    which is always inside the 'train' bucket — a 100%-train selection
+    bias caught by composing this op with corpus_split_assign.
 
     Scale shape: the per-source counts and rates are a dimension-sized
     aggregate broadcast back; the corpus side is ONE scan-local filter
@@ -1059,7 +1064,7 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     rates = source_temperature_rates(docs, target_frac=0.5)
-    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+    frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
         "bigint"
     ) / F.lit(4294967296.0)
     return (
@@ -1126,7 +1131,7 @@ _CLEAN_MIX_ORACLE = f"""
                 WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
                 ELSE 'test' END AS split
     FROM scored s JOIN rates r ON s.source = r.source
-    WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           / 4294967296.0 < r.rate
 """
 
@@ -1152,7 +1157,10 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine: quality is a per-row function of the string (identical
     bits both engines) rounded to 6dp BEFORE the floor comparison; the
-    rate rounding follows sample_source_temperature."""
+    rate rounding follows sample_source_temperature, and the sampling
+    hash is domain-salted ('mix:') so the split assignment on the raw
+    doc_id hash stays independent — without the salt every sampled doc
+    lands in 'train' (see sample_source_temperature)."""
     from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
     from k8e_fetch_spark.operators.text import source_temperature_rates
 
@@ -1169,7 +1177,7 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= 0.5)
     )
     rates = source_temperature_rates(scored, target_frac=0.5)
-    frac = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+    frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
         "bigint"
     ) / F.lit(4294967296.0)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
