@@ -222,8 +222,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRATA = {"en": "33", "fr": "19", "de": "19", "es": "0c"}  # hex byte ceilings
+# domain-salted ('strata:') so stratified membership is independent of
+# the split assignment's raw-doc_id hash — see sample_source_temperature
 _STRATA_SQL = " ".join(
-    f"WHEN lang = '{lang}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{ceil}'"
+    f"WHEN lang = '{lang}' THEN substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '{ceil}'"
     for lang, ceil in _STRATA.items()
 )
 
@@ -239,12 +241,16 @@ _STRATA_SQL = " ".join(
 def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with per-language rates (en ~20%, fr/de ~10%,
     es ~5%) — the training-mixture rebalancing op. Membership is a pure
-    hash of the row key (first md5 byte vs a per-stratum ceiling):
+    hash of the salted row key ('strata:'+doc_id — its own hash domain,
+    independent of the split assignment; first md5 byte vs a
+    per-stratum ceiling):
     deterministic, engine-independent, stable under repartitioning and
     reruns — properties ``df.sample(seed=)`` does NOT give you across
     engines or partitionings. Scan-local filter; no shuffle."""
     docs = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("strata:"), F.col("doc_id").cast("string"))), 1, 2
+    )
     keep = None
     for lang, ceil in _STRATA.items():
         cond = (F.col("lang") == lang) & (bucket <= ceil)
