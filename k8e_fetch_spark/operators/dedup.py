@@ -106,19 +106,23 @@ def keep_best_per_cluster(
     id, so the policy is deterministic.
 
     One shuffle on the cluster key with map-side partial aggregation:
-    argmax is a struct ``min`` ordered by (-quality, id) — highest
-    quality first, then smallest id — so no window sort and no
-    join-back; buffer per cluster is one struct regardless of cluster
-    size (mega-cluster safe). The id tie-break uses the column's OWN
-    ordering, so string doc ids (URLs, UUIDs — the common web-corpus
-    case) work as well as numeric ones and ``keep_doc_id`` keeps the
-    input id type. ``quality`` must be numeric (it is negated for the
-    ordering); NaN quality sorts as worst.
+    argmax is a struct ``min`` ordered by (null-flag, -quality, id) —
+    non-null first, then highest quality, then smallest id — so no
+    window sort and no join-back; buffer per cluster is one struct
+    regardless of cluster size (mega-cluster safe). The id tie-break
+    uses the column's OWN ordering, so string doc ids (URLs, UUIDs —
+    the common web-corpus case) work as well as numeric ones and
+    ``keep_doc_id`` keeps the input id type. ``quality`` must be
+    numeric; NULL and NaN quality both sort as worst (the leading
+    null-flag handles NULL — without it a NULL struct field sorts
+    FIRST under ascending min and a missing score would beat every
+    real one; -NaN is NaN, which Spark orders after every double).
     Returns (cluster, keep id, its quality, member count).
     """
     joined = clusters.join(quality, on=id_col)
     best = F.min(
         F.struct(
+            F.col(quality_col).isNull().alias("q_missing"),
             (-F.col(quality_col)).alias("neg_q"),
             F.col(id_col).alias("id"),
             F.col(quality_col).alias("q"),
@@ -141,6 +145,7 @@ def segment_dedup_keep_first(
     id_col: str = "doc_id",
     idx_col: str = "seg_idx",
     text_col: str = "seg",
+    joiner: str = " ",
 ) -> DataFrame:
     """Paragraph/segment-level exact dedup, keep-first (the C4/Dolma
     recipe): across the WHOLE corpus, every repeated paragraph keeps
@@ -152,7 +157,9 @@ def segment_dedup_keep_first(
 
     Input is one row per segment (id, idx, text); pair with a
     segmenter (split on blank lines for real corpora, fixed word
-    windows for delimiter-free text).
+    windows for delimiter-free text) and pass the MATCHING ``joiner``
+    ("\n\n" for blank-line paragraphs) so reassembly restores the
+    original delimiter instead of flattening boundaries to spaces.
 
     Scale shape — two shuffles, both buffer-bounded:
     1. keep-first is a groupBy on the segment TEXT with a one-struct
@@ -177,7 +184,7 @@ def segment_dedup_keep_first(
     return (
         kept.groupBy(id_col)
         .agg(
-            F.concat_ws(" ", F.transform(ordered, lambda s: s["t"])).alias("cleaned_text"),
+            F.concat_ws(joiner, F.transform(ordered, lambda s: s["t"])).alias("cleaned_text"),
             F.count(F.lit(1)).cast("int").alias("n_kept"),
         )
     )

@@ -200,19 +200,28 @@ def decode_media_wav(
 
     from k8e_fetch_spark.operators.wav import decode_wav
 
-    def stats(rate: int, n_frames: int, samples: list[int]) -> list[float]:
+    def stats(rate: int, channels: int, n_frames: int, samples: list[int]) -> list[float]:
         n = len(samples)
         if n == 0:
             return [0.0, 0.0, 0.0, 0.0, 0.0]
+        # samples are INTERLEAVED (L,R,L,R,...): zero crossings must be
+        # counted per channel — adjacent interleaved values belong to
+        # different channels, and a constant L=+x / R=-x stereo stream
+        # would otherwise read as zc_frac ~= 1.0 when the truth is 0.
+        ch = max(1, channels)
         zc = sum(
-            1 for i in range(1, n) if (samples[i] < 0) != (samples[i - 1] < 0)
+            1
+            for c in range(ch)
+            for prev, cur in zip(samples[c::ch], samples[c + ch :: ch])
+            if (cur < 0) != (prev < 0)
         )
+        n_steps = sum(max(0, len(samples[c::ch]) - 1) for c in range(ch))
         return [
             n_frames / rate if rate else 0.0,
             max(abs(s) for s in samples) / 32768.0,
             math.sqrt(sum(s * s for s in samples) / n) / 32768.0,
             (sum(samples) / n) / 32768.0,
-            zc / (n - 1) if n > 1 else 0.0,
+            zc / n_steps if n_steps else 0.0,
         ]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,7 +238,7 @@ def decode_media_wav(
                             rate,
                             channels,
                             n_frames,
-                            stats(rate, n_frames, samples),
+                            stats(rate, channels, n_frames, samples),
                         )
                     )
                 except (ValueError, struct.error, EOFError):

@@ -143,8 +143,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    # Bounded inflate: the IHDR already fixes the exact decompressed
+    # size, so cap decompression there instead of trusting the stream —
+    # an unbounded zlib.decompress lets a kilobyte DEFLATE bomb claim
+    # gigabytes and OOM the executor (MemoryError would bypass the
+    # quarantine catch in decode_media_png and kill the task).
+    expected = (stride + 1) * height
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != expected:
         raise ValueError("IDAT length does not match dimensions")
     out = bytearray(stride * height)
     prev = bytes(stride)

@@ -32,6 +32,46 @@ _N_TOKENS_SQL = (
 )
 
 
+# ---- shared hash-decision expressions ------------------------------------
+# ONE definition each for the split bucket (owner of the raw-doc_id hash
+# domain) and the 'mix:'-salted sampling fraction, used by every query
+# AND its oracle below — the two decisions must stay independent AND
+# each internally consistent across queries (see the salt rationale in
+# sample_source_temperature; an edit in one copy silently desyncing
+# another is exactly the coupled-hash bug class).
+_SPLIT_TRAIN_CEIL, _SPLIT_VAL_CEIL = "cb", "e5"  # ~80 / ~10 / ~10
+
+
+def _split_sql(doc: str = "doc_id") -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({doc} AS VARCHAR)), 1, 2) <= '{_SPLIT_TRAIN_CEIL}' THEN 'train' "
+        f"WHEN substr(md5(CAST({doc} AS VARCHAR)), 1, 2) <= '{_SPLIT_VAL_CEIL}' THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+def _split_col() -> "F.Column":
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        F.when(bucket <= _SPLIT_TRAIN_CEIL, "train")
+        .when(bucket <= _SPLIT_VAL_CEIL, "val")
+        .otherwise("test")
+    )
+
+
+def _mix_frac_sql(doc: str = "doc_id") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('mix:' || CAST({doc} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+
+
+def _mix_frac_col() -> "F.Column":
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(4294967296.0)
+
+
 @register(
     "text_stats_per_lang",
     oracle=f"""
@@ -836,11 +876,8 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_split_assign",
-    oracle="""
-        SELECT doc_id, source,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
-                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
-                    ELSE 'test' END AS split
+    oracle=f"""
+        SELECT doc_id, source, {_split_sql()} AS split
         FROM documents
     """,
     tags=("ext-text-stats", "split"),
@@ -853,11 +890,7 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (old docs never switch splits) and engine changes. Scan-local
     projection; zero shuffle."""
     docs = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket <= "cb", "train").when(bucket <= "e5", "val").otherwise("test")
-    )
-    return docs.select("doc_id", "source", split.alias("split"))
+    return docs.select("doc_id", "source", _split_col().alias("split"))
 
 
 @register(
@@ -1030,8 +1063,7 @@ _TEMP_SAMPLE_ORACLE = f"""
     rates AS (SELECT source, {_TEMP_RATE_SQL} AS rate FROM counts, tot)
     SELECT d.doc_id, d.source, r.rate
     FROM documents d JOIN rates r ON d.source = r.source
-    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          / 4294967296.0 < r.rate
+    WHERE {_mix_frac_sql('d.doc_id')} < r.rate
 """
 
 
@@ -1070,12 +1102,9 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     rates = source_temperature_rates(docs, target_frac=0.5)
-    frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
-        "bigint"
-    ) / F.lit(4294967296.0)
     return (
         docs.join(F.broadcast(rates), on="source")
-        .filter(frac < F.col("rate"))
+        .filter(_mix_frac_col() < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
 
@@ -1133,12 +1162,9 @@ _CLEAN_MIX_ORACLE = f"""
             FROM counts),
     rates AS (SELECT source, {_TEMP_RATE_SQL} AS rate FROM counts, tot)
     SELECT s.doc_id, s.source, s.quality, s.n_kept,
-           CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
-                WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
-                ELSE 'test' END AS split
+           {_split_sql('s.doc_id')} AS split
     FROM scored s JOIN rates r ON s.source = r.source
-    WHERE CAST(('0x' || substr(md5('mix:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          / 4294967296.0 < r.rate
+    WHERE {_mix_frac_sql('s.doc_id')} < r.rate
 """
 
 
@@ -1183,15 +1209,10 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= 0.5)
     )
     rates = source_temperature_rates(scored, target_frac=0.5)
-    frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast(
-        "bigint"
-    ) / F.lit(4294967296.0)
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(bucket <= "cb", "train").when(bucket <= "e5", "val").otherwise("test")
     return (
         scored.join(F.broadcast(rates), on="source")
-        .filter(frac < F.col("rate"))
-        .select("doc_id", "source", "quality", "n_kept", split.alias("split"))
+        .filter(_mix_frac_col() < F.col("rate"))
+        .select("doc_id", "source", "quality", "n_kept", _split_col().alias("split"))
     )
 
 

@@ -70,7 +70,12 @@ def read_jsonl(
         full = T.StructType(
             schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
         )
-        raw = spark.read.text(path)
+        # skip truly-empty lines, exactly like the JSON datasource does
+        # (a trailing newline or blank separator is formatting, not a
+        # corrupt record — leaving them in would inflate quarantine
+        # counts relative to the keep_corrupt=False path); whitespace-only
+        # lines stay, and parse as corrupt, on both paths.
+        raw = spark.read.text(path).filter(F.col("value") != "")
         parsed = raw.select(
             F.from_json(
                 F.col("value"),

@@ -363,3 +363,33 @@ def test_segment_dedup_and_rates_on_empty_input(spark):
     assert segment_dedup_keep_first(empty_segs).count() == 0
     empty_docs = spark.createDataFrame([], "doc_id long, source string")
     assert source_temperature_rates(empty_docs).count() == 0
+
+
+def test_keep_best_skips_null_quality(spark):
+    """A NULL quality must sort as WORST, not win the struct-min: the
+    0.9 doc is kept, NULL members still count."""
+    from k8e_fetch_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, "c"), (2, "c"), (3, "c")], ["doc_id", "cluster_id"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 0.9)], "doc_id long, quality double"
+    )
+    row = keep_best_per_cluster(clusters, quality).collect()[0]
+    assert (row["keep_doc_id"], row["best_quality"], row["n_members"]) == (3, 0.9, 3)
+    # all-null cluster still yields a deterministic (smallest-id) keeper
+    q2 = spark.createDataFrame([(1, None), (2, None), (3, None)], "doc_id long, quality double")
+    row2 = keep_best_per_cluster(clusters, q2).collect()[0]
+    assert (row2["keep_doc_id"], row2["best_quality"]) == (1, None)
+
+
+def test_segment_dedup_custom_joiner(spark):
+    """Blank-line paragraph corpora reassemble with their own delimiter."""
+    from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
+
+    segs = spark.createDataFrame(
+        [(1, 0, "para one"), (1, 1, "para two")], ["doc_id", "seg_idx", "seg"]
+    )
+    out = segment_dedup_keep_first(segs, joiner="\n\n").collect()[0]
+    assert out["cleaned_text"] == "para one\n\npara two"

@@ -178,3 +178,20 @@ def test_constraint_checks_catch_planted_violations(spark, tmp_path):
     assert got["lineitem_discount_range"] == base["lineitem_discount_range"] + 1
     assert got["orders_totalprice_positive"] == base["orders_totalprice_positive"] + 1
     assert got["customer_name_not_null"] == base["customer_name_not_null"] + 1
+
+
+def test_jsonl_blank_lines_are_not_corrupt(spark, tmp_path):
+    """Blank separator lines are formatting, not corrupt records: both
+    the quarantine and DROPMALFORMED paths must agree on good/bad
+    accounting for a file containing them."""
+    p = tmp_path / "blanks.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a", "lang": "en", "source": "s", "n_chars": 1}\n'
+        "\n"
+        '{"doc_id": 2, "text": "b", "lang": "fr", "source": "s", "n_chars": 1}\n'
+        "\n\n"
+    )
+    good, bad = split_corrupt(read_jsonl(spark, str(p), DOCUMENTS_SCHEMA))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 0
+    assert read_jsonl(spark, str(p), DOCUMENTS_SCHEMA, keep_corrupt=False).count() == 2

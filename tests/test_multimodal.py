@@ -6,6 +6,7 @@ the geometry columns are additionally oracle-checked by mm_decode_meta).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.operators.multimodal import (
@@ -184,3 +185,43 @@ def test_wav_decode_stage_stats(spark):
         assert (g["sample_rate"], g["n_channels"], g["n_frames"]) == (rate, 1, n)
         for a, b in zip(g["features"], feats):
             assert abs(a - b) < 1e-6, (i, g["features"], feats)
+
+
+def test_png_decompression_bomb_rejected():
+    """A tiny-IHDR PNG whose IDAT inflates to 100 MB must raise
+    ValueError from the bounded inflate (quarantine path), never
+    materialize the expansion (MemoryError would kill the task)."""
+    import struct
+    import zlib
+
+    from k8e_fetch_spark.operators.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1 grayscale
+    idat = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)
+    bomb = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+
+
+def test_wav_zero_crossings_are_per_channel(spark):
+    """Stereo with constant L=+1000 / R=-1000 has ZERO per-channel
+    crossings; the interleaved stream alternates sign every sample, so
+    a naive implementation would report ~1.0."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_wav
+    from k8e_fetch_spark.operators.wav import encode_wav
+
+    payload = encode_wav(8000, 2, [1000, -1000] * 50)  # 50 stereo frames
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [payload]}))
+    row = decode_media_wav(df).collect()[0]
+    assert row["n_channels"] == 2
+    assert row["features"][4] == 0.0
