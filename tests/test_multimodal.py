@@ -225,3 +225,29 @@ def test_wav_zero_crossings_are_per_channel(spark):
     row = decode_media_wav(df).collect()[0]
     assert row["n_channels"] == 2
     assert row["features"][4] == 0.0
+
+
+def test_avi_round_trip_and_consistency_guard():
+    """Real RIFF/AVI bytes round-trip through the container codec; a
+    frame-count mismatch between the avih header and the movi list is
+    rejected (quarantine path, not garbage)."""
+    import struct
+
+    from k8e_fetch_spark.operators.avi import decode_avi, encode_avi
+
+    frames = [bytes([k]) * (5 + k) for k in range(6)]
+    data = encode_avi(128, 96, 40000, frames)
+    w, h, uspf, n, sizes = decode_avi(data)
+    assert (w, h, uspf, n) == (128, 96, 40000, 6)
+    assert sizes == [5 + k for k in range(6)]
+
+    # tamper: declare one extra frame in avih (offset: RIFF(12) +
+    # LIST hdr(8) + 'hdrl'(4) + avih hdr(8) + 4 dwords -> dwTotalFrames)
+    bad = bytearray(data)
+    off = 12 + 8 + 4 + 8 + 16
+    struct.pack_into("<I", bad, off, 7)
+    try:
+        decode_avi(bytes(bad))
+        raise AssertionError("mismatch accepted")
+    except ValueError:
+        pass
