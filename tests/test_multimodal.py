@@ -251,3 +251,23 @@ def test_avi_round_trip_and_consistency_guard():
         raise AssertionError("mismatch accepted")
     except ValueError:
         pass
+
+
+def test_avi_stage_quarantines_and_handles_zero_frames(spark):
+    """Non-AVI payloads quarantine as null rows; a legal zero-frame
+    container yields 0 frames / empty sample list, not a crash."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.avi import encode_avi
+    from k8e_fetch_spark.operators.multimodal import decode_media_avi
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [b"definitely not RIFF", encode_avi(64, 48, 40000, [])],
+        }
+    )
+    got = {r["doc_id"]: r for r in decode_media_avi(spark.createDataFrame(rows)).collect()}
+    assert got[1]["width"] is None and got[1]["sampled_frames"] == []
+    assert (got[2]["n_frames"], got[2]["duration_us"], got[2]["sampled_frames"]) == (0, 0, [])
+    assert got[2]["mean_frame_bytes"] == 0.0
