@@ -58,6 +58,36 @@ MEDIA_FEATURES_SCHEMA = StructType(
 N_FEATURES = 8
 
 
+def sniff_media_format(payload_col):
+    """Magic-byte format sniff as a pure column expression (JVM-side,
+    codegen — no Python in the hot path). Returns one of ``png jpeg
+    gif wav avi riff unknown``. At 100 TB this is the router in front
+    of the decode stages AND the quarantine reason: a payload that
+    sniffs ``jpeg`` but lands in the PNG decoder's null-metadata rows
+    is 'unsupported format', not 'corrupt data' — distinguishable
+    without decoding a single byte in Python.
+
+    JPEG has no stdlib decoder, so it is a documented codec boundary:
+    sniffed, routed to quarantine by :func:`decode_media_png`, never
+    silently misparsed (the PNG signature check rejects it up front).
+    """
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    head = F.substring(c, 1, 4)
+    riff_kind = F.substring(c, 9, 4)
+    return (
+        F.when(head == F.lit(b"\x89PNG"), F.lit("png"))
+        .when(F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(F.substring(c, 1, 3) == F.lit(b"GIF"), F.lit("gif"))
+        .when(
+            head == F.lit(b"RIFF"),
+            F.when(riff_kind == F.lit(b"WAVE"), F.lit("wav"))
+            .when(riff_kind == F.lit(b"AVI "), F.lit("avi"))
+            .otherwise(F.lit("riff")),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real codec.
 
@@ -337,6 +367,11 @@ def decode_media_avi(
     opaque) — production frame sampling skips decoding unsampled
     frames exactly the same way. Undecodable payloads quarantine as
     null-metadata rows."""
+    # Validate config at plan time: a sample_every of 0 would raise
+    # inside the per-row try and silently quarantine EVERY row — a
+    # config error must fail loudly, not read as 100% data corruption.
+    if sample_every < 1:
+        raise ValueError(f"sample_every must be >= 1, got {sample_every}")
     from k8e_fetch_spark.operators.avi import decode_avi
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

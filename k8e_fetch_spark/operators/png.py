@@ -32,6 +32,11 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # channels per color type (8-bit depth only — the common web case)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Hard cap on the IHDR-declared filtered pixel buffer (~64 Mpx RGBA +
+# filter bytes). Corpus images beyond this are not plausible training
+# inputs; decode_png raises (→ quarantine) rather than allocating.
+_MAX_PIXEL_BYTES = 256 * 1024 * 1024
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -148,7 +153,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     # an unbounded zlib.decompress lets a kilobyte DEFLATE bomb claim
     # gigabytes and OOM the executor (MemoryError would bypass the
     # quarantine catch in decode_media_png and kill the task).
+    # The IHDR itself is attacker-controlled too: the 4-byte dimension
+    # fields can declare up to ~2^35 pixel bytes, so a consistent
+    # large-IHDR bomb would still materialize gigabytes before the
+    # length check. Cap the declared pixel buffer outright — rows above
+    # it quarantine via the same ValueError path.
     expected = (stride + 1) * height
+    if expected > _MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"declared pixel buffer {expected} B exceeds cap {_MAX_PIXEL_BYTES} B"
+        )
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if d.unconsumed_tail:

@@ -360,13 +360,19 @@ def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NULL-priority rows must land in NEITHER count: the oracle's
+    # NOT IN evaluates to NULL for a NULL priority (counted 0), so a
+    # bare .otherwise(1) here would diverge if priorities ever gain
+    # NULLs. Guard the low branch on isNotNull to pin both engines to
+    # the same semantics.
+    low = F.col("o_orderpriority").isNotNull() & ~high
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(low, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

@@ -24,8 +24,12 @@ def _canon_value(v: Any) -> str:
         return repr(v)
     if isinstance(v, (np.floating,)):
         return _canon_value(float(v))
-    if isinstance(v, bool):
-        return f"bool:{v}"
+    # bool and np.bool_ MUST canonicalize identically for the same
+    # reason as ints below: np.bool_ is NOT a bool subclass, and which
+    # one arrives depends on the engine/Arrow path (python bool from a
+    # non-Arrow Spark toPandas, np.bool_ from DuckDB .df()).
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
     # plain python ints and numpy ints MUST canonicalize identically:
     # ints inside array cells arrive as python ints from a non-Arrow
     # Spark toPandas but as numpy ints from DuckDB .df() (and from an

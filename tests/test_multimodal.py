@@ -271,3 +271,149 @@ def test_avi_stage_quarantines_and_handles_zero_frames(spark):
     assert got[1]["width"] is None and got[1]["sampled_frames"] == []
     assert (got[2]["n_frames"], got[2]["duration_us"], got[2]["sampled_frames"]) == (0, 0, [])
     assert got[2]["mean_frame_bytes"] == 0.0
+
+
+def _minimal_baseline_jpeg() -> bytes:
+    """Construct a structurally real baseline JFIF JPEG (SOI, APP0,
+    DQT, SOF0, DHT, SOS, entropy data, EOI — every segment with a
+    correct big-endian length). This is the single most common
+    web-corpus image format and the engine's documented codec boundary:
+    no stdlib decoder exists, so it must route to quarantine."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xFFDB, b"\x00" + bytes([16] * 64))
+    # SOF0: 8-bit, 1x1, 1 component (id 1, sampling 0x11, qtable 0)
+    sof0 = seg(0xFFC0, b"\x08\x00\x01\x00\x01\x01\x01\x11\x00")
+    # DHT: DC table 0 with one 2-bit code
+    dht = seg(0xFFC4, b"\x00" + bytes([0, 1] + [0] * 14) + b"\x00")
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + b"\xb5" + b"\xff\xd9"
+
+
+def test_jpeg_routes_to_quarantine_with_reason(spark):
+    """A REAL (structurally valid baseline JFIF) JPEG payload must (a)
+    sniff as 'jpeg' via the JVM-side magic-byte router, and (b)
+    quarantine as a null-metadata row in the PNG decode stage — the
+    documented codec boundary — without erroring the batch or
+    corrupting neighbouring rows."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import (
+        decode_media_png,
+        sniff_media_format,
+    )
+    from k8e_fetch_spark.operators.png import encode_png
+
+    jpeg = _minimal_baseline_jpeg()
+    assert jpeg[:3] == b"\xff\xd8\xff" and jpeg[-2:] == b"\xff\xd9"
+    png = encode_png(2, 2, bytes(range(12)), color_type=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [jpeg, png]})
+    )
+    sniffed = dict(
+        df.select("doc_id", sniff_media_format("payload").alias("fmt")).collect()
+    )
+    assert sniffed == {1: "jpeg", 2: "png"}
+
+    got = {r["doc_id"]: r for r in decode_media_png(df).collect()}
+    # JPEG: quarantined (null dims, empty features), byte_len preserved
+    assert got[1]["width"] is None and got[1]["features"] == []
+    assert got[1]["byte_len"] == len(jpeg)
+    # the PNG row in the same batch decodes normally
+    assert (got[2]["width"], got[2]["height"]) == (2, 2)
+
+
+def test_sniff_media_format_covers_all_magics(spark):
+    """The sniffer distinguishes every container the engine can meet:
+    png/jpeg/gif/wav/avi/other-riff/unknown — as a pure column
+    expression (no Python UDF in the plan)."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.avi import encode_avi
+    from k8e_fetch_spark.operators.multimodal import sniff_media_format
+    from k8e_fetch_spark.operators.png import encode_png
+    from k8e_fetch_spark.operators.wav import encode_wav
+
+    payloads = {
+        1: (encode_png(1, 1, b"\x00\x00\x00"), "png"),
+        2: (_minimal_baseline_jpeg(), "jpeg"),
+        3: (b"GIF89a" + b"\x00" * 10, "gif"),
+        4: (encode_wav(8000, 1, [0, 1]), "wav"),
+        5: (encode_avi(8, 8, 40000, [b"x"]), "avi"),
+        6: (b"RIFF\x04\x00\x00\x00WEBP", "riff"),
+        7: (b"plain text bytes", "unknown"),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(payloads), "payload": [v[0] for v in payloads.values()]}
+        )
+    )
+    got = dict(
+        df.select("doc_id", sniff_media_format("payload").alias("fmt")).collect()
+    )
+    assert got == {k: v[1] for k, v in payloads.items()}
+
+
+def test_png_large_ihdr_bomb_rejected():
+    """The large-IHDR variant of the decompression bomb: a crafted PNG
+    declaring huge (consistent!) dimensions must be rejected by the
+    declared-size cap BEFORE any allocation — the 4-byte dimension
+    fields can claim ~2^35 pixel bytes from a kilobyte payload."""
+    import struct
+    import zlib
+
+    from k8e_fetch_spark.operators.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 65536 x 65536 grayscale -> ~4.3 GB declared pixel buffer
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 1024, 9)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        decode_png(bomb)
+
+
+def test_avi_sample_every_validated_at_plan_time(spark):
+    """sample_every=0 must raise loudly when the stage is BUILT — not
+    quarantine every row at run time (a config error must never be
+    indistinguishable from 100% data corruption)."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.avi import encode_avi
+    from k8e_fetch_spark.operators.multimodal import decode_media_avi
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [encode_avi(8, 8, 40000, [b"x"])]})
+    )
+    with pytest.raises(ValueError, match="sample_every"):
+        decode_media_avi(df, sample_every=0)
+
+
+def test_canon_value_bool_types_identical():
+    """python bool and np.bool_ must canonicalize identically (which
+    one arrives depends on the engine/Arrow path), and neither may
+    collide with int 1/0."""
+    import numpy as np
+
+    from k8e_fetch_spark.testing import _canon_value
+
+    assert _canon_value(True) == _canon_value(np.bool_(True)) == "bool:True"
+    assert _canon_value(False) == _canon_value(np.bool_(False)) == "bool:False"
+    assert _canon_value(True) != _canon_value(1)
+    assert _canon_value(np.bool_(False)) != _canon_value(0)
