@@ -96,104 +96,100 @@ def register(
 # is exactly 50 names — one correctness row per capability, oracle-
 # bearing queries first, then the rows-only LSH/iterative flagships.
 _PRIORITY = (
-    # Rotation policy (established r4, continued r5): rows with 3-4
+    # Rotation policy (established r4, continued r5-r6): rows with 3-4
     # rounds of green driver history rotate OUT each round to give
     # never-driver-checked oracle queries a recorded CORRECTNESS row;
     # rotated-out ops keep that recorded history plus pytest parity
-    # (tests/test_oracle_parity.py) as evidence. Rotated out in r5
-    # (each 4×green, CORRECTNESS_r01-r04): catalog_include_keys,
-    # catalog_temporal_prune, compress_distinct_status,
-    # compress_component_union, compress_insert_ignore,
-    # repair_quote_malformed, repair_header_norm, mm_binary_meta,
-    # dedup_ngram_jaccard, sim_topk_cosine_exact,
-    # sim_cosine_pairs_threshold, tpch_q1_pricing_summary,
-    # tpch_q3_shipping_priority, tpch_q5_local_supplier,
-    # window_order_rank. Rotated IN: the 15 oracle-bearing queries with
-    # zero driver history (retention/corpus-mixing/star-CC/funnel/
-    # hybrid-search/q10 — VERDICT r4 next-round #1). Previously rotated
-    # out (r4): catalog_sync_delta, catalog_skip_unknown,
-    # compress_schema_clone/add_column/concat_expr, sim_embedding_norms,
-    # text_token_count/chunk/redact, sample_stratified_deterministic.
-    # LATE-ROUND-5 swaps (same policy applied to rows that reached 3-4
-    # greens, freeing seats for this round's new flagships):
-    # join_range_price_bands (4x green r1-r4) ->
-    # tpch_q21_waiting_supplier; text_fingerprint (3x green r2-r4) ->
-    # dedup_paragraphs; array_funcs_embeddings (3x green r2-r4) ->
-    # sample_source_temperature. Capability balance holds: range-join
-    # keeps its r1-r4 history + pytest parity, exact-dedup stays
-    # covered in-window by dedup_exact_documents plus the paragraph
-    # form, array functions by sim_quantize_int8 / sim_hybrid_search.
+    # (tests/test_oracle_parity.py) as evidence.
     #
-    # §2.1/§2.2 catalog scan + filters (version-latest had an r2 miss,
-    # keeps its seat for a 4th green)
-    "catalog_version_latest",
+    # ROUND-6 ROTATION (VERDICT r5 next-round #1/#2): 22 rows at 3-4
+    # greens rotate out — catalog_version_latest x4, mm_decode_meta x4,
+    # text_stats_per_lang / text_language_id / text_quality_score x4,
+    # corpus_prep_pipeline x4, dedup_exact_documents x4,
+    # join_asof_purchase x4, map_funcs_events x3, cube_orders /
+    # rollup_lineitem / grouping_sets_orders x3, the three
+    # events_*_window rows x3, stream_tumbling_available_now /
+    # stream_stateful_user_stats x3, dedup_simhash_planted /
+    # dedup_clusters_planted x3, sim_topk_ivf_planted /
+    # sim_kmeans_assign_oracle x3, ingest_zip_decode_repair x3.
+    # Rotated IN: the 17 never-driver-checked TPC-H rows (the
+    # relational showcase was the least-attested surface) plus 5
+    # oracle-bearing zero-history flagships (clean-mix, constraint
+    # gates, incremental snapshot, retention cohort, real-PNG decode).
+    # EXCEPTION to the pure green-count policy: dedup_minhash_lsh_planted
+    # and sim_cosine_lsh_planted hold their seats at 4 greens because
+    # their code paths change this round (exact-verify rework, footer-
+    # based sizing) — changed code gets a fresh driver row before its
+    # history is trusted. Remaining zero-history rows
+    # (mm_decode_audio_real, mm_decode_video_real + the four rows-only:
+    # dedup_minhash_lsh, text_winnowing_fingerprint,
+    # text_compression_ratio, sim_topk_ivf_trained) rotate in next
+    # round so every declared query has a driver row by round 7.
+    #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",
-    # ext-multimodal
-    "mm_decode_meta",
+    # ext-multimodal (stub-codec features + REAL PNG decode, first row)
     "mm_decode_features",
-    # ext-text-stats + corpus prep (first-time driver rows first)
+    "mm_decode_real",
+    # ext-text-stats + corpus prep (1-2 greens, keep seats)
     "text_vocabulary",
     "text_unigram_logprob",
     "text_repetition_filter",
     "text_sequence_packing",
     "text_shingle_novelty",
-    "text_stats_per_lang",
-    "text_language_id",
-    "text_quality_score",
     "dedup_paragraphs",
     "text_tfidf_topk",
     "text_decontaminate_ngram",
-    "corpus_prep_pipeline",
-    # corpus mixing / retention / sampling (round-4 flagships, first
-    # driver rows)
+    # corpus mixing / retention / sampling (+ the composed clean-mix
+    # flagship, first driver row)
     "corpus_source_profile",
     "corpus_split_assign",
     "sample_token_budget",
+    "sample_source_temperature",
+    "corpus_clean_mix_pipeline",
+    # dedup family (incremental snapshot first row; minhash-planted
+    # KEPT: exact-verify stage reworked this round)
     "dedup_apply_retention",
     "dedup_cluster_keep_best",
     "dedup_cross_source_overlap",
-    "dedup_exact_documents",
-    # ext-minhash-dedup / ext-topk-sim (oracle-bearing)
     "dedup_containment_ngram",
+    "dedup_incremental_snapshot",
     "dedup_minhash_lsh_planted",
+    "dedup_clusters_star_planted",
+    # similarity (cosine-LSH KEPT: sizing path reworked this round)
     "sim_cosine_lsh_planted",
     "sim_quantize_int8",
     "sim_hybrid_search",
-    "sample_source_temperature",
-    "map_funcs_events",
-    # ext-typed-relational (q10 + q21 first driver rows; asof/cube keep
-    # seats at 2-3 greens)
-    "tpch_q10_returned_items",
-    "join_asof_purchase",
-    "tpch_q21_waiting_supplier",
-    "cube_orders",
-    "rollup_lineitem",
-    "grouping_sets_orders",
+    # data-quality constraint gate (first driver row)
+    "quality_constraint_checks",
+    # events analytics (funnel keeps seat; retention cohort first row)
     "events_funnel_conversion",
-    # ext-stream-window (batch twins + real streams)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "stream_tumbling_available_now",
-    "stream_stateful_user_stats",
+    "events_retention_cohort",
+    # ext-stream-window (real streams at 2 greens keep seats)
     "stream_dedup_redelivery",
     "stream_join_attribution",
-    # hash-checked twins of the LSH/iterative flagships + the ingest
-    # pipeline. Window policy: every capability's in-window row carries
-    # an oracle where one is expressible — the planted/single-step
-    # variants run the SAME operator code paths (signature folds, band
-    # joins, label propagation, Lloyd assignment, zip/charset/repair
-    # decode) with ground truth a SQL engine can state exactly. The
-    # auto-sized / multi-iteration twins (dedup_simhash, sim_cosine_lsh,
-    # sim_kmeans_assign, sim_topk_ivf, dedup_clusters_minhash) remain
-    # declared outside the window as rows-only evidence.
-    "dedup_simhash_planted",
-    "dedup_clusters_planted",
-    "dedup_clusters_star_planted",
-    "sim_topk_ivf_planted",
-    "sim_kmeans_assign_oracle",
-    "ingest_zip_decode_repair",
+    # ext-typed-relational: the COMPLETE TPC-H suite in-window — q10 and
+    # q21 hold seats at 1 green; the 17 never-driver-checked rows take
+    # the freed seats (q1/q3/q5 rotated out r5 at 4x green)
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_sales_opportunity",
 )
 
 
