@@ -62,6 +62,31 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
 
 
+def hashed_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as 64-bit identities — the set-identity
+    form the pair pipelines store and intersect.
+
+    Each position hashes its k tokens directly with multi-argument
+    ``xxhash64`` (token boundaries preserved by the hash's per-field
+    seeding, so no join-string is ever allocated), then distinct over
+    longs. vs :func:`shingles`: no concat allocations, an 8-byte
+    element instead of a ~30-byte string — the persisted shingle table
+    and every ``array_intersect`` in exact verification shrink ~4x.
+
+    Two distinct shingles collide with probability 2^-64; a corpus of
+    S distinct shingles perturbs some Jaccard value with probability
+    ~S^2/2^65 (< 1e-7 at 10^6 shingles), and the outcome is
+    DETERMINISTIC per dataset — the same guarantee MinHash itself
+    already rests on. Callers that need literal string sets (the text
+    analysis ops) keep using :func:`shingles`."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    grams = F.transform(idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(k)]))
+    # short docs: single whole-text shingle, hashed in the same domain
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.xxhash64(F.trim(text))))
+
+
 def minhash_signature(hashes_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature over shingle hashes: per hash function, min of
     (a*h+b) mod p. Scan-local — no shuffle.
@@ -157,17 +182,21 @@ def minhash_candidate_pairs(
     max_bucket: int = 1024,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join: candidate pairs with
-    exact Jaccard verification over the distinct shingle sets.
+    exact Jaccard verification over the distinct shingle sets
+    (64-bit shingle identities — see :func:`hashed_shingles` for the
+    collision bound that makes 'exact' honest).
 
     The shingle table is referenced three times (signature branch + both
     verify-join sides) and persisted so it is computed once — without
     this, Spark recomputes the full shingling chain per branch (measured
-    ~4x the work; ids + hashes only, so it is orders of magnitude
+    ~4x the work; ids + 64-bit hashes only, so it is orders of magnitude
     smaller than the corpus, and MEMORY_AND_DISK spills rather than
-    OOMs). The band table is deliberately NOT persisted: both pair
-    branches consume the same bucket window, whose input exchange is
-    reused, and a persist only blocks that (A/B at sf0.1: persisted
-    window 1.69 s vs unpersisted 1.5 s warm).
+    OOMs). It is persisted ALREADY partitioned by doc id, which the
+    signature aggregation and both verify joins then reuse (see the
+    repartition note in the body). The band table is deliberately NOT
+    persisted: both pair branches consume the same bucket window, whose
+    input exchange is reused, and a persist only blocks that (A/B at
+    sf0.1: persisted window 1.69 s vs unpersisted 1.5 s warm).
 
     ``max_bucket`` is the 100 TB skew guard: web-scale corpora carry
     boilerplate clusters of millions of near-identical documents, and a
@@ -189,10 +218,46 @@ def minhash_candidate_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = fan_out(df).select(F.col(id_col).alias("doc"), shingles(F.col(text_col)).alias("sh"))
+    # Corpus repartitioned BY ID once, up front (width = full machine
+    # parallelism, floored at the session shuffle width): the persisted
+    # shingle table then carries hashpartitioning(doc), which the
+    # signature aggregation AND both exact-verify joins reuse — three
+    # downstream exchanges of shingle-table-sized data collapse into
+    # this one text-sized exchange (A/B at sf0.1: 0.76 s vs 0.88 s
+    # round-robin; at 100 TB the text shuffle costs what ONE of the
+    # three saved shuffles would have).
+    spark = df.sparkSession
+    try:
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+    except Exception:  # Spark Connect: no sparkContext
+        width = 32
+    sh = df.repartition(width, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), hashed_shingles(F.col(text_col)).alias("sh")
+    )
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = sh.select("doc", shingle_hashes(F.col("sh")).alias("h"))
-    sig = hashed.select("doc", minhash_signature_arrow(num_hashes)(F.col("h")).alias("sig"))
+    # MinHash signature as a whole-stage-codegen aggregation: explode
+    # the (already distinct) shingle hashes and take 32 mins of
+    # (a*h+b) mod p in ONE groupBy over the id-partitioned table — no
+    # exchange (partitioning reused), no Python worker round-trip, and
+    # map-side partial aggregation reduces the explode to one 32-long
+    # row per doc per partition. Arithmetic is identical to
+    # minhash_signature / minhash_signature_arrow (a,b < 2^31,
+    # h < 2^32, so a*h+b < 2^63 — no ANSI overflow).
+    coeffs = _coefficients(num_hashes)
+    ex = sh.select("doc", F.explode("sh").alias("h64")).select(
+        "doc", F.pmod("h64", F.lit(1 << 32)).alias("h")
+    )
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
+                f"_s{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    ).select("doc", F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )

@@ -130,6 +130,40 @@ _JACCARD_ORACLE = f"""
 """
 
 
+def _hashed_gram_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, sh) inverted-index rows where ``sh`` is the
+    64-bit identity of a distinct 3-word gram (multi-arg xxhash64 of
+    the three tokens — no gram string is allocated, and the self-join
+    shuffles 8-byte keys instead of ~30-byte strings; counts unchanged
+    up to the 2^-64-per-pair collision bound discussed at
+    operators.similarity.hashed_shingles — outputs verified identical
+    to the string-gram form on this corpus).
+
+    Guarded: sequence(1, n-2) runs DESCENDING [1, 0] when n < 3 and
+    element_at(t, 0) is an ANSI error; short docs get no grams,
+    matching the oracles' empty generate_series(1, n-2)."""
+    toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
+    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("ext-minhash-dedup", "ngram-jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard near-dup pairs, blocked by
@@ -138,33 +172,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|/|A|+|B|-|A∩B| from the per-doc shingle counts — no cross
     product, and the shingle join is exactly the exact-verification
     stage of the MinHash pipeline."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
-    # guarded: sequence(1, n-2) runs DESCENDING [1, 0] when n < 3 and
-    # element_at(t, 0) is an ANSI error; short docs get no shingles,
-    # matching the oracle's empty generate_series(1, n-2)
-    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
-                    ),
-                )
-            )
-        ).alias("sh"),
-    )
-    # NOT persisted, deliberately (measured 2.3s vs 2.9s at sf0.1): the
+    sh = _hashed_gram_index(fan_out(load(spark, sf_dir, "documents")))
+    # NOT persisted, deliberately (measured 2.3s vs 2.9s at sf0.1 on
+    # the string-gram form; still true for the cheaper long grams): the
     # three references re-run a cheap codegen'd scan+explode in parallel
-    # branches, while materializing the exploded shingle strings costs
-    # more than recomputing them. (Contrast minhash_candidate_pairs,
-    # where the persisted band table IS worth it — reuse there crosses a
+    # branches, while materializing the exploded gram rows costs more
+    # than recomputing them. (Contrast minhash_candidate_pairs, where
+    # the persisted shingle table IS worth it — reuse there crosses a
     # shuffle boundary.)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
@@ -732,28 +746,7 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     has Jaccard ~0.1 but containment 1.0. Same inverted-index self-join
     skeleton as dedup_ngram_jaccard (no cross product; the shingle
     bucket join IS the candidate generator)."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t"))
-    # guarded: sequence(1, n-2) runs DESCENDING [1, 0] when n < 3 and
-    # element_at(t, 0) is an ANSI error; short docs get no shingles,
-    # matching the oracle's empty generate_series(1, n-2)
-    idx = F.when(F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
-                    ),
-                )
-            )
-        ).alias("sh"),
-    )
+    sh = _hashed_gram_index(fan_out(load(spark, sf_dir, "documents")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "source", "sh")

@@ -108,9 +108,15 @@ def test_dedup_clusters_from_minhash(spark):
     base = "the quick brown fox jumps over the lazy dog while the cat watches from afar"
     docs = spark.createDataFrame(
         [
+            # near-dups by APPENDING one word: 13 shared trigrams of 14
+            # (jaccard ~0.93) — at 8 bands x 4 rows the per-pair LSH
+            # candidate probability is 1-(1-0.93^4)^8 > 0.9998 for ANY
+            # hash family. (A replaced-word variant at jaccard ~0.63
+            # had only ~73% band-collision odds and silently depended
+            # on the previous hash family getting lucky.)
             (1, base),
             (2, base + " today"),            # near-dup of 1
-            (3, base.replace("dog", "wolf")),  # near-dup of 1
+            (3, base + " tonight"),          # near-dup of 1 and 2
             (4, "completely different content about databases and distributed query engines"),
             (5, "completely different content about databases and distributed query engines"),
         ],
