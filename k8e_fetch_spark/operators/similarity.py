@@ -109,6 +109,40 @@ def minhash_signature(hashes_col: Column, num_hashes: int = 32) -> Column:
     return F.aggregate(hashes_col, init, step)
 
 
+def minhash_signature_agg(
+    sh: DataFrame, id_col: str = "doc", sh_col: str = "sh", num_hashes: int = 32
+) -> DataFrame:
+    """Third signature form: whole-stage-codegen explode + groupBy with
+    ``num_hashes`` min-aggregates — the production form inside
+    :func:`minhash_candidate_pairs`. Same coefficients and (a*h+b) mod p
+    arithmetic as :func:`minhash_signature` / the Arrow twin, so
+    signatures are bit-for-bit equal given the same hash values
+    (asserted in tests/test_similarity.py); inputs here are 64-bit
+    shingle identities (:func:`hashed_shingles`), folded into the
+    h < 2^32 domain first (a,b < 2^31 keeps a*h+b < 2^63 — no ANSI
+    overflow). vs the fold form: no interpreted higher-order function;
+    vs the Arrow form: no Python worker round-trip; map-side partial
+    aggregation reduces the explode to one ``num_hashes``-long row per
+    doc per partition, and when the input is already hash-partitioned
+    by ``id_col`` the aggregation adds no exchange."""
+    coeffs = _coefficients(num_hashes)
+    ex = sh.select(id_col, F.explode(sh_col).alias("h64")).select(
+        id_col, F.pmod("h64", F.lit(1 << 32)).alias("h")
+    )
+    return (
+        ex.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
+                    f"_s{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
 def minhash_signature_arrow(num_hashes: int = 32):
     """Arrow-vectorized twin of :func:`minhash_signature` — identical
     coefficients, identical (a*h+b) mod p arithmetic, so signatures are
@@ -226,6 +260,18 @@ def minhash_candidate_pairs(
     # this one text-sized exchange (A/B at sf0.1: 0.76 s vs 0.88 s
     # round-robin; at 100 TB the text shuffle costs what ONE of the
     # three saved shuffles would have).
+    #
+    # The repartition must come BEFORE the shingle projection: the
+    # corpus is typically one or few parquet files at bench SF, so
+    # hashing after a narrow read would run near-serial (A/B: shingle
+    # stage 0.7 s at 32-wide vs ~8 s single-partition). Width note: when
+    # the session's shuffle width is SMALLER than defaultParallelism
+    # (byte-sized bench sessions: 4 vs 32), the verify joins plan at the
+    # session width and re-exchange the persisted table — a local-mode
+    # artifact; on a real cluster shuffle.partitions >= parallelism, the
+    # widths agree, and the partitioning reuse holds end-to-end. Taking
+    # the max keeps the CPU-bound shingle hashing machine-wide in both
+    # regimes, which dominates the small re-exchange at bench SF.
     spark = df.sparkSession
     try:
         width = max(
@@ -238,26 +284,10 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("doc"), hashed_shingles(F.col(text_col)).alias("sh")
     )
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # MinHash signature as a whole-stage-codegen aggregation: explode
-    # the (already distinct) shingle hashes and take 32 mins of
-    # (a*h+b) mod p in ONE groupBy over the id-partitioned table — no
-    # exchange (partitioning reused), no Python worker round-trip, and
-    # map-side partial aggregation reduces the explode to one 32-long
-    # row per doc per partition. Arithmetic is identical to
-    # minhash_signature / minhash_signature_arrow (a,b < 2^31,
-    # h < 2^32, so a*h+b < 2^63 — no ANSI overflow).
-    coeffs = _coefficients(num_hashes)
-    ex = sh.select("doc", F.explode("sh").alias("h64")).select(
-        "doc", F.pmod("h64", F.lit(1 << 32)).alias("h")
-    )
-    sig = ex.groupBy("doc").agg(
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
-                f"_s{i}"
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    ).select("doc", F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
+    # MinHash signature as a whole-stage-codegen aggregation over the
+    # id-partitioned table (no exchange, no Python worker round-trip —
+    # see minhash_signature_agg for the arithmetic-parity contract).
+    sig = minhash_signature_agg(sh, num_hashes=num_hashes)
     bands = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
     )

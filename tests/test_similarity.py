@@ -184,6 +184,33 @@ def test_minhash_signature_arrow_matches_fold_form(spark):
     assert both.count() == 300
 
 
+def test_minhash_signature_agg_matches_fold_form(spark):
+    """The production explode+groupBy signature (whole-stage codegen,
+    the form minhash_candidate_pairs runs) must agree bit-for-bit with
+    the fold reference form on the same 64-bit shingle-identity domain:
+    same coefficients, same fold of h64 into h < 2^32, same
+    (a*h+b) mod p."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import (
+        hashed_shingles,
+        minhash_signature,
+        minhash_signature_agg,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(300)
+    sh = docs.select(F.col("doc_id").alias("doc"), hashed_shingles(F.col("text")).alias("sh"))
+    agg_sig = minhash_signature_agg(sh)
+    fold_sig = sh.select(
+        "doc",
+        minhash_signature(
+            F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(1 << 32)))
+        ).alias("fold_sig"),
+    )
+    both = agg_sig.join(fold_sig, on="doc")
+    assert both.count() == 300
+    assert both.filter(F.col("sig") != F.col("fold_sig")).count() == 0
+
+
 def test_minhash_mega_bucket_star_linking(spark):
     """Buckets above max_bucket switch from clique to star candidates:
     O(m) edges anchored at the bucket's min doc id, exact-verified like
