@@ -44,7 +44,7 @@ integer-grained data cannot produce.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.rounding import round_fixed, sql_round
@@ -90,11 +90,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable part<->supplier relation is lineitem, and the unit price
     min(l_extendedprice / l_quantity) stands in for ps_supplycost).
     The correlated-min subquery becomes: aggregate unit cost per
-    (part, supplier), derive the per-part minimum, and join back on
-    (part, exact min) — the min is an exact selection over identical
-    doubles, so the equality is engine-stable. Supplier/nation/region
-    and the filtered part list broadcast; the only fact shuffle is the
-    (part, supplier) aggregate."""
+    (part, supplier), then keep the rows at the per-part minimum via a
+    window over the aggregate — the min is an exact selection over
+    identical doubles, so the equality is engine-stable.
+    Supplier/nation/region and the filtered part list broadcast; the
+    fact shuffles once for the (part, supplier) aggregate and the small
+    aggregated frame once more for the per-part window."""
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu_supp = (
@@ -115,12 +116,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = costs.groupBy(F.col("l_partkey").alias("bk")).agg(F.min("unit_cost").alias("best_cost"))
+    # Per-part minimum as a WINDOW over the aggregate, not an
+    # aggregate-joined-back: the join form re-executes the whole
+    # scan->broadcast-joins->aggregate chain on both sides (verified on
+    # the executed plan — no exchange reuse, 2x the fact work), while
+    # the window adds one keyed exchange of the already-aggregated
+    # (part, supplier) frame. Same exact-double min selection, same tie
+    # behavior (every supplier at the minimum survives).
+    best = costs.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
     return (
-        costs.join(
-            best, (costs.l_partkey == best.bk) & (costs.unit_cost == best.best_cost)
-        )
-        .join(F.broadcast(eu_supp), costs.l_suppkey == eu_supp.s_suppkey)
+        best.join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
         .join(F.broadcast(parts), costs.l_partkey == parts.p_partkey)
         .select(
             "s_acctbal",
@@ -313,9 +320,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 important stock, adapted (no partsupp: per-part value
     is the discounted revenue supplied by NATION_21 suppliers, from
     lineitem). The HAVING-against-global-fraction scalar subquery
-    becomes a 1-row broadcast cross join over the SAME aggregated
-    frame — the per-part aggregate is computed once and reused for
-    both the rows and the threshold."""
+    becomes an unpartitioned window SUM over the per-part aggregate —
+    ONE fact scan (the broadcast-threshold form re-executed the whole
+    scan+join+aggregate chain inside the broadcast subplan; verified
+    on q2's executed plan, same shape). The window's single partition
+    holds only the per-part aggregate (rows = |parts|, orders of
+    magnitude below the fact), the standard width-then-collapse shape
+    of a global-fraction threshold."""
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_21")
     supp = (
         load(spark, sf_dir, "supplier")
@@ -328,9 +339,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum(_rev()).alias("value"))
     )
-    threshold = val.agg((F.sum("value") * F.lit(0.001)).alias("_thresh"))
     return (
-        val.crossJoin(F.broadcast(threshold))
+        val.withColumn(
+            "_thresh",
+            F.sum("value").over(Window.partitionBy()) * F.lit(0.001),
+        )
         .filter(F.col("value") > F.col("_thresh"))
         .select("ps_partkey", round_fixed(F.col("value"), 2).alias("value"))
     )
@@ -393,9 +406,12 @@ _Q15_ORACLE = f"""
 @register("tpch_q15_top_supplier", oracle=_Q15_ORACLE, tags=("ext-typed-relational", "tpch", "scalar-subquery"))
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: the revenue VIEW becomes a derived
-    frame, and the scalar max-revenue subquery a 1-row broadcast. The
-    max-equality is evaluated on the ROUNDED revenue so the tie set is
-    engine-independent. The quarter filter pushes to the scan; one
+    frame, and the scalar max-revenue subquery an unpartitioned window
+    MAX over it — ONE fact scan (the broadcast form re-executed the
+    quarter scan + aggregate inside the broadcast subplan), with the
+    window's single partition holding only the per-supplier aggregate.
+    The max-equality is evaluated on the ROUNDED revenue so the tie set
+    is engine-independent. The quarter filter pushes to the scan; one
     aggregate shuffle; supplier broadcasts onto the (tiny) winner set."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
@@ -403,10 +419,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         round_fixed(F.sum(_rev()), 2).alias("total_revenue")
     )
-    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
     supplier = load(spark, sf_dir, "supplier")
     return (
-        rev.crossJoin(F.broadcast(top))
+        rev.withColumn("_max_rev", F.max("total_revenue").over(Window.partitionBy()))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

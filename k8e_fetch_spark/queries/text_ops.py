@@ -727,14 +727,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-of-Zipf mass makes it small relative to the corpus, so scoring
     is a BROADCAST join against the exploded tokens (the token stream
     never shuffles), and the per-doc mean shuffles (doc_id, partial
-    sums). The 1-row total rides a broadcast cross join."""
+    sums). The corpus total is an unpartitioned window SUM over the
+    aggregated vocab (ONE explode chain; the broadcast-scalar form
+    re-executed it inside the broadcast subplan)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
+    from pyspark.sql.window import Window
+
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("total"))
-    lm = vocab.crossJoin(F.broadcast(total)).select(
+    # corpus total as an unpartitioned window SUM over the vocab — the
+    # broadcast-1-row-aggregate form re-executed the whole token
+    # explode + aggregate chain inside the broadcast subplan (no
+    # exchange reuse across a broadcast boundary; verified on the q2
+    # plan, same shape). The window's single partition holds only the
+    # aggregated vocab, already small relative to the corpus.
+    lm = vocab.withColumn("total", F.sum("c").over(Window.partitionBy())).select(
         "token", F.log10(F.col("c") / F.col("total")).alias("lp")
     )
     return (
