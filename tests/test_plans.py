@@ -172,3 +172,34 @@ def test_temperature_sampling_no_fact_shuffle(spark):
     hash-repartition."""
     plan = _executed_plan(spark, "sample_source_temperature")
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q15_top_supplier",
+    ],
+)
+def test_scalar_threshold_queries_scan_fact_once(spark, name):
+    """Correlated-min / global-fraction / scalar-max thresholds must be
+    window-over-the-aggregate, not a broadcast scalar whose subplan
+    re-executes the whole fact chain: lineitem appears in the plan
+    exactly ONCE. (A 1-row broadcast aggregate gets no exchange reuse
+    across the broadcast boundary — the join form doubled the fact
+    work, verified on q2's executed plan before the rewrite.)"""
+    plan = _formatted(spark, name)
+    # the formatted dump names the table on the scan's Location line
+    assert len(re.findall(r"Location: InMemoryFileIndex[^\n]*lineitem\.parquet", plan)) == 1, plan
+
+
+def test_unigram_lm_single_token_explode(spark):
+    """The corpus token total must ride a window over the aggregated
+    vocab, not a broadcast scalar that re-runs the token explode: the
+    documents scan appears at most twice (token stream + the broadcast
+    LM side), never a third time for the total."""
+    plan = _formatted(spark, "text_unigram_logprob")
+    assert (
+        len(re.findall(r"Location: InMemoryFileIndex[^\n]*documents\.parquet", plan)) <= 2
+    ), plan
