@@ -423,7 +423,17 @@ def simhash_candidate_pairs(
     in the join, so outputs at test scale are bit-identical to the
     unguarded form (largest natural group in the fixtures: 3).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # The signature table is referenced through every downstream branch
+    # (group collapse, both block-join sides, the star edges) — without
+    # a persist each branch re-runs the 64-bit majority fold over the
+    # full text, the expensive part of the whole pipeline (measured 5
+    # scan+fold chains on the formatted plan). (doc, sig) is 16 bytes a
+    # row, orders of magnitude under the corpus; MEMORY_AND_DISK spills
+    # rather than OOMs — same contract as the MinHash shingle persist.
     sigs = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     m = F.size("ds")
     # members entering the block join: whole group if small, anchor only if mega

@@ -599,27 +599,34 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-equality join with the time predicate applied pre-aggregate, so
     nothing wider than (user_id, ts) ever shuffles. NULLs mark funnel
     drop-off (clicked-never-purchased users keep t_purchase NULL)."""
+    # The stage results PROPAGATE FORWARD through the chain (each stage
+    # groups by the funnel state so far and left-joins only the next
+    # event slice): a final v JOIN c JOIN p re-executes v's subplan 3x
+    # and c's 2x — six events scans where this form needs three, one
+    # pushed-filter scan per stage (verified on the formatted plan).
+    # min(when(ts > t_prev, ts)) over a LEFT join keeps every user and
+    # yields NULL both for no-next-event and for NULL t_prev, exactly
+    # the drop-off semantics; the grouping keys beyond user_id are
+    # user-constant, so the groups are per-user either way.
     ev = load(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, on="user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    vc = (
+        v.join(clicks, on="user_id", how="left")
+        .groupBy("user_id", "t_view")
+        .agg(F.min(F.when(F.col("ts") > F.col("t_view"), F.col("ts"))).alias("t_click"))
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, on="user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return (
+        vc.join(purchases, on="user_id", how="left")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min(F.when(F.col("ts") > F.col("t_click"), F.col("ts"))).alias("t_purchase"))
+        .select("user_id", "t_view", "t_click", "t_purchase")
     )
-    return v.join(c, on="user_id", how="left").join(p, on="user_id", how="left")
 
 
 _CONSTRAINT_ORACLE = """

@@ -203,3 +203,13 @@ def test_unigram_lm_single_token_explode(spark):
     assert (
         len(re.findall(r"Location: InMemoryFileIndex[^\n]*documents\.parquet", plan)) <= 2
     ), plan
+
+
+def test_funnel_chain_propagates_forward(spark):
+    """The funnel must chain stage state forward (3 pushed-filter
+    events scans), not re-join the stage frames at the end (which
+    re-executes v's subplan 3x and c's 2x — six scans)."""
+    plan = _formatted(spark, "events_funnel_conversion")
+    assert (
+        len(re.findall(r"Location: InMemoryFileIndex[^\n]*events\.parquet", plan)) == 3
+    ), plan
