@@ -382,3 +382,44 @@ def test_ivf_trained_recall_vs_exact(spark):
     hits = sum(len(approx_sets[q] & exact_sets[q]) for q in exact_sets)
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_hashed_shingles_edge_texts(spark):
+    """The 64-bit shingle identities handle degenerate texts: NULL and
+    empty/whitespace text fold to a single whole-text identity (equal
+    for equal trimmed text), sub-k docs get one whole-text shingle,
+    exactly-k docs one gram, and the pipeline built on them neither
+    crashes nor pairs unequal short docs."""
+    from k8e_fetch_spark.operators.similarity import hashed_shingles
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (7, "one two three"),       # exact dup of 6 (single gram)
+        (8, "one two three four"),  # superset: shares gram with 6/7
+        (9, "one"),                 # exact dup of 4 (whole-text shingle)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", hashed_shingles(F.col("text")).alias("s")).collect()
+    }
+    # sub-k docs: exactly one whole-text identity; equal text => equal id
+    for d in (1, 2, 3, 4, 5):
+        assert len(sh[d]) == 1, (d, sh[d])
+    assert sh[4] == sh[9]
+    assert sh[2] == sh[3]  # both trim to ""
+    # k and k+1 token docs: n-k+1 distinct grams
+    assert len(sh[6]) == 1 and sh[6] == sh[7]
+    assert len(sh[8]) == 2 and sh[6][0] in sh[8]
+    # the full pipeline over this corpus: exact dups verify at jaccard 1,
+    # and no unequal sub-k docs pair up (distinct whole-text identities)
+    pairs = minhash_candidate_pairs(df, "doc_id", "text")
+    exact = {(r["doc_a"], r["doc_b"]) for r in pairs.filter(F.col("jaccard") == 1.0).collect()}
+    assert (6, 7) in exact and (4, 9) in exact
+    assert (2, 3) in exact  # equal-after-trim empties are duplicates
+    assert not any({a, b} & {1} for a, b in exact if (a, b) != (1, 1))
