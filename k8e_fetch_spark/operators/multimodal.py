@@ -67,9 +67,11 @@ def sniff_media_format(payload_col):
     is 'unsupported format', not 'corrupt data' — distinguishable
     without decoding a single byte in Python.
 
-    JPEG has no stdlib decoder, so it is a documented codec boundary:
-    sniffed, routed to quarantine by :func:`decode_media_png`, never
-    silently misparsed (the PNG signature check rejects it up front).
+    JPEG (baseline) decodes for real since round 6
+    (:func:`decode_media_jpeg`, operators/jpeg.py); a JPEG payload
+    routed to the PNG decoder still quarantines with this sniff as the
+    distinguishable reason, and non-baseline JPEG processes
+    (progressive etc.) quarantine inside the JPEG decoder itself.
     """
     c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
     head = F.substring(c, 1, 4)
@@ -192,6 +194,61 @@ def decode_media_png(
                         (int(doc_id), len(payload), w, h, 1, stats(pixels, ch))
                     )
                 except (ValueError, zlib.error, struct.error):
+                    rows.append((int(doc_id), len(payload), None, None, None, []))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "width", "height", "n_frames", "features",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+def decode_media_jpeg(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL baseline-JPEG decode in the same Arrow-batched shape as
+    :func:`decode_media_png`: each payload is entropy-decoded,
+    dequantized, inverse-DCT'd and color-converted by the stdlib+numpy
+    codec (:func:`k8e_fetch_spark.operators.jpeg.decode_jpeg`), and
+    the features are statistics of the DECODED PIXELS — the same
+    8-feature layout as the PNG stage (``mean_r/g/b, mean_rgb,
+    min_rgb, max_rgb, frac_zero_bytes, mean_alpha``; JPEG has no
+    alpha, so ``mean_alpha = 1.0``; grayscale maps its one channel to
+    r=g=b). Non-baseline processes (progressive, arithmetic, 12-bit),
+    truncation and garbage raise inside the codec and yield a
+    null-dims quarantine row — at 100 TB a corrupt payload must
+    quarantine, not kill the job."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg
+
+    def stats(px: "np.ndarray") -> list[float]:
+        if px.ndim == 2:
+            px = np.stack([px, px, px], axis=-1)
+        flat = px.reshape(-1, 3).astype(np.float64)
+        means = flat.mean(axis=0) / 255.0
+        return [
+            float(means[0]),
+            float(means[1]),
+            float(means[2]),
+            float(flat.mean() / 255.0),
+            float(flat.min() / 255.0),
+            float(flat.max() / 255.0),
+            float((flat == 0).mean()),
+            1.0,
+        ]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    w, h, _nc, px = decode_jpeg(payload)
+                    rows.append((int(doc_id), len(payload), w, h, 1, stats(px)))
+                except (ValueError, struct.error):
                     rows.append((int(doc_id), len(payload), None, None, None, []))
             yield pd.DataFrame(
                 rows,

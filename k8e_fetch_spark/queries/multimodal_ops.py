@@ -204,6 +204,104 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-JPEG decode with a FULL oracle. Payloads are genuine baseline
+# JFIF JPEGs built on executors as a pure function of doc_id: an
+# (8 + id%25) x (8 + id%19) RGB image of the constant GRAY color
+# v = 1 + (id*7)%255 on all three channels, encoded 4:2:0 with
+# all-ones quantization and a restart interval of id%3 MCUs (0 = no
+# DRI). Gray constants make the decode EXACT end to end: Y == v
+# up to float epsilon (the RGB->YCbCr luma weights sum to 1), both
+# chroma planes sit at 128 ± 1e-7 so their quantized DC is exactly 0,
+# and a constant block has only a DC coefficient, which all-ones
+# quantization preserves — so the entropy decode, dequant, IDCT,
+# chroma upsample and YCbCr->RGB conversion must all be right to
+# reproduce v on every pixel. Lossy-table and gradient-image accuracy
+# is pinned separately in tests/test_multimodal.py.
+_DECODE_JPEG_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               8 + doc_id % 25 AS w, 8 + doc_id % 19 AS h,
+               1 + (doc_id * 7) % 255 AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(v AS INTEGER) AS f0,
+           CAST(v AS INTEGER) AS f1,
+           CAST(v AS INTEGER) AS f2,
+           CAST(v AS INTEGER) AS f3,
+           CAST(v AS INTEGER) AS f4,
+           CAST(v AS INTEGER) AS f5,
+           CAST(0 AS INTEGER) AS f6,
+           CAST(255 AS INTEGER) AS f7
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_jpeg_real",
+    oracle=_DECODE_JPEG_ORACLE,
+    tags=("ext-multimodal", "decode-real-jpeg"),
+)
+def mm_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL baseline-JPEG bytes through the decode stage: executors
+    encode a real JFIF JPEG per document (stdlib+numpy codec — DCT,
+    Huffman entropy coding, 4:2:0 chroma subsampling, restart markers
+    on every third document), then ``decode_media_jpeg`` parses the
+    marker stream, entropy-decodes, dequantizes, inverse-DCTs and
+    color-converts back — hash-checked against ground truth stated
+    relationally on the image parameters. Closes the engine's last
+    documented codec boundary (the web's most common image format);
+    the quarantine path for non-baseline processes is pinned in
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_jpeg
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8))
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 25, 8 + i % 19
+                v = 1 + (i * 7) % 255
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        quant_luma=ones,
+                        quant_chroma=ones,
+                        subsampling="4:2:0",
+                        restart_interval=i % 3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    decoded = decode_media_jpeg(with_payload)
+    fcols = [
+        F.floor(F.col("features")[i] * 255 + F.lit(0.5)).cast("int").alias(f"f{i}")
+        for i in (0, 1, 2, 3, 4, 5)
+    ]
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        *fcols,
+        F.floor(F.col("features")[6] * 3 + F.lit(0.5)).cast("int").alias("f6"),
+        F.floor(F.col("features")[7] * 255 + F.lit(0.5)).cast("int").alias("f7"),
+    )
+
+
 # Real-audio decode with a FULL oracle: per-doc square-wave PCM
 # (+amp/-amp alternating, even frame count) makes peak == rms == amp
 # and mean == 0 exactly, while the decode still walks a genuine RIFF

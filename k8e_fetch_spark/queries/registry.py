@@ -124,7 +124,9 @@ _PRIORITY = (
     # (mm_decode_audio_real, mm_decode_video_real + the four rows-only:
     # dedup_minhash_lsh, text_winnowing_fingerprint,
     # text_compression_ratio, sim_topk_ivf_trained) rotate in next
-    # round so every declared query has a driver row by round 7.
+    # round so every declared query has a driver row by round 7,
+    # joined by the round-6 addition mm_decode_jpeg_real (real
+    # baseline-JPEG codec, registered after the window froze).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

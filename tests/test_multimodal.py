@@ -417,3 +417,101 @@ def test_canon_value_bool_types_identical():
     assert _canon_value(False) == _canon_value(np.bool_(False)) == "bool:False"
     assert _canon_value(True) != _canon_value(1)
     assert _canon_value(np.bool_(False)) != _canon_value(0)
+
+
+def test_jpeg_roundtrip_accuracy():
+    """The baseline JPEG codec's accuracy contract: EXACT on constant
+    blocks with all-ones quantization (what makes the driver oracle
+    possible), within ±1 on arbitrary grayscale and ±2 on arbitrary
+    RGB 4:4:4 (float DCT + color-conversion rounding), and lossy but
+    bounded with the default Annex K tables."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    ones = np.ones((8, 8))
+
+    img = np.full((16, 24), 137, dtype=np.uint8)
+    w, h, nc, out = decode_jpeg(encode_jpeg(img, quant_luma=ones))
+    assert (w, h, nc) == (24, 16, 1)
+    assert np.array_equal(out, img)
+
+    img = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    _, _, _, out = decode_jpeg(encode_jpeg(img, quant_luma=ones))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    img = rng.randint(0, 256, (19, 21, 3), dtype=np.uint8)
+    _, _, nc, out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+    assert nc == 3
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # default Annex K tables: lossy, but a smooth gradient stays close
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    img = (xx * 3 + yy * 2).astype(np.uint8)
+    _, _, _, out = decode_jpeg(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_jpeg_subsampling_and_restart_markers():
+    """4:2:0 chroma subsampling (the common web layout) and restart
+    markers both round-trip: gray-valued RGB is exact through the full
+    YCbCr + subsample + MCU-interleave path, and a restart interval
+    that actually emits RSTn markers decodes identically."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    ones = np.ones((8, 8))
+    img = np.full((35, 49, 3), 0, dtype=np.uint8)
+    img[...] = 163
+    data = encode_jpeg(
+        img, quant_luma=ones, quant_chroma=ones, subsampling="4:2:0", restart_interval=2
+    )
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    w, h, nc, out = decode_jpeg(data)
+    assert (w, h, nc) == (49, 35, 3)
+    assert np.array_equal(out, img)
+
+    # restart markers on grayscale with random content: still ±1
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (40, 56), dtype=np.uint8)
+    _, _, _, out = decode_jpeg(encode_jpeg(img, quant_luma=ones, restart_interval=3))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_quarantine_contract(spark):
+    """Non-baseline and corrupt JPEG payloads quarantine instead of
+    failing the batch: progressive (SOF2) raises in the codec, a
+    truncated stream raises, and the Arrow decode stage turns both
+    into null-dims rows while a valid JPEG in the same batch decodes."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from k8e_fetch_spark.operators.multimodal import decode_media_jpeg
+
+    ones = np.ones((8, 8))
+    good = encode_jpeg(np.full((10, 12), 99, dtype=np.uint8), quant_luma=ones)
+    progressive = bytearray(good)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(progressive))
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [good, bytes(progressive), good[: len(good) // 2]],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in decode_media_jpeg(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (12, 10)
+    assert abs(got[1]["features"][0] - 99 / 255.0) < 1e-3
+    for bad_id in (2, 3):
+        assert got[bad_id]["width"] is None and got[bad_id]["features"] == []
