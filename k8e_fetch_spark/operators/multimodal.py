@@ -351,6 +351,99 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def box_resize(px, out_h: int, out_w: int):
+    """Box-average resample of an (h, w[, ch]) uint8 array to
+    (out_h, out_w[, ch]) — the classic area-averaging thumbnail kernel.
+    Integer box edges (i*h)//H partition the source exactly, so a
+    constant image resizes to the identical constant (what makes the
+    driver oracle exact); upscales degenerate to >=1-pixel boxes
+    (nearest). Pure numpy, importable on executors."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    if out_h < 1 or out_w < 1 or h < 1 or w < 1:
+        raise ValueError("box_resize: empty input or target")
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w) + px.shape[2:], dtype=np.uint8)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            block = px[y0:y1, x0:x1].astype(np.float64)
+            out[i, j] = np.round(block.reshape(-1, *px.shape[2:]).mean(axis=0))
+    return out
+
+
+RESIZE_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("thumbnail", BinaryType()),
+        # mean pixel of the re-decoded thumbnail (0..255) — proves the
+        # re-encoded PNG is itself decodable, not just well-formed
+        StructField("mean_px", IntegerType()),
+    ]
+)
+
+
+def resize_media_real(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL resize/thumbnail stage: sniff each payload's container by
+    magic bytes, decode with the real codec (baseline JPEG or PNG),
+    box-average to ``target``, and re-encode the thumbnail as PNG
+    (lossless, so the thumbnail is exactly the resampled pixels). The
+    two-hop Arrow shape of :func:`resize_media` with the stub swapped
+    for the actual decode->resample->encode chain; undecodable
+    payloads quarantine as null-dims rows."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg
+    from k8e_fetch_spark.operators.png import decode_png, encode_png
+
+    out_w, out_h = target
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    if payload[:4] == b"\x89PNG":
+                        w, h, ch, raw = decode_png(payload)
+                        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+                    elif payload[:3] == b"\xff\xd8\xff":
+                        _w, _h, ch, px = decode_jpeg(payload)
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                    else:
+                        raise ValueError("unsupported container")
+                    small = box_resize(px, out_h, out_w)
+                    thumb = encode_png(
+                        out_w, out_h, small.tobytes(), color_type=color_type[small.shape[2]]
+                    )
+                    # re-decode our own thumbnail: the emitted bytes are
+                    # proven decodable and exactly the resampled pixels
+                    _, _, _, back = decode_png(thumb)
+                    mean_px = int(round(sum(back) / len(back)))
+                    rows.append((int(doc_id), out_w, out_h, thumb, mean_px))
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    rows.append((int(doc_id), None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_width", "out_height", "thumbnail", "mean_px"],
+            )
+
+    return df.mapInPandas(resize_batches, RESIZE_REAL_SCHEMA)
+
+
 def resize_media(
     df: DataFrame,
     target: tuple[int, int] = (32, 32),

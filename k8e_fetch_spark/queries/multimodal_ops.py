@@ -302,6 +302,70 @@ def mm_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real resize with a FULL oracle: the constant-gray JPEG construction
+# of mm_decode_jpeg_real feeds the REAL resize stage (JPEG decode ->
+# box-average -> PNG re-encode -> re-decode of our own thumbnail).
+# Box-averaging a constant image yields the same constant, so the
+# re-decoded thumbnail's mean pixel is exactly v — and getting it
+# requires every hop (entropy decode, resample, DEFLATE re-encode,
+# PNG re-decode) to be right.
+_RESIZE_REAL_ORACLE = """
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS out_width,
+           CAST(12 AS INTEGER) AS out_height,
+           CAST(1 + (doc_id * 7) % 255 AS INTEGER) AS mean_px
+    FROM documents
+"""
+
+
+@register(
+    "mm_resize_real",
+    oracle=_RESIZE_REAL_ORACLE,
+    tags=("ext-multimodal", "resize-real"),
+)
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnailing end to end: genuine baseline JPEGs (the
+    mm_decode_jpeg_real construction — 4:2:0, restart markers on every
+    third doc) decoded, box-averaged to 16x12, re-encoded as PNG and
+    re-decoded to prove the emitted thumbnail bytes are themselves a
+    valid image. Replaces the stub resample hop with the actual
+    codec chain; gradient-image resampling accuracy is pinned against
+    a numpy reference in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import resize_media_real
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.jpeg import encode_jpeg
+
+        ones = np.ones((8, 8))
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 25, 8 + i % 19
+                v = 1 + (i * 7) % 255
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        quant_luma=ones,
+                        quant_chroma=ones,
+                        subsampling="4:2:0",
+                        restart_interval=i % 3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return resize_media_real(with_payload, target=(16, 12)).select(
+        "doc_id", "out_width", "out_height", "mean_px"
+    )
+
+
 # Real-audio decode with a FULL oracle: per-doc square-wave PCM
 # (+amp/-amp alternating, even frame count) makes peak == rms == amp
 # and mean == 0 exactly, while the decode still walks a genuine RIFF

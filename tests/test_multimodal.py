@@ -515,3 +515,53 @@ def test_jpeg_quarantine_contract(spark):
     assert abs(got[1]["features"][0] - 99 / 255.0) < 1e-3
     for bad_id in (2, 3):
         assert got[bad_id]["width"] is None and got[bad_id]["features"] == []
+
+
+def test_box_resize_matches_reference_and_constants():
+    """The box-average resampler against a straightforward reference:
+    per output pixel, the rounded mean of its integer-edged source
+    box; constants are preserved exactly (the oracle's premise), and
+    upscaling degenerates to >=1-pixel boxes."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.multimodal import box_resize
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (23, 31, 3), dtype=np.uint8)
+    H, W = 12, 16
+    out = box_resize(img, H, W)
+    ys = (np.arange(H + 1) * 23) // H
+    xs = (np.arange(W + 1) * 31) // W
+    for i in (0, 5, 11):
+        for j in (0, 7, 15):
+            block = img[ys[i]:max(ys[i+1], ys[i]+1), xs[j]:max(xs[j+1], xs[j]+1)]
+            want = np.round(block.reshape(-1, 3).astype(np.float64).mean(axis=0))
+            assert np.array_equal(out[i, j], want.astype(np.uint8)), (i, j)
+
+    const = np.full((9, 14), 201, dtype=np.uint8)
+    assert np.array_equal(box_resize(const, 30, 40), np.full((30, 40), 201, np.uint8))
+
+
+def test_resize_media_real_decodes_both_containers(spark):
+    """The real resize stage handles PNG and JPEG payloads in one
+    batch, emits thumbnails that are themselves decodable PNGs of the
+    resampled pixels, and quarantines undecodable payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.jpeg import encode_jpeg
+    from k8e_fetch_spark.operators.multimodal import resize_media_real
+    from k8e_fetch_spark.operators.png import decode_png, encode_png
+
+    ones = np.ones((8, 8))
+    jpeg = encode_jpeg(np.full((20, 24, 3), 77, dtype=np.uint8), quant_luma=ones, quant_chroma=ones)
+    png = encode_png(10, 8, bytes([130]) * (10 * 8 * 3), color_type=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "payload": [jpeg, png, b"not media"]})
+    )
+    got = {r["doc_id"]: r for r in resize_media_real(df, target=(6, 4)).collect()}
+    assert (got[1]["out_width"], got[1]["out_height"], got[1]["mean_px"]) == (6, 4, 77)
+    assert (got[2]["out_width"], got[2]["mean_px"]) == (6, 130)
+    w, h, ch, raw = decode_png(bytes(got[2]["thumbnail"]))
+    assert (w, h, ch) == (6, 4, 3) and set(raw) == {130}
+    assert got[3]["out_width"] is None and got[3]["thumbnail"] is None
