@@ -351,6 +351,55 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def decode_media_gif(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL GIF decode in the same Arrow-batched shape as
+    :func:`decode_media_png`: each payload is parsed as an actual GIF
+    (logical screen, palettes, variable-width LZW, interlacing —
+    :func:`k8e_fetch_spark.operators.gif.decode_gif`). ``n_frames`` is
+    the REAL frame count (GIF is the multi-frame image container), and
+    the 8 features are pixel statistics of the FIRST frame in the PNG
+    stage's layout (GIF has no alpha channel -> ``mean_alpha = 1.0``).
+    Malformed payloads quarantine as null-dims rows."""
+    from k8e_fetch_spark.operators.gif import decode_gif
+
+    def stats(rgb: bytes) -> list[float]:
+        n = len(rgb) // 3
+        means = [sum(rgb[i::3]) / n / 255.0 for i in range(3)]
+        return [
+            means[0],
+            means[1],
+            means[2],
+            sum(rgb) / len(rgb) / 255.0,
+            min(rgb) / 255.0,
+            max(rgb) / 255.0,
+            rgb.count(0) / len(rgb),
+            1.0,
+        ]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    w, h, n_frames, frames = decode_gif(payload)
+                    rows.append(
+                        (int(doc_id), len(payload), w, h, n_frames, stats(frames[0]))
+                    )
+                except (ValueError, struct.error, IndexError):
+                    rows.append((int(doc_id), len(payload), None, None, None, []))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "width", "height", "n_frames", "features",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
 def box_resize(px, out_h: int, out_w: int):
     """Box-average resample of an (h, w[, ch]) uint8 array to
     (out_h, out_w[, ch]) — the classic area-averaging thumbnail kernel.

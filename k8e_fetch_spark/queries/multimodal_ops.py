@@ -302,6 +302,98 @@ def mm_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-GIF decode with a FULL oracle. Payloads are genuine GIF89a
+# streams built on executors as a pure function of doc_id: 1 + id%4
+# FRAMES (n_frames is real for GIF — the multi-frame image container)
+# of a (4 + id%21) x (4 + id%17) screen filled with the constant
+# palette color (v, v, v), v = 1 + (id*7)%255, every second document
+# interlaced, multi-frame docs carrying graphics-control delays. GIF
+# is lossless over indexed data, so the decode (LZW, palette,
+# de-interlace) must reproduce v on every first-frame pixel exactly.
+_DECODE_GIF_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               4 + doc_id % 21 AS w, 4 + doc_id % 17 AS h,
+               CAST(1 + doc_id % 4 AS INTEGER) AS nf,
+               1 + (doc_id * 7) % 255 AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           nf AS n_frames,
+           CAST(v AS INTEGER) AS f0,
+           CAST(v AS INTEGER) AS f1,
+           CAST(v AS INTEGER) AS f2,
+           CAST(v AS INTEGER) AS f3,
+           CAST(v AS INTEGER) AS f4,
+           CAST(v AS INTEGER) AS f5,
+           CAST(0 AS INTEGER) AS f6,
+           CAST(255 AS INTEGER) AS f7
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_gif_real",
+    oracle=_DECODE_GIF_ORACLE,
+    tags=("ext-multimodal", "decode-real-gif"),
+)
+def mm_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL GIF bytes through the decode stage: executors build a
+    real multi-frame GIF89a per document (variable-width LZW,
+    interlacing on every second doc, graphics-control delays), then
+    ``decode_media_gif`` walks the block stream, LZW-decompresses,
+    de-interlaces and palettes back to RGB — hash-checked against
+    ground truth stated relationally on the stream parameters,
+    including the REAL frame count. Completes the image-codec set the
+    magic-byte router distinguishes (PNG / JPEG / GIF)."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_gif
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 21, 4 + i % 17
+                v = 1 + (i * 7) % 255
+                nf = 1 + i % 4
+                frame = b"\x00" * (w * h)
+                payloads.append(
+                    encode_gif(
+                        w,
+                        h,
+                        [(v, v, v)],
+                        [frame] * nf,
+                        delays_cs=[5] * nf if nf > 1 else None,
+                        interlace=(i % 2 == 1),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    decoded = decode_media_gif(with_payload)
+    fcols = [
+        F.floor(F.col("features")[i] * 255 + F.lit(0.5)).cast("int").alias(f"f{i}")
+        for i in (0, 1, 2, 3, 4, 5)
+    ]
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        *fcols,
+        F.floor(F.col("features")[6] * 3 + F.lit(0.5)).cast("int").alias("f6"),
+        F.floor(F.col("features")[7] * 255 + F.lit(0.5)).cast("int").alias("f7"),
+    )
+
+
 # Real resize with a FULL oracle: the constant-gray JPEG construction
 # of mm_decode_jpeg_real feeds the REAL resize stage (JPEG decode ->
 # box-average -> PNG re-encode -> re-decode of our own thumbnail).

@@ -125,9 +125,10 @@ _PRIORITY = (
     # dedup_minhash_lsh, text_winnowing_fingerprint,
     # text_compression_ratio, sim_topk_ivf_trained) rotate in next
     # round so every declared query has a driver row by round 7,
-    # joined by the round-6 additions mm_decode_jpeg_real and
-    # mm_resize_real (real baseline-JPEG codec + real thumbnail
-    # chain, registered after the window froze).
+    # joined by the round-6 additions mm_decode_jpeg_real,
+    # mm_resize_real and mm_decode_gif_real (real baseline-JPEG and
+    # GIF codecs + the real thumbnail chain, registered after the
+    # window froze).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

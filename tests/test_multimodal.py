@@ -565,3 +565,71 @@ def test_resize_media_real_decodes_both_containers(spark):
     w, h, ch, raw = decode_png(bytes(got[2]["thumbnail"]))
     assert (w, h, ch) == (6, 4, 3) and set(raw) == {130}
     assert got[3]["out_width"] is None and got[3]["thumbnail"] is None
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless over indexed data: random frames through the
+    variable-width LZW (including 256-color tables that grow the code
+    width to 12 bits and force dictionary resets), interlacing, and
+    multi-frame streams all round-trip byte-exact. Includes the
+    width-boundary regression: a run whose FINAL code lands exactly on
+    a width step must not desync the END code (the decoder appends a
+    phantom table entry for the last data code; the encoder's width
+    bookkeeping mirrors it)."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.gif import (
+        _MAX_PIXELS,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    # the n=56 zeros case desynced before the phantom-entry fix
+    for n in (1, 7, 55, 56, 57, 300, 2900):
+        assert _lzw_decode(2, _lzw_encode(2, b"\x00" * n), _MAX_PIXELS) == b"\x00" * n
+
+    rng = np.random.RandomState(4)
+    pal256 = [(i, 255 - i, i // 2) for i in range(256)]
+    idx = bytes(rng.randint(0, 256, 90 * 70).tolist())
+    w, h, n, frames = decode_gif(encode_gif(90, 70, pal256, [idx]))
+    assert (w, h, n) == (90, 70, 1)
+    assert frames[0] == b"".join(bytes(pal256[i]) for i in idx)
+
+    pal = [(9, 8, 7), (200, 100, 50), (0, 255, 0), (1, 2, 3)]
+    idx = bytes(rng.randint(0, 4, 33 * 27).tolist())
+    _, _, _, plain = decode_gif(encode_gif(33, 27, pal, [idx]))
+    _, _, _, inter = decode_gif(encode_gif(33, 27, pal, [idx], interlace=True))
+    assert plain[0] == inter[0]  # de-interlacing restores row order
+
+    fs = [bytes([i % 4]) * (8 * 6) for i in range(5)]
+    w, h, n, frames = decode_gif(encode_gif(8, 6, pal, fs, delays_cs=[10] * 5))
+    assert n == 5
+    for i, f in enumerate(frames):
+        assert set(f) == set(bytes(pal[i % 4]))
+
+
+def test_gif_stage_quarantines_and_counts_frames(spark):
+    """decode_media_gif: n_frames is the real frame count, first-frame
+    stats come from decoded pixels, and malformed GIFs (truncated LZW,
+    garbage) quarantine without failing the batch."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.gif import encode_gif
+    from k8e_fetch_spark.operators.multimodal import decode_media_gif
+
+    good = encode_gif(10, 8, [(120, 120, 120)], [b"\x00" * 80] * 3, delays_cs=[5] * 3)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [good, good[: len(good) - 10], b"GIF89a junk"],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in decode_media_gif(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (10, 8, 3)
+    assert abs(got[1]["features"][0] - 120 / 255.0) < 1e-3
+    for bad in (2, 3):
+        assert got[bad]["width"] is None and got[bad]["features"] == []
