@@ -497,8 +497,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             scomps = []
             for si in range(ns):
                 cs, tda = body[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scomps.append((comp, tda >> 4, tda & 0x0F))
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG: scan references unknown component {cs}")
+                scomps.append((matches[0], tda >> 4, tda & 0x0F))
             return _decode_scan(
                 data, pos + 2 + length, frame, scomps, qtables, htables, restart_interval
             )

@@ -248,7 +248,7 @@ def decode_media_jpeg(
                 try:
                     w, h, _nc, px = decode_jpeg(payload)
                     rows.append((int(doc_id), len(payload), w, h, 1, stats(px)))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError):
                     rows.append((int(doc_id), len(payload), None, None, None, []))
             yield pd.DataFrame(
                 rows,
