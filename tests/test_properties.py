@@ -230,3 +230,83 @@ def test_temperature_rates_match_python_reference(spark_session_holder, source_s
         raw = (0.5 * total) * (math.sqrt(n) / z) / n
         want[src] = min(1.0, math.floor(raw * 1e6 + 0.5) / 1e6)
     assert got == want
+
+
+# ---- codec round-trip properties ------------------------------------------
+# The media codecs are pure byte functions, so hypothesis can hammer
+# them without Spark: arbitrary images/palettes/frame counts through
+# encode->decode must reproduce the input within each codec's stated
+# accuracy contract (PNG/GIF exact; JPEG ±1 gray / ±2 RGB with
+# all-ones quantization). Catches the corner-parameter class the
+# fixed-fixture tests can't enumerate (dimension mod 8/16 residues,
+# palette sizes at LZW width boundaries, interlace on tiny heights).
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+def test_property_jpeg_roundtrip(w, h, seed, gray):
+    import numpy as np
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    ones = np.ones((8, 8))
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    ww, hh, nc, out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+    assert (ww, hh, nc) == (w, h, 1 if gray else 3)
+    tol = 1 if gray else 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    n_colors=st.integers(1, 256),
+    n_frames=st.integers(1, 4),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_gif_roundtrip_exact(w, h, n_colors, n_frames, interlace, seed):
+    import numpy as np
+
+    from k8e_fetch_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    palette = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(n_colors)]
+    frames = [
+        bytes(rng.randint(0, n_colors, w * h).astype(np.uint8).tolist())
+        for _ in range(n_frames)
+    ]
+    data = encode_gif(w, h, palette, frames, interlace=interlace)
+    ww, hh, nf, decoded = decode_gif(data)
+    assert (ww, hh, nf) == (w, h, n_frames)
+    for frame, idx in zip(decoded, frames):
+        want = b"".join(bytes(palette[i]) for i in idx)
+        assert frame == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_png_roundtrip_exact(w, h, color_type, seed):
+    import numpy as np
+
+    from k8e_fetch_spark.operators.png import _CHANNELS, decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    ch = _CHANNELS[color_type]
+    raw = bytes(rng.randint(0, 256, w * h * ch).astype(np.uint8).tolist())
+    ww, hh, cch, out = decode_png(encode_png(w, h, raw, color_type=color_type))
+    assert (ww, hh, cch) == (w, h, ch)
+    assert out == raw
