@@ -633,3 +633,54 @@ def test_gif_stage_quarantines_and_counts_frames(spark):
     assert abs(got[1]["features"][0] - 120 / 255.0) < 1e-3
     for bad in (2, 3):
         assert got[bad]["width"] is None and got[bad]["features"] == []
+
+
+def test_wav_bit_depths_and_float():
+    """The WAV decoder handles the encodings a web corpus carries —
+    8-bit unsigned, 16/24/32-bit PCM, IEEE float32, and the
+    WAVE_FORMAT_EXTENSIBLE wrapper — folding every depth to the 16-bit
+    scale so downstream stats normalize by one constant. Unsupported
+    encodings (mu-law etc.) quarantine via ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from k8e_fetch_spark.operators.wav import (
+        _FMT_PCM,
+        _riff,
+        decode_wav,
+        encode_wav,
+        encode_wav_float32,
+    )
+
+    sam = [0, 1000, -1000, 32767, -32768, 256, -256, 0]
+    for width, want in [
+        (2, sam),
+        (3, sam),
+        (4, sam),
+        (1, [(s >> 8) << 8 for s in sam]),
+    ]:
+        r, c, n, out = decode_wav(encode_wav(8000, 2, sam, sample_width=width))
+        assert (r, c, n) == (8000, 2, 4) and out == want, width
+
+    fs = [0.0, 0.5, -0.5, 1.0, -1.0, 0.25]
+    _, _, _, out = decode_wav(encode_wav_float32(22050, 2, fs))
+    assert out == [round(v * 32767) for v in fs]
+
+    # extensible wrapper around plain PCM
+    raw = struct.pack("<6h", *sam[:6])
+    fmt_body = (
+        struct.pack("<HHIIHHH", 0xFFFE, 1, 8000, 16000, 2, 16, 22)
+        + struct.pack("<HI", 16, 0)
+        + struct.pack("<H", _FMT_PCM)
+        + b"\x00" * 14
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    ext = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_wav(ext)[3] == sam[:6]
+
+    with _pytest.raises(ValueError):
+        decode_wav(_riff(8000, 1, 8, 7, b"\x00" * 10))  # mu-law
