@@ -29,8 +29,9 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# channels per color type (8-bit depth only — the common web case)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels per color type (8-bit depth only — the common web case);
+# type 3 (palette) is 1 byte/px pre-expansion, expanded via PLTE/tRNS
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Hard cap on the IHDR-declared filtered pixel buffer (~64 Mpx RGBA +
 # filter bytes). Corpus images beyond this are not plausible training
@@ -111,64 +112,18 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
     )
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Parse a PNG and return ``(width, height, channels, pixel_bytes)``
-    with pixels row-major, filters reversed. Supports 8-bit depth,
-    color types 0/2/4/6, no interlace — raises ValueError otherwise
-    (the decode stage surfaces that as a per-row error, it does not
-    crash the task)."""
-    if data[:8] != _SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = color_type = -1
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color_type not in _CHANNELS:
-                raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width < 0:
-        raise ValueError("missing IHDR")
-    ch = _CHANNELS[color_type]
+_ADAM7 = (  # (x0, y0, xstep, ystep) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse the five per-row predictor filters over a filtered
+    sub-image of ``height`` rows, each 1 filter byte + width*ch data
+    bytes. Shared by the sequential path (one call) and the Adam7 path
+    (one call per pass)."""
     stride = width * ch
-    # Bounded inflate: the IHDR already fixes the exact decompressed
-    # size, so cap decompression there instead of trusting the stream —
-    # an unbounded zlib.decompress lets a kilobyte DEFLATE bomb claim
-    # gigabytes and OOM the executor (MemoryError would bypass the
-    # quarantine catch in decode_media_png and kill the task).
-    # The IHDR itself is attacker-controlled too: the 4-byte dimension
-    # fields can declare up to ~2^35 pixel bytes, so a consistent
-    # large-IHDR bomb would still materialize gigabytes before the
-    # length check. Cap the declared pixel buffer outright — rows above
-    # it quarantine via the same ValueError path.
-    expected = (stride + 1) * height
-    if expected > _MAX_PIXEL_BYTES:
-        raise ValueError(
-            f"declared pixel buffer {expected} B exceeds cap {_MAX_PIXEL_BYTES} B"
-        )
-    d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), expected + 1)
-    if d.unconsumed_tail:
-        raw += d.decompress(d.unconsumed_tail, 1)
-    if len(raw) != expected:
-        raise ValueError("IDAT length does not match dimensions")
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
@@ -195,4 +150,112 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PNG and return ``(width, height, channels, pixel_bytes)``
+    with pixels row-major, filters reversed. Supports 8-bit depth,
+    color types 0/2/4/6 and 3 (palette — expanded to RGB via PLTE, or
+    RGBA when a tRNS chunk carries per-entry alpha), no interlace —
+    raises ValueError otherwise
+    (the decode stage surfaces that as a per-row error, it does not
+    crash the task)."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = color_type = -1
+    idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("bad PLTE chunk length")
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise ValueError("missing IHDR")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    # Bounded inflate: the IHDR already fixes the exact decompressed
+    # size, so cap decompression there instead of trusting the stream —
+    # an unbounded zlib.decompress lets a kilobyte DEFLATE bomb claim
+    # gigabytes and OOM the executor (MemoryError would bypass the
+    # quarantine catch in decode_media_png and kill the task).
+    # The IHDR itself is attacker-controlled too: the 4-byte dimension
+    # fields can declare up to ~2^35 pixel bytes, so a consistent
+    # large-IHDR bomb would still materialize gigabytes before the
+    # length check. Cap the declared pixel buffer outright — rows above
+    # it quarantine via the same ValueError path.
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:  # Adam7: per-pass sub-image dims, empty passes skipped
+        passes = []
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, xs, ys, pw, ph))
+    expected = sum((pw * ch + 1) * ph for *_ , pw, ph in passes)
+    if expected > _MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"declared pixel buffer {expected} B exceeds cap {_MAX_PIXEL_BYTES} B"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != expected:
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray(stride * height)
+    off = 0
+    for x0, y0, xs, ys, pw, ph in passes:
+        sub = _unfilter(raw[off : off + (pw * ch + 1) * ph], pw, ph, ch)
+        off += (pw * ch + 1) * ph
+        if (x0, y0, xs, ys) == (0, 0, 1, 1):
+            out[:] = sub
+            continue
+        for py in range(ph):
+            for px_i in range(pw):
+                src = (py * pw + px_i) * ch
+                dst = ((y0 + py * ys) * width + (x0 + px_i * xs)) * ch
+                out[dst : dst + ch] = sub[src : src + ch]
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(plte) // 3
+        alpha = trns or b""
+        out_ch = 4 if trns is not None else 3
+        px = bytearray(width * height * out_ch)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError("palette index out of range")
+            o = i * out_ch
+            px[o : o + 3] = plte[3 * idx : 3 * idx + 3]
+            if out_ch == 4:
+                px[o + 3] = alpha[idx] if idx < len(alpha) else 255
+        return width, height, out_ch, bytes(px)
     return width, height, ch, bytes(out)

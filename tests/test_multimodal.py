@@ -684,3 +684,70 @@ def test_wav_bit_depths_and_float():
 
     with _pytest.raises(ValueError):
         decode_wav(_riff(8000, 1, 8, 7, b"\x00" * 10))  # mu-law
+
+
+def test_png_palette_and_adam7():
+    """Web-corpus PNG coverage beyond the truecolor basics: color type
+    3 (palette, expanded via PLTE to RGB — or RGBA when tRNS carries
+    per-entry alpha) and Adam7 interlacing (7 independently filtered
+    passes scattered on the 8x8 grid, each pass exercising real
+    unfiltering via an Up-filtered row)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from k8e_fetch_spark.operators.png import _ADAM7, decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([(i * 3) % 4 for i in range(20)])
+    raw = b"".join(b"\x00" + idx[r * 5 : (r + 1) * 5] for r in range(4))
+    base = chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0))
+    png = sig + base + chunk(b"PLTE", pal) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (5, 4, 3)
+    assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+    png_a = (
+        sig + base + chunk(b"PLTE", pal) + chunk(b"tRNS", bytes([200, 100]))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(png_a)
+    assert ch == 4
+    alphas = {0: 200, 1: 100, 2: 255, 3: 255}
+    assert px == b"".join(pal[3 * i : 3 * i + 3] + bytes([alphas[i]]) for i in idx)
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, xs, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * 3, dtype=np.uint8)
+        for ri, row in enumerate(sub):
+            flat = row.reshape(-1)
+            if ri % 2 == 1:  # Up filter: real cross-row unfiltering per pass
+                parts.append(b"\x02" + ((flat - prev) & 0xFF).astype(np.uint8).tobytes())
+            else:
+                parts.append(b"\x00" + flat.tobytes())
+            prev = flat
+    png_i = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 9, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(png_i)
+    assert (w, h, ch) == (13, 9, 3)
+    assert px == img.tobytes()
