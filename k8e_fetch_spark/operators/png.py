@@ -118,12 +118,14 @@ _ADAM7 = (  # (x0, y0, xstep, ystep) per pass
 )
 
 
-def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     """Reverse the five per-row predictor filters over a filtered
-    sub-image of ``height`` rows, each 1 filter byte + width*ch data
-    bytes. Shared by the sequential path (one call) and the Adam7 path
-    (one call per pass)."""
-    stride = width * ch
+    sub-image of ``height`` rows, each 1 filter byte + width*bpp data
+    bytes; ``bpp`` is the BYTES per pixel (channels x depth/8 — the
+    filter distance the spec defines). Shared by the sequential path
+    (one call) and the Adam7 path (one call per pass)."""
+    stride = width * bpp
+    ch = bpp
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
@@ -179,7 +181,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
+            if depth not in (8, 16) or (depth == 16 and color_type == 3):
                 raise ValueError(f"unsupported bit depth {depth}")
             if color_type not in _CHANNELS:
                 raise ValueError(f"unsupported color type {color_type}")
@@ -199,7 +201,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width < 0:
         raise ValueError("missing IHDR")
     ch = _CHANNELS[color_type]
-    stride = width * ch
+    bpp = ch * (depth // 8)
+    stride = width * bpp
     # Bounded inflate: the IHDR already fixes the exact decompressed
     # size, so cap decompression there instead of trusting the stream —
     # an unbounded zlib.decompress lets a kilobyte DEFLATE bomb claim
@@ -219,7 +222,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             ph = (height - y0 + ys - 1) // ys
             if pw > 0 and ph > 0:
                 passes.append((x0, y0, xs, ys, pw, ph))
-    expected = sum((pw * ch + 1) * ph for *_ , pw, ph in passes)
+    expected = sum((pw * bpp + 1) * ph for *_ , pw, ph in passes)
     if expected > _MAX_PIXEL_BYTES:
         raise ValueError(
             f"declared pixel buffer {expected} B exceeds cap {_MAX_PIXEL_BYTES} B"
@@ -233,16 +236,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     out = bytearray(stride * height)
     off = 0
     for x0, y0, xs, ys, pw, ph in passes:
-        sub = _unfilter(raw[off : off + (pw * ch + 1) * ph], pw, ph, ch)
-        off += (pw * ch + 1) * ph
+        sub = _unfilter(raw[off : off + (pw * bpp + 1) * ph], pw, ph, bpp)
+        off += (pw * bpp + 1) * ph
         if (x0, y0, xs, ys) == (0, 0, 1, 1):
             out[:] = sub
             continue
         for py in range(ph):
             for px_i in range(pw):
-                src = (py * pw + px_i) * ch
-                dst = ((y0 + py * ys) * width + (x0 + px_i * xs)) * ch
-                out[dst : dst + ch] = sub[src : src + ch]
+                src = (py * pw + px_i) * bpp
+                dst = ((y0 + py * ys) * width + (x0 + px_i * xs)) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+    if depth == 16:
+        # fold to 8-bit: PNG stores 16-bit samples big-endian, so the
+        # high byte is sample >> 8 — the standard display reduction
+        out = out[0::2]
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

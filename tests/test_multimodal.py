@@ -751,3 +751,45 @@ def test_png_palette_and_adam7():
     w, h, ch, px = decode_png(png_i)
     assert (w, h, ch) == (13, 9, 3)
     assert px == img.tobytes()
+
+
+def test_png_16bit_depth():
+    """16-bit PNGs (photography pipelines) decode with the correct
+    filter distance (bpp = 6 bytes for 16-bit RGB — a Sub filter at
+    the 8-bit distance would garble every row) and fold to 8-bit via
+    the big-endian high byte, the standard display reduction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from k8e_fetch_spark.operators.png import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(15)
+    w, h = 7, 5
+    px16 = rng.randint(0, 65536, (h, w, 3), dtype=np.uint16)
+    want = (px16 >> 8).astype(np.uint8).tobytes()
+    raw = b""
+    for r in range(h):
+        row = px16[r].astype(">u2").tobytes()
+        filt = bytearray(row)
+        for i in range(len(row) - 1, 5, -1):
+            filt[i] = (row[i] - row[i - 6]) & 0xFF  # Sub at bpp distance
+        raw += b"\x01" + bytes(filt)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    W, H, ch, out = decode_png(png)
+    assert (W, H, ch) == (w, h, 3)
+    assert out == want
