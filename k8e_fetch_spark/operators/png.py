@@ -155,6 +155,82 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+def encode_png_palette(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: bytes,
+    trns: bytes | None = None,
+) -> bytes:
+    """Write a color-type-3 (palette) PNG: PLTE triples, optional tRNS
+    per-entry alpha, filter-0 index rows. The layout web icons and
+    screenshots commonly ship; decode expands it back to RGB(A)."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer length != width*height")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
+
+
+def encode_png_interlaced(
+    width: int, height: int, pixels: bytes, color_type: int = 2
+) -> bytes:
+    """Write an Adam7-interlaced PNG (filter-0 rows per pass): the
+    progressive-rendering layout older web encoders emit."""
+    ch = _CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError("pixel buffer length mismatch")
+    parts = []
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            row = bytearray()
+            for px_i in range(pw):
+                src = ((y0 + py * ys) * width + (x0 + px_i * xs)) * ch
+                row += pixels[src : src + ch]
+            parts.append(b"\x00" + bytes(row))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_16bit(
+    width: int, height: int, samples16: list[int], color_type: int = 2
+) -> bytes:
+    """Write a 16-bit-depth PNG (big-endian samples, filter-0 rows):
+    the photography-pipeline layout; decode folds to the high byte."""
+    ch = _CHANNELS[color_type]
+    if len(samples16) != width * height * ch:
+        raise ValueError("sample buffer length mismatch")
+    stride = width * ch * 2
+    raw_all = struct.pack(f">{len(samples16)}H", *samples16)
+    raw = b"".join(
+        b"\x00" + raw_all[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Parse a PNG and return ``(width, height, channels, pixel_bytes)``
     with pixels row-major, filters reversed. Supports 8-bit depth,

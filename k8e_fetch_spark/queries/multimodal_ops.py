@@ -302,6 +302,99 @@ def mm_decode_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-PNG VARIANT decode with a FULL oracle: the three web-PNG
+# layouts beyond plain truecolor, rotating by doc_id — palette
+# (PLTE-expanded), Adam7 interlace (7-pass scatter), and 16-bit depth
+# (high-byte fold, samples v<<8 so the fold is exactly v). Constant
+# color keeps every decoded statistic SQL-expressible while each
+# layout exercises its real decode machinery.
+_DECODE_PNG_VARIANTS_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               4 + doc_id % 19 AS w, 4 + doc_id % 13 AS h,
+               1 + (doc_id * 7) % 255 AS v
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(v AS INTEGER) AS f0,
+           CAST(v AS INTEGER) AS f1,
+           CAST(v AS INTEGER) AS f2,
+           CAST(v AS INTEGER) AS f3,
+           CAST(v AS INTEGER) AS f4,
+           CAST(v AS INTEGER) AS f5,
+           CAST(0 AS INTEGER) AS f6,
+           CAST(255 AS INTEGER) AS f7
+    FROM base
+"""
+
+
+@register(
+    "mm_decode_png_variants",
+    oracle=_DECODE_PNG_VARIANTS_ORACLE,
+    tags=("ext-multimodal", "decode-real-png", "png-variants"),
+)
+def mm_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-PNG layouts beyond plain truecolor through the REAL
+    decode stage: per document (rotating by doc_id % 3) a palette PNG
+    (PLTE expansion), an Adam7-interlaced PNG (7 independently
+    unfiltered passes scattered on the 8x8 grid), or a 16-bit-depth
+    PNG (bpp-distance unfiltering + high-byte fold) — all built on
+    executors and hash-checked against ground truth stated
+    relationally on the image parameters."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_png
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.png import (
+            encode_png_16bit,
+            encode_png_interlaced,
+            encode_png_palette,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 19, 4 + i % 13
+                v = 1 + (i * 7) % 255
+                kind = i % 3
+                if kind == 0:
+                    payloads.append(
+                        encode_png_palette(w, h, [(v, v, v)], b"\x00" * (w * h))
+                    )
+                elif kind == 1:
+                    payloads.append(
+                        encode_png_interlaced(w, h, bytes((v, v, v)) * (w * h))
+                    )
+                else:
+                    payloads.append(
+                        encode_png_16bit(w, h, [v << 8] * (w * h * 3))
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    decoded = decode_media_png(with_payload)
+    fcols = [
+        F.floor(F.col("features")[i] * 255 + F.lit(0.5)).cast("int").alias(f"f{i}")
+        for i in (0, 1, 2, 3, 4, 5)
+    ]
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        *fcols,
+        F.floor(F.col("features")[6] * 3 + F.lit(0.5)).cast("int").alias("f6"),
+        F.floor(F.col("features")[7] * 255 + F.lit(0.5)).cast("int").alias("f7"),
+    )
+
+
 # Real-GIF decode with a FULL oracle. Payloads are genuine GIF89a
 # streams built on executors as a pure function of doc_id: 1 + id%4
 # FRAMES (n_frames is real for GIF — the multi-frame image container)

@@ -126,8 +126,9 @@ _PRIORITY = (
     # text_compression_ratio, sim_topk_ivf_trained) rotate in next
     # round so every declared query has a driver row by round 7,
     # joined by the round-6 additions mm_decode_jpeg_real,
-    # mm_resize_real and mm_decode_gif_real (real baseline-JPEG and
-    # GIF codecs + the real thumbnail chain, registered after the
+    # mm_resize_real, mm_decode_gif_real and mm_decode_png_variants
+    # (real baseline-JPEG and GIF codecs, the real thumbnail chain,
+    # and the palette/Adam7/16-bit PNG layouts — registered after the
     # window froze).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow

@@ -793,3 +793,30 @@ def test_png_16bit_depth():
     W, H, ch, out = decode_png(png)
     assert (W, H, ch) == (w, h, 3)
     assert out == want
+
+
+def test_png_variant_encoders_roundtrip():
+    """The variant encoders (palette, Adam7, 16-bit) produce streams
+    the decoder reverses exactly — the constructions the
+    mm_decode_png_variants driver query builds on executors."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.png import (
+        decode_png,
+        encode_png_16bit,
+        encode_png_interlaced,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(21)
+    pal = [(9, 8, 7), (200, 100, 50), (1, 2, 3), (250, 250, 250)]
+    idx = bytes(rng.randint(0, 4, 6 * 7).tolist())
+    w, h, ch, px = decode_png(encode_png_palette(6, 7, pal, idx))
+    assert (w, h, ch) == (6, 7, 3)
+    assert px == b"".join(bytes(pal[i]) for i in idx)
+
+    raw = bytes(rng.randint(0, 256, 11 * 9 * 3).tolist())
+    assert decode_png(encode_png_interlaced(11, 9, raw))[3] == raw
+
+    s16 = rng.randint(0, 65536, 5 * 4 * 3).tolist()
+    assert decode_png(encode_png_16bit(5, 4, s16))[3] == bytes(v >> 8 for v in s16)
