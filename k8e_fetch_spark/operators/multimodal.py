@@ -400,6 +400,46 @@ def decode_media_gif(
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
 
 
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", IntegerType()),
+    ]
+)
+
+
+def decode_media_gif_frames(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-FRAME statistics from real GIF decodes — the one-to-many
+    decode shape (one input row fans out to n_frames output rows,
+    like the AVI frame-sampling stage). Malformed payloads quarantine
+    as a single null-frame row so the document is still accounted
+    for."""
+    from k8e_fetch_spark.operators.gif import decode_gif
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, _n, frames = decode_gif(bytes(payload))
+                    for fi, rgb in enumerate(frames):
+                        rows.append(
+                            (int(doc_id), fi, w, h, int(round(sum(rgb) / len(rgb))))
+                        )
+                except (ValueError, struct.error, IndexError):
+                    rows.append((int(doc_id), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "mean_px"]
+            )
+
+    return df.mapInPandas(decode_batches, FRAME_STATS_SCHEMA)
+
+
 def box_resize(px, out_h: int, out_w: int):
     """Box-average resample of an (h, w[, ch]) uint8 array to
     (out_h, out_w[, ch]) — the classic area-averaging thumbnail kernel.

@@ -487,6 +487,67 @@ def mm_decode_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-frame GIF stats with a FULL oracle: each frame of the planted
+# animation carries its OWN constant color v_f = 1 + (id*7 + 31*f) % 255,
+# so the decode must keep frames distinct and ordered — a wrong frame
+# order, a dropped frame, or cross-frame state leakage all break the
+# hash. One input row fans out to n_frames output rows (the
+# one-to-many decode shape the AVI sampler also uses).
+_GIF_FRAME_STATS_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               4 + doc_id % 21 AS w, 4 + doc_id % 17 AS h,
+               CAST(1 + doc_id % 4 AS INTEGER) AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 + (doc_id * 7 + 31 * f) % 255 AS INTEGER) AS mean_px
+    FROM base, UNNEST(generate_series(0, nf - 1)) AS g(f)
+"""
+
+
+@register(
+    "mm_gif_frame_stats",
+    oracle=_GIF_FRAME_STATS_ORACLE,
+    tags=("ext-multimodal", "decode-real-gif", "per-frame"),
+)
+def mm_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame statistics from real multi-frame GIF decodes: every
+    frame has a distinct planted constant color, so the hash check
+    verifies frame ORDER and isolation, not just presence — the
+    animation-analytics twin of mm_decode_gif_real's first-frame
+    stats."""
+    import pandas as pd
+
+    from k8e_fetch_spark.operators.multimodal import decode_media_gif_frames
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_batches(batches):
+        from k8e_fetch_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 21, 4 + i % 17
+                nf = 1 + i % 4
+                palette = [
+                    ((v := 1 + (i * 7 + 31 * f) % 255), v, v) for f in range(nf)
+                ]
+                frames = [bytes([f]) * (w * h) for f in range(nf)]
+                payloads.append(
+                    encode_gif(w, h, palette, frames, delays_cs=[4] * nf)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return decode_media_gif_frames(with_payload)
+
+
 # Real resize with a FULL oracle: the constant-gray JPEG construction
 # of mm_decode_jpeg_real feeds the REAL resize stage (JPEG decode ->
 # box-average -> PNG re-encode -> re-decode of our own thumbnail).
