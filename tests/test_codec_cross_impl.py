@@ -133,3 +133,41 @@ def test_jpeg_cross_implementation(jvm_img):
 
     ours420 = encode_jpeg(const, quant_luma=ones, quant_chroma=ones, subsampling="4:2:0")
     assert np.abs(from_bytes(ours420).astype(int) - const.astype(int)).max() <= 2
+
+
+def test_wav_cross_implementation(spark):
+    """WAV against javax.sound.sampled, both directions: AudioSystem's
+    RIFF output decodes sample-exact in our decoder (16-bit mono and
+    stereo), and our streams parse to the identical PCM payload in an
+    implementation that has never seen our code."""
+    import struct
+
+    from py4j.java_gateway import java_import
+
+    from k8e_fetch_spark.operators.wav import decode_wav, encode_wav
+
+    jvm = spark._jvm
+    java_import(jvm, "javax.sound.sampled.*")
+    java_import(jvm, "java.io.ByteArrayOutputStream")
+    java_import(jvm, "java.io.ByteArrayInputStream")
+
+    for channels in (1, 2):
+        samples = [0, 1000, -1000, 32767, -32768, 42, -17, 255][: 8 - (8 % channels)]
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = jvm.AudioFormat(8000.0, 16, channels, True, False)
+        ais = jvm.AudioInputStream(
+            jvm.ByteArrayInputStream(bytearray(raw)), fmt, len(samples) // channels
+        )
+        baos = jvm.ByteArrayOutputStream()
+        jvm.AudioSystem.write(ais, jvm.AudioFileFormat.Type.WAVE, baos)
+        r, c, nf, out = decode_wav(bytes(baos.toByteArray()))
+        assert (r, c, nf) == (8000, channels, len(samples) // channels)
+        assert out == samples
+
+        ours = encode_wav(8000, channels, samples)
+        ais2 = jvm.AudioSystem.getAudioInputStream(jvm.ByteArrayInputStream(bytearray(ours)))
+        f2 = ais2.getFormat()
+        assert (int(f2.getSampleRate()), f2.getChannels(), f2.getSampleSizeInBits()) == (
+            8000, channels, 16,
+        )
+        assert bytes(ais2.readAllBytes()) == raw
