@@ -197,6 +197,23 @@ def main() -> None:
         "n_queries": len(warm),
         "n_registered": len(REGISTRY),
     }
+    # Floor-row partition (VERDICT r6 next-round #7): rows where the
+    # DuckDB oracle finishes under 150 ms measure Spark's constant
+    # per-query floor (single-row-group parquet scan + scheduling),
+    # not relative engine throughput — they vanish at any real scale.
+    # Emitting both subtotals lets the recorded ratio be read either
+    # way without consulting BASELINE.md prose.
+    floor = {k for k in duck_times if duck_times[k] < 0.150}
+    real = {k for k in duck_times if k not in floor}
+    record["floor_subtotal"] = round(sum(warm[k] for k in floor), 3)
+    record["floor_duckdb_subtotal"] = round(sum(duck_times[k] for k in floor), 3)
+    record["real_work_subtotal"] = round(sum(warm[k] for k in real), 3)
+    record["real_work_duckdb_subtotal"] = round(sum(duck_times[k] for k in real), 3)
+    record["real_work_ratio_vs_duckdb"] = (
+        round(record["real_work_subtotal"] / record["real_work_duckdb_subtotal"], 2)
+        if record["real_work_duckdb_subtotal"] > 0
+        else None
+    )
     if errors:
         record["errors"] = errors
     line = json.dumps(record, separators=(",", ":"))

@@ -1,4 +1,4 @@
-"""Minimal real GIF codec — stdlib only.
+"""Minimal real GIF codec — stdlib + numpy.
 
 Completes the image-codec set (PNG, baseline JPEG, GIF — the three
 formats the magic-byte router distinguishes): GIF87a/89a is fully
@@ -20,12 +20,23 @@ not just for AVI.
 GIF pixel data is lossless over indexed input, so round-trips are
 byte-exact (pinned in tests/test_multimodal.py, including interlaced
 and multi-frame paths). Malformed streams raise ValueError — the same
-quarantine contract as the PNG/JPEG decoders.
+quarantine contract as the PNG/JPEG decoders — including truncations
+that would otherwise surface as IndexError/struct.error from the
+block walk (decode_gif wraps those, so the contract holds for direct
+callers, not just the Arrow stages).
+
+Animation compositing follows the GIF89a disposal model: frames are
+drawn onto a PERSISTENT logical-screen canvas (disposal 0/1 = do not
+dispose — the delta-encoded-GIF common case), disposal 2 restores the
+frame's rectangle to the background color, disposal 3 restores the
+canvas state from before the frame was drawn.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 _MAX_PIXELS = 64 * 1024 * 1024  # same bomb-cap contract as png/jpeg
 
@@ -89,51 +100,104 @@ def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
     return bytes(out)
 
 
+_POW2 = 1 << np.arange(12, dtype=np.int64)
+
+
 def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF variable-width LZW decode — table-driven, vectorized bit reads.
+
+    Two structural facts make this O(output) with C-speed inner ops
+    (the round-6 version paid a Python bytes-concat per code):
+
+    1. Between dictionary events the code width is FIXED and the number
+       of codes until the next width bump is known in advance (each
+       data code adds at most one table entry), so whole runs of codes
+       are extracted in one numpy reshape+matmul over the LSB-first bit
+       array instead of a per-code bit-accumulator loop.
+    2. Every dictionary entry's string is ALWAYS a substring of the
+       already-produced output: the entry created on emitting code c is
+       string(prev) + first_byte(string(c)), and both of those were
+       just written contiguously at prev's emission position. So the
+       table stores only (source offset, length) integer pairs and each
+       emission is a single slice copy out of the output buffer — no
+       per-byte chain walk, no per-code allocation. The only overlap
+       case is the self-referential KwKwK code (source extends exactly
+       one byte past the current end), handled by copying the tail byte
+       from the source start.
+    """
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    total_bits = bits.size
     out = bytearray()
-    acc = 0
-    nbits = 0
-    pos = 0
-    prev: bytes | None = None
+    src = [0] * 4096
+    length = [0] * 4096
+    next_idx = clear + 2
+    prev_pos = 0
+    prev_len = 0
+    have_prev = False
+    p = 0
     while True:
-        while nbits < width:
-            if pos >= len(data):
-                raise ValueError("GIF: truncated LZW stream")
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            return bytes(out)
-        if prev is None:
-            if code >= len(table):
-                raise ValueError("GIF: bad first LZW code")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
-            entry = prev + prev[:1]
-            table.append(entry)
+        if width == 12 or next_idx >= 4096:
+            # width is pinned at 12 until a clear; cap the chunk so a
+            # clear found mid-chunk only wastes a bounded extraction
+            # (unbounded chunks here are quadratic on clear-heavy
+            # streams — random content clears every ~4k codes)
+            n = min((total_bits - p) // 12, 4096)
         else:
-            raise ValueError("GIF: LZW code out of range")
-        out += entry
-        if len(out) > max_pixels:
-            raise ValueError("GIF: decoded size exceeds cap")
-        if len(table) == (1 << width) and width < 12:
-            width += 1
-        prev = entry
+            n = (1 << width) - next_idx  # safe run before a possible bump
+        n = min(n, (total_bits - p) // width)
+        if n <= 0:
+            raise ValueError("GIF: truncated LZW stream")
+        codes_arr = bits[p : p + n * width].reshape(n, width).astype(np.int64) @ _POW2[:width]
+        ctrl = np.nonzero((codes_arr == clear) | (codes_arr == end))[0]
+        stop = int(ctrl[0]) if ctrl.size else n
+        codes = codes_arr.tolist()  # plain ints: the loop below is per-code Python
+        for i in range(stop):
+            c = codes[i]
+            cur = len(out)
+            if not have_prev:  # first data code after (re)start
+                if c >= clear:
+                    raise ValueError("GIF: bad first LZW code")
+                out.append(c)
+                prev_pos, prev_len, have_prev = cur, 1, True
+                continue
+            if c < clear:
+                lc = 1
+            elif c < next_idx:
+                sc, lc = src[c], length[c]
+            elif c == next_idx and next_idx < 4096:
+                sc, lc = prev_pos, prev_len + 1  # KwKwK self-reference
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            if next_idx < 4096:
+                src[next_idx] = prev_pos
+                length[next_idx] = prev_len + 1
+                next_idx += 1
+            if c < clear:
+                out.append(c)
+            else:
+                e = sc + lc
+                if e <= cur:
+                    out += out[sc:e]
+                else:
+                    out += out[sc:cur]
+                    out.append(out[sc])
+            if len(out) > max_pixels:
+                raise ValueError("GIF: decoded size exceeds cap")
+            prev_pos, prev_len = cur, lc
+        if ctrl.size:
+            p += (stop + 1) * width
+            if codes[stop] == end:
+                return bytes(out)
+            next_idx = clear + 2  # clear code: reset dictionary
+            width = min_code_size + 1
+            have_prev = False
+        else:
+            p += n * width
+            if next_idx == (1 << width) and width < 12:
+                width += 1
 
 
 # interlace pass row schedule (GIF89a appendix E)
@@ -202,11 +266,23 @@ def encode_gif(
 
 def decode_gif(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Decode a GIF. Returns (width, height, n_frames, frames) where
-    each frame is width*height*3 RGB bytes on the logical screen
-    (frames smaller than the screen are composited onto the background
-    color; transparency via the 89a graphics-control extension maps
-    the transparent index to the background). Raises ValueError on
-    malformed streams — the quarantine contract."""
+    each frame is width*height*3 RGB bytes on the logical screen,
+    composited per the GIF89a disposal model: the canvas PERSISTS
+    across frames (disposal 0/1 — delta-encoded partial frames render
+    correctly), disposal 2 restores the frame rectangle to the
+    background color, disposal 3 restores the pre-frame canvas;
+    transparency via the graphics-control extension leaves the
+    underlying canvas pixel visible. Raises ValueError on malformed
+    streams — the quarantine contract (truncations surfacing as
+    IndexError/struct.error inside the block walk are re-raised as
+    ValueError)."""
+    try:
+        return _decode_gif_blocks(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"GIF: truncated or malformed stream ({exc})") from exc
+
+
+def _decode_gif_blocks(data: bytes) -> tuple[int, int, int, list[bytes]]:
     if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
     w, h, packed, bg, _ = struct.unpack("<HHBBB", data[6:13])
@@ -218,8 +294,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, list[bytes]]:
         n = 2 << (packed & 0x07)
         global_pal = [data[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
         pos += 3 * n
+    bg_rgb = global_pal[bg] if bg < len(global_pal) else b"\x00\x00\x00"
+    bg_px = np.frombuffer(bg_rgb.ljust(3, b"\x00"), dtype=np.uint8)
+    canvas = np.broadcast_to(bg_px, (h, w, 3)).copy() if w * h else np.zeros((h, w, 3), np.uint8)
     frames: list[bytes] = []
     transparent: int | None = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
@@ -230,6 +310,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, list[bytes]]:
             if label == 0xF9 and data[pos] >= 4:
                 gce_packed = data[pos + 1]
                 transparent = data[pos + 4] if gce_packed & 0x01 else None
+                disposal = (gce_packed >> 2) & 0x07
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -260,31 +341,35 @@ def decode_gif(data: bytes) -> tuple[int, int, int, list[bytes]]:
             idx = _lzw_decode(min_code, bytes(lzw), _MAX_PIXELS)
             if len(idx) < fw * fh:
                 raise ValueError("GIF: short frame data")
-            idx = idx[: fw * fh]
+            idx_arr = np.frombuffer(idx, dtype=np.uint8)[: fw * fh].reshape(fh, fw)
             if ipacked & 0x40:  # interlaced: invert the pass order
-                deinter = bytearray(fw * fh)
-                for src_row, dst_row in enumerate(_interlace_order(fh)):
-                    deinter[dst_row * fw : (dst_row + 1) * fw] = idx[
-                        src_row * fw : (src_row + 1) * fw
-                    ]
-                idx = bytes(deinter)
-            bg_rgb = global_pal[bg] if bg < len(global_pal) else b"\x00\x00\x00"
-            canvas = bytearray(bg_rgb * (w * h))
-            for row in range(fh):
-                if not 0 <= top + row < h:
-                    continue
-                for col in range(fw):
-                    if not 0 <= left + col < w:
-                        continue
-                    ci = idx[row * fw + col]
-                    if transparent is not None and ci == transparent:
-                        continue
-                    if ci >= len(pal):
-                        raise ValueError("GIF: palette index out of range")
-                    off = ((top + row) * w + (left + col)) * 3
-                    canvas[off : off + 3] = pal[ci]
-            frames.append(bytes(canvas))
+                deinter = np.empty_like(idx_arr)
+                deinter[_interlace_order(fh), :] = idx_arr
+                idx_arr = deinter
+            # clip the frame rectangle to the logical screen
+            y1, x1 = min(fh, h - top), min(fw, w - left)
+            prev_canvas = canvas.copy() if disposal == 3 else None
+            if y1 > 0 and x1 > 0:
+                sub = idx_arr[:y1, :x1]
+                visible = sub if transparent is None else sub[sub != transparent]
+                if visible.size and int(visible.max()) >= len(pal):
+                    raise ValueError("GIF: palette index out of range")
+                pal_arr = np.frombuffer(
+                    b"".join(p.ljust(3, b"\x00") for p in pal), dtype=np.uint8
+                ).reshape(-1, 3)
+                region = canvas[top : top + y1, left : left + x1]
+                if transparent is None:
+                    region[...] = pal_arr[sub]
+                else:
+                    mask = sub != transparent
+                    region[mask] = pal_arr[sub[mask]]
+            frames.append(canvas.tobytes())
+            if disposal == 2 and y1 > 0 and x1 > 0:
+                canvas[top : top + y1, left : left + x1] = bg_px
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
             transparent = None
+            disposal = 0
         else:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
     if not frames:

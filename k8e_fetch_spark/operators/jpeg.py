@@ -20,11 +20,31 @@ PNG/WAV/AVI trilogy — it is implemented for real:
 Scope is the baseline process only: progressive (SOF2), arithmetic
 coding, hierarchical and 12-bit modes raise ValueError, which the
 Arrow decode stage turns into a quarantine row — the same contract as
-a corrupt payload. Round-trip accuracy is pinned in
-tests/test_multimodal.py: with all-ones quantization the codec is
-exact on constant blocks and within ±1/255 per pixel on arbitrary
-images (float DCT rounding), which is what makes an exact relational
-oracle possible for the driver query.
+a corrupt payload.
+
+Round-trip accuracy (all-ones quantization, 4:4:4 or grayscale) —
+derived worst-case bound, not an aspiration:
+
+- The ONLY lossy step is coefficient quantization: ``round(c / 1)``
+  perturbs each of the 64 DCT coefficients by at most 0.5. The 2-D
+  DCT-II basis is orthonormal with per-pixel amplitude sum
+  ``max_{x,y} sum_{u,v} |b_uv(x,y)| = 6.9794`` (numerically, from
+  the Annex A cosine matrix), so the reconstructed PLANE value is
+  within ``0.5 * 6.9794 = 3.49`` of the true value in the adversarial
+  worst case — and within ~0.29 std for random images (sum of 64
+  ~uniform(±0.5) terms over a unit-norm basis).
+- The JFIF YCbCr→RGB transform amplifies plane error by at most
+  ``1 + 1.772`` (blue channel), and the final ``np.round`` adds 0.5.
+
+Composed worst case per pixel: grayscale ``3.49 + 0.5 → ±4``; RGB
+``3.49 * 2.772 + 0.5 → ±10``. Random images sit far inside this
+(observed max 3 across the hypothesis corpus — the ±2 previously
+claimed here was a sampling artifact, falsified by
+``w=35, h=16, seed=45112``, pinned as an ``@example`` in
+tests/test_properties.py). Constant 8x8-aligned blocks round-trip
+EXACTLY (a constant block is a pure DC coefficient, which all-ones
+quantization preserves) — that exactness, not the ±bound, is what the
+driver's relational oracle queries rely on.
 
 Pure functions of bytes, importable on executors: the Arrow-batched
 ``decode_media_jpeg`` stage (operators/multimodal.py) calls
@@ -494,6 +514,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # spec-legal non-interleaved baseline (components in
+                # separate scans): decoding only the first scan would
+                # silently return wrong pixels — quarantine instead,
+                # same contract as progressive.
+                raise ValueError("JPEG: multi-scan baseline unsupported")
             scomps = []
             for si in range(ns):
                 cs, tda = body[1 + 2 * si : 3 + 2 * si]

@@ -96,40 +96,28 @@ def register(
 # is exactly 50 names — one correctness row per capability, oracle-
 # bearing queries first, then the rows-only LSH/iterative flagships.
 _PRIORITY = (
-    # Rotation policy (established r4, continued r5-r6): rows with 3-4
+    # Rotation policy (established r4, continued r5-r7): rows with 3-4
     # rounds of green driver history rotate OUT each round to give
     # never-driver-checked oracle queries a recorded CORRECTNESS row;
     # rotated-out ops keep that recorded history plus pytest parity
     # (tests/test_oracle_parity.py) as evidence.
     #
-    # ROUND-6 ROTATION (VERDICT r5 next-round #1/#2): 22 rows at 3-4
-    # greens rotate out — catalog_version_latest x4, mm_decode_meta x4,
-    # text_stats_per_lang / text_language_id / text_quality_score x4,
-    # corpus_prep_pipeline x4, dedup_exact_documents x4,
-    # join_asof_purchase x4, map_funcs_events x3, cube_orders /
-    # rollup_lineitem / grouping_sets_orders x3, the three
-    # events_*_window rows x3, stream_tumbling_available_now /
-    # stream_stateful_user_stats x3, dedup_simhash_planted /
-    # dedup_clusters_planted x3, sim_topk_ivf_planted /
-    # sim_kmeans_assign_oracle x3, ingest_zip_decode_repair x3.
-    # Rotated IN: the 17 never-driver-checked TPC-H rows (the
-    # relational showcase was the least-attested surface) plus 5
-    # oracle-bearing zero-history flagships (clean-mix, constraint
-    # gates, incremental snapshot, retention cohort, real-PNG decode).
-    # EXCEPTION to the pure green-count policy: dedup_minhash_lsh_planted
-    # and sim_cosine_lsh_planted hold their seats at 4 greens because
-    # their code paths change this round (exact-verify rework, footer-
-    # based sizing) — changed code gets a fresh driver row before its
-    # history is trusted. Remaining zero-history rows
-    # (mm_decode_audio_real, mm_decode_video_real + the four rows-only:
-    # dedup_minhash_lsh, text_winnowing_fingerprint,
-    # text_compression_ratio, sim_topk_ivf_trained) rotate in next
-    # round so every declared query has a driver row by round 7,
-    # joined by the round-6 additions mm_decode_jpeg_real,
-    # mm_resize_real, mm_decode_gif_real and mm_decode_png_variants
-    # (real baseline-JPEG and GIF codecs, the real thumbnail chain,
-    # and the palette/Adam7/16-bit PNG layouts — registered after the
-    # window froze).
+    # ROUND-7 ROTATION (VERDICT r6 next-round #2 — the rotation the
+    # policy has been driving at since r4): the LAST 11 zero-history
+    # queries take seats, completing ≥1 driver CORRECTNESS row for
+    # every one of the 137 declared queries. Rotated IN: the 7 codec
+    # oracles (mm_decode_jpeg_real, mm_decode_png_variants,
+    # mm_decode_gif_real, mm_gif_frame_stats, mm_resize_real,
+    # mm_decode_audio_real, mm_decode_video_real) and the 4 rows-only
+    # twins (dedup_minhash_lsh, text_winnowing_fingerprint,
+    # text_compression_ratio, sim_topk_ivf_trained). The GIF and JPEG
+    # rows double as changed-code checks: round 7 rewrote the GIF LZW
+    # decode (table-driven/vectorized), added GIF89a disposal-method
+    # compositing, and re-derived the JPEG accuracy bound — fresh
+    # driver rows land on the NEW code. Rotated OUT (all first-green
+    # r6, evidence now recorded): tpch q4 q6 q7 q11 q12 q13 q14 q15
+    # q16 q19 q22. The 8 structurally hardest TPC-H plans (q2 q8 q9
+    # q17 q18 q20 + the q10/q21 seat-holders) stay for a second green.
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",
@@ -173,28 +161,31 @@ _PRIORITY = (
     # ext-stream-window (real streams at 2 greens keep seats)
     "stream_dedup_redelivery",
     "stream_join_attribution",
-    # ext-typed-relational: the COMPLETE TPC-H suite in-window — q10 and
-    # q21 hold seats at 1 green; the 17 never-driver-checked rows take
-    # the freed seats (q1/q3/q5 rotated out r5 at 4x green)
+    # ext-typed-relational: the 8 structurally hardest TPC-H plans keep
+    # seats for a second green (correlated subqueries, fact-fact joins)
     "tpch_q10_returned_items",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
-    "tpch_q22_sales_opportunity",
+    # ext-multimodal: the REAL-codec oracle rows, first driver check —
+    # on the round-7 reworked GIF/JPEG code paths
+    "mm_decode_jpeg_real",
+    "mm_decode_png_variants",
+    "mm_decode_gif_real",
+    "mm_gif_frame_stats",
+    "mm_resize_real",
+    "mm_decode_audio_real",
+    "mm_decode_video_real",
+    # rows-only twins of already-green planted flagships: weaker
+    # rows-only driver checks, but the last queries with NO row ever
+    "dedup_minhash_lsh",
+    "text_winnowing_fingerprint",
+    "text_compression_ratio",
+    "sim_topk_ivf_trained",
 )
 
 

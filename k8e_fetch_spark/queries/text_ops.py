@@ -727,25 +727,28 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-of-Zipf mass makes it small relative to the corpus, so scoring
     is a BROADCAST join against the exploded tokens (the token stream
     never shuffles), and the per-doc mean shuffles (doc_id, partial
-    sums). The corpus total is an unpartitioned window SUM over the
-    aggregated vocab (ONE explode chain; the broadcast-scalar form
-    re-executed it inside the broadcast subplan)."""
+    sums). The corpus total is a map-side-combined SUM over the
+    PERSISTED vocab, collected as one scalar and inlined as a literal:
+    the persist keeps the explode chain single-execution (no exchange
+    reuse across a broadcast boundary, so a broadcast-scalar subplan
+    would re-run it), and unlike the unpartitioned-window form used
+    through round 6, no stage ever holds the full vocabulary in one
+    task — web-corpus vocabulary grows with corpus size, so that
+    single-partition shuffle was the pipeline's one non-scalable
+    stage. The driver-side collect is one Row of one long — the same
+    documented k-bytes-to-driver contract as the k-means centroid
+    pull."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    from pyspark.sql.window import Window
+    from pyspark import StorageLevel
 
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    # corpus total as an unpartitioned window SUM over the vocab — the
-    # broadcast-1-row-aggregate form re-executed the whole token
-    # explode + aggregate chain inside the broadcast subplan (no
-    # exchange reuse across a broadcast boundary; verified on the q2
-    # plan, same shape). The window's single partition holds only the
-    # aggregated vocab, already small relative to the corpus.
-    lm = vocab.withColumn("total", F.sum("c").over(Window.partitionBy())).select(
-        "token", F.log10(F.col("c") / F.col("total")).alias("lp")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    total = vocab.agg(F.sum("c")).collect()[0][0]
+    lm = vocab.select("token", F.log10(F.col("c") / F.lit(float(total))).alias("lp"))
     return (
         tok.join(F.broadcast(lm), on="token")
         .groupBy("doc_id")

@@ -422,9 +422,11 @@ def test_canon_value_bool_types_identical():
 def test_jpeg_roundtrip_accuracy():
     """The baseline JPEG codec's accuracy contract: EXACT on constant
     blocks with all-ones quantization (what makes the driver oracle
-    possible), within ±1 on arbitrary grayscale and ±2 on arbitrary
-    RGB 4:4:4 (float DCT + color-conversion rounding), and lossy but
-    bounded with the default Annex K tables."""
+    possible), and lossy-but-bounded elsewhere. The PROVABLE bound is
+    gray ±4 / RGB ±10 (derived in operators/jpeg.py; enforced over
+    random parameters by tests/test_properties.py) — the tighter ±1/±2
+    asserted below are observed values at these FIXED seeds, kept as
+    regression pins, not a general contract."""
     import numpy as np
 
     from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -608,6 +610,98 @@ def test_gif_roundtrip_exact():
     assert n == 5
     for i, f in enumerate(frames):
         assert set(f) == set(bytes(pal[i % 4]))
+
+
+def test_gif_disposal_methods_and_quarantine_contract():
+    """The GIF89a disposal model over a persistent canvas (the
+    delta-encoded-animation common case the fresh-canvas round-6
+    decoder got wrong): do-not-dispose keeps prior frames visible
+    under partial frames, disposal 2 restores the frame rectangle to
+    the background color, disposal 3 restores the pre-frame canvas,
+    and transparency exposes the UNDERLYING canvas pixel. Also pins
+    the quarantine contract: truncated streams raise ValueError, not
+    the IndexError/struct.error the block walk would naturally leak."""
+    import struct
+
+    import pytest
+
+    from k8e_fetch_spark.operators.gif import _lzw_encode, _subblocks, decode_gif
+
+    # hand-built 3x2 GIF89a: palette 0=red 1=green 2=blue 3=white(bg)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    red, green, blue, white = (bytes(c) for c in pal)
+    head = b"GIF89a" + struct.pack("<HHBBB", 3, 2, 0x81, 3, 0)
+    head += b"".join(bytes(c) for c in pal)
+
+    def gce(disposal, transparent=None):
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes([packed, 0, 0, transparent or 0]) + b"\x00"
+
+    def img(left, top, fw, fh, idx):
+        out = b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        return out + bytes([2]) + _subblocks(_lzw_encode(2, bytes(idx)))
+
+    data = (
+        head
+        + gce(1) + img(0, 0, 3, 2, [0] * 6)            # f1: full red, keep
+        + gce(2) + img(1, 0, 1, 1, [1])                # f2: green dot, then restore bg
+        + gce(1, transparent=3) + img(0, 0, 3, 2, [3] * 6)  # f3: all transparent
+        + gce(3) + img(0, 0, 1, 1, [2])                # f4: blue dot, then restore prev
+        + gce(1, transparent=3) + img(0, 0, 3, 2, [3] * 6)  # f5: all transparent
+        + b"\x3b"
+    )
+    w, h, n, frames = decode_gif(data)
+    assert (w, h, n) == (3, 2, 5)
+    assert frames[0] == red * 6
+    # f2: persistent canvas (red) with the green dot at (row 0, col 1)
+    assert frames[1] == red + green + red * 4
+    # f3: after f2's disposal-2 the dot cell is BACKGROUND white; the
+    # all-transparent frame exposes exactly that canvas
+    assert frames[2] == red + white + red * 4
+    # f4: blue dot drawn at (0,0) on the same canvas
+    assert frames[3] == blue + white + red * 4
+    # f5: f4 was disposal-3 -> canvas restored to the pre-f4 state
+    assert frames[4] == red + white + red * 4
+
+    # quarantine contract: every truncation point raises ValueError
+    for cut in (4, 10, 14, len(head) + 3, len(head) + 10, len(data) - 6):
+        with pytest.raises(ValueError):
+            decode_gif(data[:cut] if cut < len(data) else data)
+    with pytest.raises(ValueError):
+        decode_gif(head + b"\x21\xf9\x04\x05")  # GCE cut mid-fields
+    with pytest.raises(ValueError):
+        decode_gif(head + b"\x2c" + struct.pack("<HHH", 0, 0, 3))  # descriptor cut
+
+
+def test_jpeg_multiscan_baseline_quarantines():
+    """A spec-legal NON-interleaved baseline JPEG (components coded in
+    separate scans) must quarantine, not silently decode only the Y
+    scan as grayscale: the decoder raises ValueError when the SOS
+    names fewer components than the SOF declared."""
+    import numpy as np
+    import pytest
+
+    from k8e_fetch_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    ones = np.ones((8, 8))
+    img = np.full((8, 8, 3), 120, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
+    # rewrite the SOS header to name only the first (Y) component:
+    # FFDA len(2) ns [cs tda]*ns ss se ah/al
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    ns = data[i + 4]
+    assert ns == 3
+    new_body = bytes([1]) + data[i + 5 : i + 7] + data[i + 5 + 2 * ns : i + 8 + 2 * ns]
+    data[i + 2 : i + 8 + 2 * ns] = struct_pack_len(new_body)
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(data))
+
+
+def struct_pack_len(body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">H", len(body) + 2) + body
 
 
 def test_gif_stage_quarantines_and_counts_frames(spark):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.operators.dedup import insert_ignore
@@ -236,13 +236,24 @@ def test_temperature_rates_match_python_reference(spark_session_holder, source_s
 # The media codecs are pure byte functions, so hypothesis can hammer
 # them without Spark: arbitrary images/palettes/frame counts through
 # encode->decode must reproduce the input within each codec's stated
-# accuracy contract (PNG/GIF exact; JPEG ±1 gray / ±2 RGB with
-# all-ones quantization). Catches the corner-parameter class the
-# fixed-fixture tests can't enumerate (dimension mod 8/16 residues,
-# palette sizes at LZW width boundaries, interlace on tiny heights).
+# accuracy contract (PNG/GIF exact; JPEG within its DERIVED compose
+# bound — see operators/jpeg.py's error-budget derivation). Catches
+# the corner-parameter class the fixed-fixture tests can't enumerate
+# (dimension mod 8/16 residues, palette sizes at LZW width
+# boundaries, interlace on tiny heights).
 
 
+# JPEG bound derivation (operators/jpeg.py docstring): with all-ones
+# quantization the only loss is coefficient rounding (±0.5 each over
+# an orthonormal basis with per-pixel amplitude sum 6.9794), so the
+# worst-case plane error is 3.49; the YCbCr->RGB transform amplifies
+# by <=2.772 and the final pixel round adds 0.5 -> gray ±4, RGB ±10
+# PROVABLE. Random images sit far inside (std ~0.29/plane): the mean
+# assertion keeps the test's power, the max assertion is the derived
+# hard bound, and seed=45112 (max err 3, which falsified the old ±2
+# claim) is pinned so the regression corner always runs.
 @settings(max_examples=40, deadline=None)
+@example(w=35, h=16, seed=45112, gray=False)
 @given(
     w=st.integers(1, 40),
     h=st.integers(1, 40),
@@ -260,8 +271,10 @@ def test_property_jpeg_roundtrip(w, h, seed, gray):
     img = rng.randint(0, 256, shape, dtype=np.uint8)
     ww, hh, nc, out = decode_jpeg(encode_jpeg(img, quant_luma=ones, quant_chroma=ones))
     assert (ww, hh, nc) == (w, h, 1 if gray else 3)
-    tol = 1 if gray else 2
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+    err = np.abs(out.astype(int) - img.astype(int))
+    tol = 4 if gray else 10  # derived worst-case compose bound
+    assert err.max() <= tol
+    assert err.mean() <= 1.0  # statistical power: typical error is sub-pixel
 
 
 @settings(max_examples=40, deadline=None)
