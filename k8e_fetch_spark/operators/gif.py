@@ -46,9 +46,15 @@ _MAX_PIXELS = 64 * 1024 * 1024  # same bomb-cap contract as png/jpeg
 
 
 def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    # Dictionary keys are (prefix_code << 8 | next_byte) ints, not the
+    # string prefixes themselves: every LZW dictionary string is a
+    # known code plus one byte, so the int pair identifies it uniquely
+    # (codes < 4096, bytes < 256) and each step is an O(1) int-dict
+    # probe instead of an O(len) bytes build+hash. Emitted codes are
+    # identical to the string-keyed form (same insertion order).
     clear = 1 << min_code_size
     end = clear + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
     next_code = end + 1
     width = min_code_size + 1
 
@@ -66,25 +72,29 @@ def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
             nbits -= 8
 
     emit(clear)
-    w = b""
+    prev = -1  # current string's code; base codes are the bytes themselves
     for b in data:
-        wk = w + bytes([b])
-        if wk in table:
-            w = wk
+        if prev < 0:
+            prev = b
             continue
-        emit(table[w])
-        table[wk] = next_code
+        key = (prev << 8) | b
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code >= 4096:
             emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code_size + 1
-        w = bytes([b])
-    if w:
-        emit(table[w])
+        prev = b
+    if prev >= 0:
+        emit(prev)
         # the decoder appends one table entry for EVERY data code after
         # the first — including this final one, for which the encoder
         # adds nothing. Mirror that phantom entry in the width

@@ -154,32 +154,34 @@ def decode_media_png(
     from k8e_fetch_spark.operators.png import decode_png
 
     def stats(pixels: bytes, ch: int) -> list[float]:
-        # channel slices without numpy: bytes -> per-channel sums
+        # numpy column sums — integer accumulations, so every derived
+        # float is bit-identical to the byte-slice loops this replaces
+        # (sum/min/max/count are order-invariant; the exact int / int
+        # divisions round identically)
+        import numpy as np
+
         n_px = len(pixels) // ch
         if n_px == 0:
             return [0.0] * N_FEATURES
+        a = np.frombuffer(pixels[: n_px * ch], dtype=np.uint8).reshape(n_px, ch)
+        sums = a.sum(axis=0, dtype=np.int64)
         if ch >= 3:
             rgb_idx = (0, 1, 2)
-            alpha = (
-                sum(pixels[3::ch]) / n_px / 255.0 if ch == 4 else 1.0
-            )
+            alpha = int(sums[3]) / n_px / 255.0 if ch == 4 else 1.0
         else:
             rgb_idx = (0, 0, 0)
-            alpha = sum(pixels[1::ch]) / n_px / 255.0 if ch == 2 else 1.0
-        means = [sum(pixels[i::ch]) / n_px / 255.0 for i in rgb_idx]
-        rgb_bytes = (
-            pixels
-            if ch == 1
-            else b"".join(pixels[i::ch] for i in rgb_idx[: min(ch, 3)])
-        )
+            alpha = int(sums[1]) / n_px / 255.0 if ch == 2 else 1.0
+        means = [int(sums[i]) / n_px / 255.0 for i in rgb_idx]
+        rgb = a[:, list(rgb_idx[: min(ch, 3)])]
+        n_rgb = rgb.size
         return [
             means[0],
             means[1],
             means[2],
-            sum(rgb_bytes) / len(rgb_bytes) / 255.0,
-            min(rgb_bytes) / 255.0,
-            max(rgb_bytes) / 255.0,
-            rgb_bytes.count(0) / len(rgb_bytes),
+            int(rgb.sum(dtype=np.int64)) / n_rgb / 255.0,
+            int(rgb.min()) / 255.0,
+            int(rgb.max()) / 255.0,
+            int((rgb == 0).sum()) / n_rgb,
             alpha,
         ]
 
@@ -288,6 +290,8 @@ def decode_media_wav(
     from k8e_fetch_spark.operators.wav import decode_wav
 
     def stats(rate: int, channels: int, n_frames: int, samples: list[int]) -> list[float]:
+        import numpy as np
+
         n = len(samples)
         if n == 0:
             return [0.0, 0.0, 0.0, 0.0, 0.0]
@@ -295,19 +299,22 @@ def decode_media_wav(
         # counted per channel — adjacent interleaved values belong to
         # different channels, and a constant L=+x / R=-x stereo stream
         # would otherwise read as zc_frac ~= 1.0 when the truth is 0.
+        # (numpy int64 accumulations: every derived float is
+        # bit-identical to the per-sample loops this replaces — s*s
+        # sums fit int64 exactly at any plausible clip length.)
         ch = max(1, channels)
-        zc = sum(
-            1
-            for c in range(ch)
-            for prev, cur in zip(samples[c::ch], samples[c + ch :: ch])
-            if (cur < 0) != (prev < 0)
-        )
-        n_steps = sum(max(0, len(samples[c::ch]) - 1) for c in range(ch))
+        a = np.asarray(samples, dtype=np.int64)
+        zc = 0
+        n_steps = 0
+        for c in range(ch):
+            lane_neg = a[c::ch] < 0
+            zc += int((lane_neg[1:] != lane_neg[:-1]).sum())
+            n_steps += max(0, lane_neg.size - 1)
         return [
             n_frames / rate if rate else 0.0,
-            max(abs(s) for s in samples) / 32768.0,
-            math.sqrt(sum(s * s for s in samples) / n) / 32768.0,
-            (sum(samples) / n) / 32768.0,
+            int(np.abs(a).max()) / 32768.0,
+            math.sqrt(int((a * a).sum()) / n) / 32768.0,
+            (int(a.sum()) / n) / 32768.0,
             zc / n_steps if n_steps else 0.0,
         ]
 
@@ -365,16 +372,19 @@ def decode_media_gif(
     from k8e_fetch_spark.operators.gif import decode_gif
 
     def stats(rgb: bytes) -> list[float]:
+        import numpy as np
+
         n = len(rgb) // 3
-        means = [sum(rgb[i::3]) / n / 255.0 for i in range(3)]
+        a = np.frombuffer(rgb[: n * 3], dtype=np.uint8).reshape(n, 3)
+        sums = a.sum(axis=0, dtype=np.int64)  # exact int: floats bit-match the loops
         return [
-            means[0],
-            means[1],
-            means[2],
-            sum(rgb) / len(rgb) / 255.0,
-            min(rgb) / 255.0,
-            max(rgb) / 255.0,
-            rgb.count(0) / len(rgb),
+            int(sums[0]) / n / 255.0,
+            int(sums[1]) / n / 255.0,
+            int(sums[2]) / n / 255.0,
+            int(sums.sum()) / (n * 3) / 255.0,
+            int(a.min()) / 255.0,
+            int(a.max()) / 255.0,
+            int((a == 0).sum()) / (n * 3),
             1.0,
         ]
 
@@ -427,9 +437,13 @@ def decode_media_gif_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     w, h, _n, frames = decode_gif(bytes(payload))
+                    import numpy as np
+
                     for fi, rgb in enumerate(frames):
+                        a = np.frombuffer(rgb, dtype=np.uint8)
+                        # int sum / int len: bit-identical to sum(rgb)/len(rgb)
                         rows.append(
-                            (int(doc_id), fi, w, h, int(round(sum(rgb) / len(rgb))))
+                            (int(doc_id), fi, w, h, int(round(int(a.sum(dtype=np.int64)) / a.size)))
                         )
                 except (ValueError, struct.error, IndexError):
                     rows.append((int(doc_id), None, None, None, None))

@@ -1,4 +1,4 @@
-"""Minimal real PNG codec — stdlib only (zlib + struct).
+"""Minimal real PNG codec — stdlib (zlib + struct) + numpy.
 
 The multimodal decode stage (SURVEY.md §2.6) needs to demonstrably
 handle ACTUAL image bytes, not only the deterministic stub codec, and
@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -69,40 +71,27 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
             f"pixel buffer is {len(pixels)} bytes, want {width * height * ch}"
         )
     stride = width * ch
+    # Filtering is fully vectorizable at ENCODE time (unlike decode's
+    # Average/Paeth, which chain through reconstructed neighbors):
+    # every predictor reads only the raw current/previous row.
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride).astype(np.int16)
+    left = np.zeros_like(px)
+    left[:, ch:] = px[:, :-ch]
+    up = np.zeros_like(px)
+    up[1:] = px[:-1]
+    up_left = np.zeros_like(px)
+    up_left[1:, ch:] = px[:-1, :-ch]
+    p = left + up - up_left
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, up_left)
+    )
+    preds = (np.zeros_like(px), left, up, (left + up) >> 1, paeth)
     raw = bytearray()
-    prev = bytes(stride)
     for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
         ftype = y % 5
         raw.append(ftype)
-        if ftype == 0:  # None
-            raw += row
-        elif ftype == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - ch] if i >= ch else 0,
-                        prev[i],
-                        prev[i - ch] if i >= ch else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = row
+        raw += ((px[y] - preds[ftype][y]) & 0xFF).astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _SIGNATURE
@@ -118,40 +107,55 @@ _ADAM7 = (  # (x0, y0, xstep, ystep) per pass
 )
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     """Reverse the five per-row predictor filters over a filtered
     sub-image of ``height`` rows, each 1 filter byte + width*bpp data
     bytes; ``bpp`` is the BYTES per pixel (channels x depth/8 — the
     filter distance the spec defines). Shared by the sequential path
-    (one call) and the Adam7 path (one call per pass)."""
+    (one call) and the Adam7 path (one call per pass). Returns a
+    (height, width*bpp) uint8 array.
+
+    Vectorization split: None is a copy, Up is one wrapping uint8 add
+    against the reconstructed previous row, Sub is a per-lane
+    ``np.add.accumulate`` (uint8 wraps give the mod-256 the spec
+    wants). Average and Paeth chain through the reconstructed LEFT
+    neighbor — a genuine sequential dependency with a nonlinear step
+    (floor-div / predictor select), so those rows keep the per-byte
+    loop, run over bytearrays (C-speed indexing; numpy scalar boxing
+    measures ~4x slower for this access pattern)."""
     stride = width * bpp
     ch = bpp
-    out = bytearray(stride * height)
-    prev = bytes(stride)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].copy()
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 1:  # Sub: per-lane wrapping prefix sum
+            for r in range(ch):
+                lane = line[r::ch]
+                np.add.accumulate(lane, out=lane)
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            line += prev  # uint8 wraps mod 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            lb = bytearray(line.tobytes())
+            pb_ = prev.tobytes()
+            if ftype == 3:
+                for i in range(stride):
+                    a = lb[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + ((a + pb_[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = lb[i - ch] if i >= ch else 0
+                    c = pb_[i - ch] if i >= ch else 0
+                    lb[i] = (lb[i] + _paeth(a, pb_[i], c)) & 0xFF
+            line = np.frombuffer(bytes(lb), dtype=np.uint8)
         else:
             raise ValueError(f"unknown filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = bytes(line)
+        out[y] = line
+        prev = out[y]
     return out
 
 
@@ -189,17 +193,15 @@ def encode_png_interlaced(
     if len(pixels) != width * height * ch:
         raise ValueError("pixel buffer length mismatch")
     parts = []
+    px3 = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
     for x0, y0, xs, ys in _ADAM7:
         pw = (width - x0 + xs - 1) // xs
         ph = (height - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:
             continue
+        sub = px3[y0::ys, x0::xs].reshape(ph, pw * ch)  # strided gather
         for py in range(ph):
-            row = bytearray()
-            for px_i in range(pw):
-                src = ((y0 + py * ys) * width + (x0 + px_i * xs)) * ch
-                row += pixels[src : src + ch]
-            parts.append(b"\x00" + bytes(row))
+            parts.append(b"\x00" + sub[py].tobytes())
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
     return (
         _SIGNATURE
@@ -309,36 +311,34 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raw += d.decompress(d.unconsumed_tail, 1)
     if len(raw) != expected:
         raise ValueError("IDAT length does not match dimensions")
-    out = bytearray(stride * height)
+    out = np.empty((height, width, bpp), dtype=np.uint8)
     off = 0
     for x0, y0, xs, ys, pw, ph in passes:
         sub = _unfilter(raw[off : off + (pw * bpp + 1) * ph], pw, ph, bpp)
         off += (pw * bpp + 1) * ph
         if (x0, y0, xs, ys) == (0, 0, 1, 1):
-            out[:] = sub
-            continue
-        for py in range(ph):
-            for px_i in range(pw):
-                src = (py * pw + px_i) * bpp
-                dst = ((y0 + py * ys) * width + (x0 + px_i * xs)) * bpp
-                out[dst : dst + bpp] = sub[src : src + bpp]
+            out[...] = sub.reshape(height, width, bpp)
+        else:  # Adam7 scatter: one strided assignment per pass
+            out[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+    flat = out.reshape(-1)
     if depth == 16:
         # fold to 8-bit: PNG stores 16-bit samples big-endian, so the
         # high byte is sample >> 8 — the standard display reduction
-        out = out[0::2]
+        flat = flat[0::2]
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
         n_entries = len(plte) // 3
-        alpha = trns or b""
-        out_ch = 4 if trns is not None else 3
-        px = bytearray(width * height * out_ch)
-        for i, idx in enumerate(out):
-            if idx >= n_entries:
-                raise ValueError("palette index out of range")
-            o = i * out_ch
-            px[o : o + 3] = plte[3 * idx : 3 * idx + 3]
-            if out_ch == 4:
-                px[o + 3] = alpha[idx] if idx < len(alpha) else 255
-        return width, height, out_ch, bytes(px)
-    return width, height, ch, bytes(out)
+        if flat.size and int(flat.max()) >= n_entries:
+            raise ValueError("palette index out of range")
+        plte_arr = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if trns is not None:  # per-entry alpha, 255 past the tRNS length
+            alpha_arr = np.full(n_entries, 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)[:n_entries]
+            alpha_arr[: a.size] = a
+            px = np.concatenate(
+                [plte_arr[flat], alpha_arr[flat][:, None]], axis=1
+            )
+            return width, height, 4, px.tobytes()
+        return width, height, 3, plte_arr[flat].tobytes()
+    return width, height, ch, flat.tobytes()

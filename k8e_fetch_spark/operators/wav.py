@@ -1,4 +1,4 @@
-"""Minimal real WAV (RIFF) codec — stdlib only (struct + wave).
+"""Minimal real WAV (RIFF) codec — stdlib (struct + wave) + numpy.
 
 Companion to :mod:`k8e_fetch_spark.operators.png`: the multimodal
 mandate (SURVEY.md §2.6) covers audio as well as images, and the
@@ -26,6 +26,8 @@ import io
 import struct
 import wave
 
+import numpy as np
+
 _FMT_PCM = 1
 _FMT_FLOAT = 3
 _FMT_EXTENSIBLE = 0xFFFE
@@ -49,14 +51,15 @@ def encode_wav(
             w.setframerate(sample_rate)
             w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
         return buf.getvalue()
+    arr = np.asarray(samples, dtype=np.int64)
     if sample_width == 1:
-        raw = bytes(((s >> 8) + 128) & 0xFF for s in samples)
+        raw = (((arr >> 8) + 128) & 0xFF).astype(np.uint8).tobytes()
     elif sample_width == 3:
-        raw = b"".join(
-            struct.pack("<i", s << 8)[:3] for s in samples
-        )
+        # low 3 little-endian bytes of each (s << 8) int32
+        quads = (arr.astype(np.int32) << 8).astype("<i4").view(np.uint8).reshape(-1, 4)
+        raw = quads[:, :3].tobytes()
     elif sample_width == 4:
-        raw = struct.pack(f"<{len(samples)}i", *[s << 16 for s in samples])
+        raw = (arr.astype(np.int32) << 16).astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported sample width {sample_width}")
     return _riff(sample_rate, channels, sample_width * 8, _FMT_PCM, raw)
@@ -113,25 +116,30 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     if channels < 1 or rate < 1:
         raise ValueError("WAV: bad fmt fields")
     width = bits // 8
+    # depth folding vectorized (numpy) — semantics identical to the
+    # per-sample loops this replaces: arithmetic >> on signed ints,
+    # round-half-even + clamp for float (np.rint == Python round here)
     if fmt == _FMT_PCM and bits == 8:
-        samples = [(b - 128) << 8 for b in raw]
+        a = np.frombuffer(raw, dtype=np.uint8)
+        samples = ((a.astype(np.int16) - 128) << 8).tolist()
     elif fmt == _FMT_PCM and bits == 16:
         n = len(raw) // 2
-        samples = list(struct.unpack(f"<{n}h", raw[: 2 * n]))
+        samples = np.frombuffer(raw[: 2 * n], dtype="<i2").tolist()
     elif fmt == _FMT_PCM and bits == 24:
-        samples = []
-        for i in range(0, len(raw) - 2, 3):
-            v = int.from_bytes(raw[i : i + 3], "little", signed=True)
-            samples.append(v >> 8)
+        n = len(raw) // 3
+        trip = np.frombuffer(raw[: 3 * n], dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = trip[:, 0] | (trip[:, 1] << 8) | (trip[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24 -> 32
+        samples = (v >> 8).tolist()
     elif fmt == _FMT_PCM and bits == 32:
         n = len(raw) // 4
-        samples = [v >> 16 for v in struct.unpack(f"<{n}i", raw[: 4 * n])]
+        samples = (np.frombuffer(raw[: 4 * n], dtype="<i4") >> 16).tolist()
     elif fmt == _FMT_FLOAT and bits == 32:
         n = len(raw) // 4
-        samples = [
-            max(-32768, min(32767, round(v * 32767.0)))
-            for v in struct.unpack(f"<{n}f", raw[: 4 * n])
-        ]
+        v = np.frombuffer(raw[: 4 * n], dtype="<f4").astype(np.float64) * 32767.0
+        if not np.isfinite(v).all():
+            raise ValueError("WAV: non-finite float sample")  # quarantine, not garbage
+        samples = np.clip(np.rint(v), -32768, 32767).astype(np.int64).tolist()
     else:
         raise ValueError(f"WAV: unsupported encoding (format {fmt}, {bits}-bit)")
     n_frames = len(samples) // channels
