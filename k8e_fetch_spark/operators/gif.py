@@ -138,8 +138,21 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
-    total_bits = bits.size
+    total_bits = len(data) * 8
+
+    def extract(p: int, n: int, w: int) -> np.ndarray:
+        # unpack ONLY this chunk's bytes (≤ ~6 KB at the 4096-code
+        # cap): a whole-stream unpackbits would allocate 8 bytes per
+        # compressed byte up front — memory amplification the
+        # incremental decoder this replaces never had
+        start = p // 8
+        seg = np.unpackbits(
+            np.frombuffer(data[start : (p + n * w + 7) // 8], dtype=np.uint8),
+            bitorder="little",
+        )
+        off = p - start * 8
+        return seg[off : off + n * w].reshape(n, w).astype(np.int64) @ _POW2[:w]
+
     out = bytearray()
     src = [0] * 4096
     length = [0] * 4096
@@ -160,7 +173,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
         n = min(n, (total_bits - p) // width)
         if n <= 0:
             raise ValueError("GIF: truncated LZW stream")
-        codes_arr = bits[p : p + n * width].reshape(n, width).astype(np.int64) @ _POW2[:width]
+        codes_arr = extract(p, n, width)
         ctrl = np.nonzero((codes_arr == clear) | (codes_arr == end))[0]
         stop = int(ctrl[0]) if ctrl.size else n
         codes = codes_arr.tolist()  # plain ints: the loop below is per-code Python

@@ -175,6 +175,20 @@ def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, in
     return table
 
 
+def _huff_fast_table(table: dict[tuple[int, int], int]) -> list[tuple[int, int] | None]:
+    """256-entry lookahead (the libjpeg trick): index by the next 8
+    bits; codes of length <= 8 resolve in ONE probe to (value, length).
+    Longer codes (rare by Huffman construction) fall back to the
+    bit-by-bit walk. Built once per DHT table at scan setup."""
+    fast: list[tuple[int, int] | None] = [None] * 256
+    for (length, code), val in table.items():
+        if length <= 8:
+            lo = code << (8 - length)
+            for i in range(lo, lo + (1 << (8 - length))):
+                fast[i] = (val, length)
+    return fast
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
@@ -246,6 +260,39 @@ class _BitReader:
             if v is not None:
                 return v
         raise ValueError("JPEG: invalid Huffman code")
+
+    def huff_fast(
+        self,
+        fast: list[tuple[int, int] | None],
+        table: dict[tuple[int, int], int],
+    ) -> int:
+        """One-probe decode via the 8-bit lookahead; consumes nothing
+        and falls back to the exact bit-by-bit walk when fewer than 8
+        bits remain before a marker/stream end (a short tail code must
+        still decode) or the lookahead slot is empty (code > 8 bits)."""
+        if self.n < 8:
+            # top up WITHOUT raising: the tail of a scan may hold a
+            # final short code with < 8 bits before the marker
+            d = self.data
+            while self.n < 8 and self.pos < len(d):
+                b = d[self.pos]
+                if b == 0xFF:
+                    if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                        self.pos += 2
+                    else:
+                        break  # real marker: stop filling
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+        if self.n >= 8:
+            ent = fast[(self.acc >> (self.n - 8)) & 0xFF]
+            if ent is not None:
+                val, length = ent
+                self.n -= length
+                self.acc &= (1 << self.n) - 1
+                return val
+        return self.huff(table)
 
     def restart(self, expected: int) -> None:
         """Byte-align and consume the RSTn marker."""
@@ -458,7 +505,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     pixels) with pixels uint8 of shape (h, w) for grayscale or
     (h, w, 3) RGB. Raises ValueError on anything that is not a
     well-formed baseline sequential JPEG (progressive, arithmetic,
-    truncation, bad Huffman data) — the quarantine contract."""
+    truncation, bad Huffman data) — the quarantine contract. Corrupted
+    streams whose damage surfaces deeper in the pipeline (Huffman
+    table misses -> IndexError/KeyError, absurd marker fields ->
+    OverflowError, zero sampling factors -> ZeroDivisionError, short
+    segments -> struct.error) are re-raised as ValueError so the
+    contract holds at every byte of a hostile payload (random-
+    corruption fuzz in tests/test_properties.py)."""
+    try:
+        return _decode_jpeg_markers(data)
+    except (IndexError, KeyError, struct.error, OverflowError, ZeroDivisionError) as exc:
+        raise ValueError(f"JPEG: corrupt or malformed stream ({exc})") from exc
+
+
+def _decode_jpeg_markers(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -543,12 +603,35 @@ def _decode_scan(data, pos, frame, scomps, qtables, htables, restart_interval):
         raise ValueError("JPEG: bad sampling factors")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for c, _, _ in scomps:
-        planes[c["id"]] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+
+    # Hoist everything loop-invariant out of the MCU walk (the round-6
+    # form resolved DHT/DQT dicts and re-cast the quant table per MCU
+    # per component), and decode entropy into flat per-component
+    # coefficient lists — ONE batched dequant+IDCT einsum at the end
+    # replaces two 8x8 matmuls plus two allocations PER BLOCK.
+    comp_info = []
+    for c, td, ta in scomps:
+        try:
+            dc_tab = htables[(0, td)]
+            ac_tab = htables[(1, ta)]
+            q = qtables[c["tq"]].astype(np.float64)
+        except KeyError:
+            raise ValueError("JPEG: missing Huffman/quant table") from None
+        comp_info.append(
+            {
+                "c": c,
+                "dc": dc_tab,
+                "dc_fast": _huff_fast_table(dc_tab),
+                "ac": ac_tab,
+                "ac_fast": _huff_fast_table(ac_tab),
+                "q": q,
+                "coeffs": [],  # per-block 64-length zigzag lists
+                "cells": [],  # per-block (block_row, block_col)
+            }
+        )
 
     reader = _BitReader(data, pos)
-    preds = {c["id"]: 0 for c, _, _ in scomps}
+    preds = [0] * len(comp_info)
     n_restarts = 0
     mcu_count = 0
     for my in range(mcus_y):
@@ -556,24 +639,22 @@ def _decode_scan(data, pos, frame, scomps, qtables, htables, restart_interval):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 reader.restart(n_restarts % 8)
                 n_restarts += 1
-                preds = {c["id"]: 0 for c, _, _ in scomps}
-            for c, td, ta in scomps:
-                try:
-                    dc_tab = htables[(0, td)]
-                    ac_tab = htables[(1, ta)]
-                    q = qtables[c["tq"]].astype(np.float64)
-                except KeyError:
-                    raise ValueError("JPEG: missing Huffman/quant table") from None
+                preds = [0] * len(comp_info)
+            for ci, info in enumerate(comp_info):
+                c = info["c"]
+                dc_fast, dc_tab = info["dc_fast"], info["dc"]
+                ac_fast, ac_tab = info["ac_fast"], info["ac"]
+                coeffs, cells = info["coeffs"], info["cells"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = reader.huff(dc_tab)
+                        zz = [0] * 64
+                        t = reader.huff_fast(dc_fast, dc_tab)
                         diff = _extend(reader.bits(t), t)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            rs = reader.huff(ac_tab)
+                            rs = reader.huff_fast(ac_fast, ac_tab)
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -585,17 +666,25 @@ def _decode_scan(data, pos, frame, scomps, qtables, htables, restart_interval):
                                 raise ValueError("JPEG: AC index overflow")
                             zz[k] = _extend(reader.bits(s), s)
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz
-                        block = _DCT_M.T @ (coef.reshape(8, 8) * q) @ _DCT_M + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+                        coeffs.append(zz)
+                        cells.append((my * c["v"] + by, mx * c["h"] + bx))
             mcu_count += 1
 
     full = []
-    for c, _, _ in scomps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+    for info in comp_info:
+        c = info["c"]
+        rows8, cols8 = mcus_y * c["v"], mcus_x * c["h"]
+        zzs = np.asarray(info["coeffs"], dtype=np.float64).reshape(-1, 64)
+        coef = np.empty_like(zzs)
+        coef[:, ZIGZAG] = zzs  # un-zigzag all blocks at once
+        # batched IDCT via broadcasted BLAS matmuls (an unoptimized
+        # einsum here measured SLOWER than the per-block form)
+        spatial = _DCT_M.T @ (coef.reshape(-1, 8, 8) * info["q"]) @ _DCT_M + 128.0
+        plane = np.zeros((rows8 * 8, cols8 * 8), dtype=np.float64)
+        cells = np.asarray(info["cells"], dtype=np.int64).reshape(-1, 2)
+        grid = plane.reshape(rows8, 8, cols8, 8).transpose(0, 2, 1, 3)
+        grid[cells[:, 0], cells[:, 1]] = spatial
+        p = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         return w, h, 1, np.clip(np.round(full[0]), 0, 255).astype(np.uint8)

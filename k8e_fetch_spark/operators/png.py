@@ -240,7 +240,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     RGBA when a tRNS chunk carries per-entry alpha), no interlace —
     raises ValueError otherwise
     (the decode stage surfaces that as a per-row error, it does not
-    crash the task)."""
+    crash the task). Truncations that would surface as
+    struct.error/IndexError from the chunk walk are re-raised as
+    ValueError, so the quarantine contract holds for direct callers
+    too (the same hardening decode_gif has)."""
+    try:
+        return _decode_png_chunks(data)
+    except (IndexError, struct.error, zlib.error) as exc:
+        raise ValueError(f"PNG: truncated or malformed stream ({exc})") from exc
+
+
+def _decode_png_chunks(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8

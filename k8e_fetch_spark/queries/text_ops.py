@@ -747,7 +747,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    total = vocab.agg(F.sum("c")).collect()[0][0]
+    total = vocab.agg(F.sum("c")).collect()[0][0] or 1  # empty corpus: lm is empty anyway
     lm = vocab.select("token", F.log10(F.col("c") / F.lit(float(total))).alias("lp"))
     return (
         tok.join(F.broadcast(lm), on="token")

@@ -323,3 +323,59 @@ def test_property_png_roundtrip_exact(w, h, color_type, seed):
     ww, hh, cch, out = decode_png(encode_png(w, h, raw, color_type=color_type))
     assert (ww, hh, cch) == (w, h, ch)
     assert out == raw
+
+
+def test_codec_truncation_fuzz_quarantines_as_valueerror():
+    """EVERY prefix of a valid payload, through every codec, must
+    either decode (container formats can be self-delimiting — a RIFF
+    cut after its data chunk is still a complete WAV) or raise
+    ValueError — never IndexError/struct.error/KeyError. This is the
+    quarantine contract the Arrow stages rely on, enforced for direct
+    callers at every byte boundary, not just the handful of cut points
+    a hand-written test would pick (the round-6 GIF decoder leaked
+    IndexError from a truncated graphics-control extension and
+    struct.error from a truncated image descriptor)."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators import avi, gif, jpeg, png, wav
+
+    rng = np.random.RandomState(77)
+    img = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    ones = np.ones((8, 8))
+    cases = [
+        (png.decode_png, png.encode_png(9, 12, img.tobytes(), 2)),
+        (jpeg.decode_jpeg, jpeg.encode_jpeg(img, quant_luma=ones, quant_chroma=ones)),
+        (wav.decode_wav, wav.encode_wav(8000, 1, rng.randint(-1000, 1000, 64).tolist())),
+        (
+            gif.decode_gif,
+            gif.encode_gif(
+                9, 12, [(i, i, i) for i in range(8)],
+                [bytes(rng.randint(0, 8, 108).tolist())],
+            ),
+        ),
+        (
+            avi.decode_avi,
+            avi.encode_avi(
+                8, 6, 3,
+                [bytes(rng.randint(0, 256, 8 * 6 * 3, dtype=np.uint8).tolist()) for _ in range(3)],
+            ),
+        ),
+    ]
+    for decode, data in cases:
+        for k in range(len(data)):
+            try:
+                decode(data[:k])
+            except ValueError:
+                pass  # the contract
+        # random byte corruption: same contract at full length (the
+        # round-7 fuzz caught JPEG leaking IndexError from Huffman
+        # misses, OverflowError from absurd marker fields and
+        # ZeroDivisionError from zero sampling factors)
+        for trial in range(400):
+            b = bytearray(data)
+            for _ in range(int(rng.randint(1, 4))):
+                b[int(rng.randint(len(b)))] = int(rng.randint(256))
+            try:
+                decode(bytes(b))
+            except ValueError:
+                pass  # the contract
