@@ -469,14 +469,26 @@ def box_resize(px, out_h: int, out_w: int):
         raise ValueError("box_resize: empty input or target")
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w) + px.shape[2:], dtype=np.uint8)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            block = px[y0:y1, x0:x1].astype(np.float64)
-            out[i, j] = np.round(block.reshape(-1, *px.shape[2:]).mean(axis=0))
-    return out
+    # integral image: every box sum is four corner lookups, fully
+    # vectorized (replaces a per-output-pixel Python loop). Box sums
+    # are EXACT int64 (pixels <=255, so no float accumulation), hence
+    # sum/area reproduces the per-block float64 mean bit-for-bit —
+    # both are correctly-rounded quotients of the same exact integers.
+    squeeze = px.ndim == 2
+    p3 = px[..., None] if squeeze else px
+    integral = np.zeros((h + 1, w + 1, p3.shape[2]), dtype=np.int64)
+    integral[1:, 1:] = p3.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    sums = (
+        integral[y1][:, x1]
+        - integral[y0][:, x1]
+        - integral[y1][:, x0]
+        + integral[y0][:, x0]
+    )
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+    out = np.round(sums / area).astype(np.uint8)
+    return out[..., 0] if squeeze else out
 
 
 RESIZE_REAL_SCHEMA = StructType(
