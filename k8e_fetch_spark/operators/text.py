@@ -280,3 +280,61 @@ def source_temperature_rates(
         ),
     )
     return counts.crossJoin(F.broadcast(tot)).select(source_col, rate.alias("rate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered membership (decontamination at eval sets too big to
+# broadcast as strings)
+
+
+def bloom_build_bitmap(df, gram_col: str, m_bits: int, k: int = 3) -> list[int]:
+    """Build a Bloom bitmap over a gram column DISTRIBUTIVELY: the k
+    xxhash64-seeded bit positions explode inside the scan, and a
+    map-side-combined ``bit_or`` aggregate produces at most
+    ``m_bits / 64`` (word, bits) rows — the driver collect is bounded
+    by the BITMAP size (m_bits/8 bytes), never by the gram count, the
+    same O(k) contract as the k-means centroid pull. Returns the
+    bitmap as ``m_bits // 64`` longs.
+
+    At 100 TB this is what replaces the broadcast of the eval-gram
+    STRING set once it outgrows broadcast limits (13-gram eval suites
+    reach tens of GB of strings; the bitmap stays fixed-size)."""
+    word_rows = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(gram_col), F.lit(i)), F.lit(m_bits))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_member(col: Column, bitmap: Column, m_bits: int, k: int = 3) -> Column:
+    """Membership test against a Bloom bitmap carried as an
+    ``array<bigint>`` column (broadcast 1-row table): k seeded
+    xxhash64 positions, each checked with ``bit_get`` — pure JVM
+    column expressions inside whole-stage codegen, zero shuffles on
+    the probe side. No false negatives; false-positive rate
+    ``(1 - e^(-k*n/m))^k`` — callers needing EXACT semantics confirm
+    positives with a join over the (tiny) surviving subset."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bitmap, (pos / 64).cast("int") + F.lit(1))
+        cond = cond & (F.bit_get(word, (pos % 64).cast("int")) == 1)
+    return cond

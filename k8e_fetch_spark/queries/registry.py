@@ -118,6 +118,10 @@ _PRIORITY = (
     # r6, evidence now recorded): tpch q4 q6 q7 q11 q12 q13 q14 q15
     # q16 q19 q22. The 8 structurally hardest TPC-H plans (q2 q8 q9
     # q17 q18 q20 + the q10/q21 seat-holders) stay for a second green.
+    # Registered AFTER this window froze (rotate in r8):
+    # text_decontaminate_bloom — the Bloom-prefiltered twin of
+    # text_decontaminate_ngram, sharing its oracle SQL; pytest pins it
+    # bit-identical to the exact form until it gets its driver row.
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

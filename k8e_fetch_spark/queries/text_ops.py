@@ -564,6 +564,63 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_decontaminate_bloom",
+    oracle=_DECONTAM_ORACLE,
+    tags=("ext-text-stats", "decontamination", "bloom"),
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-PREFILTERED probe side — the exact
+    same answer as text_decontaminate_ngram (identical oracle SQL, so
+    the driver hash-compares both against one ground truth), via the
+    plan shape that survives eval sets too big to broadcast:
+
+    1. the eval grams' Bloom bitmap is built distributively and
+       collected bounded by the BITMAP size (operators/text.py:
+       bloom_build_bitmap — m sized to 16 bits/gram, FP ~0.3% at k=3);
+    2. the corpus gram stream probes the broadcast bitmap with pure
+       column expressions inside the scan stage (bloom_member), so
+       ~all clean grams drop scan-locally, never shuffling;
+    3. only the bloom-positive survivors (true hits + ~0.3% FPs) meet
+       the eval grams in an EXACT confirm join — left to Catalyst/AQE
+       with no broadcast hint: at fixture scale it broadcasts, at eval
+       sets beyond broadcast limits it shuffles only the tiny survivor
+       set instead of the full corpus gram stream (the 100 TB point).
+
+    False positives cannot leak into the answer (the confirm join is
+    exact); false negatives cannot exist (Bloom property), so the
+    result is bit-identical to the broadcast-join form at any FP rate."""
+    from pyspark.storagelevel import StorageLevel
+
+    from k8e_fetch_spark.operators.similarity import shingles
+    from k8e_fetch_spark.operators.text import bloom_build_bitmap, bloom_member
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    grams = docs.select("doc_id", F.explode(shingles(F.col("text"), k=3)).alias("g"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bitmap build + confirm join
+    )
+    n_eval = eval_grams.count()
+    m_bits = 1 << max(10, (16 * max(n_eval, 1) - 1).bit_length())  # ~16 bits/gram
+    bitmap = spark.createDataFrame(
+        [(bloom_build_bitmap(eval_grams, "g", m_bits, k=3),)], "bitmap: array<bigint>"
+    )
+    candidates = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(bitmap))
+        .filter(bloom_member(F.col("g"), F.col("bitmap"), m_bits, k=3))
+        .select("doc_id", "g")
+    )
+    return (
+        candidates.join(eval_grams, on="g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("hit_grams"))
+    )
+
+
 _PACKING_ORACLE = f"""
     WITH toks AS (
         SELECT source, doc_id, {_N_TOKENS_SQL} AS n_tok FROM documents

@@ -399,3 +399,53 @@ def test_segment_dedup_custom_joiner(spark):
     )
     out = segment_dedup_keep_first(segs, joiner="\n\n").collect()[0]
     assert out["cleaned_text"] == "para one\n\npara two"
+
+
+def test_bloom_membership_no_false_negatives_and_bounded_fp(spark):
+    """Bloom operator contract: every inserted gram tests positive (no
+    false negatives — what makes the exact-confirm composition sound),
+    and the false-positive rate over disjoint probes sits near the
+    analytic (1-e^(-kn/m))^k — not a degenerate all-positive bitmap."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.text import bloom_build_bitmap, bloom_member
+
+    inserted = [f"gram-{i}" for i in range(2000)]
+    probes = [f"absent-{i}" for i in range(4000)]
+    m_bits, k = 1 << 15, 3  # 16.4 bits/gram
+    ev = spark.createDataFrame([(g,) for g in inserted], "g: string")
+    bitmap = spark.createDataFrame(
+        [(bloom_build_bitmap(ev, "g", m_bits, k),)], "bitmap: array<bigint>"
+    )
+    def positives(values):
+        df = spark.createDataFrame([(v,) for v in values], "g: string")
+        return (
+            df.crossJoin(F.broadcast(bitmap))
+            .filter(bloom_member(F.col("g"), F.col("bitmap"), m_bits, k))
+            .count()
+        )
+    assert positives(inserted) == len(inserted)  # zero false negatives
+    fp = positives(probes) / len(probes)
+    # analytic FP at n=2000, m=32768, k=3 is ~0.45%; allow generous slack
+    assert fp < 0.03, f"false-positive rate {fp:.3%} out of band"
+
+
+def test_bloom_decontaminate_matches_exact_form(spark):
+    """The bloom-prefiltered query is bit-identical to the broadcast
+    exact-join query on the same data — FPs are removed by the confirm
+    join, FNs are impossible."""
+    from k8e_fetch_spark.queries.registry import REGISTRY
+    from k8e_fetch_spark.queries import queries
+
+    queries()
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["doc_id"], r["hit_grams"])
+        for r in REGISTRY["text_decontaminate_ngram"].fn(spark, SF_DIR).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["hit_grams"])
+        for r in REGISTRY["text_decontaminate_bloom"].fn(spark, SF_DIR).collect()
+    }
+    assert bloom == exact and len(exact) > 0

@@ -379,3 +379,60 @@ def test_codec_truncation_fuzz_quarantines_as_valueerror():
                 decode(bytes(b))
             except ValueError:
                 pass  # the contract
+
+
+def test_gif_lzw_deferred_clear_stream_decodes():
+    """A spec-legal DEFERRED-CLEAR stream (dictionary fills to 4096 and
+    the encoder keeps emitting codes WITHOUT a reset — GIF89a permits
+    this; our own encoder always clears, so round-trip tests never
+    exercise it): the decoder must pin width at 12, stop adding
+    entries, and keep decoding. Built with an in-test non-clearing
+    encoder over enough random bytes to fill the table."""
+    import numpy as np
+
+    from k8e_fetch_spark.operators.gif import _MAX_PIXELS, _lzw_decode
+
+    rng = np.random.RandomState(8)
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    data = bytes(rng.randint(0, 256, 30000, dtype=np.uint8))
+
+    table: dict[int, int] = {}
+    next_code, width = end + 1, mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    prev = -1
+    for b in data:
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev << 8) | b
+        c = table.get(key)
+        if c is not None:
+            prev = c
+            continue
+        emit(prev, width)
+        if next_code < 4096:  # deferred: once full, add nothing, never clear
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = b
+    emit(prev, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    assert next_code >= 4096  # the table genuinely filled
+    assert _lzw_decode(mcs, bytes(out), _MAX_PIXELS) == data
