@@ -43,6 +43,8 @@ PROBES = [
     "tpch_q21_waiting_supplier",
     "dedup_paragraphs",
     "corpus_clean_mix_pipeline",
+    "text_decontaminate_ngram",
+    "text_decontaminate_bloom",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
