@@ -121,7 +121,9 @@ _PRIORITY = (
     # Registered AFTER this window froze (rotate in r8):
     # text_decontaminate_bloom — the Bloom-prefiltered twin of
     # text_decontaminate_ngram, sharing its oracle SQL; pytest pins it
-    # bit-identical to the exact form until it gets its driver row.
+    # bit-identical to the exact form until it gets its driver row —
+    # and text_pii_scrub (planted-PII masking, oracle-bearing,
+    # handwritten-expectation tests in tests/test_clustering.py).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

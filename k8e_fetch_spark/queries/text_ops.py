@@ -621,6 +621,92 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing patterns — written in the COMMON Java-regex / RE2
+# subset (no backrefs, no lookaround) so Spark and DuckDB evaluate
+# identical semantics; \b is ASCII word-boundary in both.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,15}"
+
+_PII_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0 THEN
+                   ' contact user' || doc_id::VARCHAR || '@mail.example.com on 10.'
+                   || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+                   || ' tel +1415555' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               ELSE '' END AS t
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+                  regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+           FROM base),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ips,
+                  regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_ips,
+                  len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phones,
+                  regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3
+           FROM s2)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(t3) AS scrub_md5
+    FROM s3
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=_PII_ORACLE,
+    tags=("ext-text-stats", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the RefinedWeb/Pile-style masking stage every
+    production training pipeline runs: emails, IPv4 addresses and
+    international phone numbers are replaced with typed mask tokens
+    and counted per document. The synthetic corpus carries no PII, so
+    a deterministic slice (doc_id % 7 == 0) gets a PLANTED suffix
+    built identically on both engines — the regexes are exercised on
+    real matches, not vacuously. 100 TB shape: three chained
+    regexp_replace + regexp_count column expressions, all inside the
+    scan projection (zero shuffles, whole-stage codegen); the output
+    carries an md5 of the scrubbed text, not the text, so the result
+    set stays narrow. Parity notes: patterns live in the common
+    Java-regex/RE2 subset; DuckDB's regexp_replace needs the 'g' flag
+    to match Spark's global-replace default; masking order
+    (email -> ip -> phone) and count-after-previous-mask are pinned
+    identically on both sides."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    suffix = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail.example.com on 10."),
+            (did % 200).cast("string"),
+            F.lit(".0."),
+            (did % 250).cast("string"),
+            F.lit(" tel +1415555"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.col("text"), suffix)
+    t1 = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _PII_IP, "<IP>")
+    t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t1, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t2, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(t3).alias("scrub_md5"),
+    )
+
+
 _PACKING_ORACLE = f"""
     WITH toks AS (
         SELECT source, doc_id, {_N_TOKENS_SQL} AS n_tok FROM documents

@@ -449,3 +449,30 @@ def test_bloom_decontaminate_matches_exact_form(spark):
         for r in REGISTRY["text_decontaminate_bloom"].fn(spark, SF_DIR).collect()
     }
     assert bloom == exact and len(exact) > 0
+
+
+def test_pii_masking_semantics_on_handwritten_cases(spark):
+    """The PII patterns against HAND-WRITTEN expectations — oracle
+    parity alone can't catch a mistranslation encoded identically on
+    both engines. Covers: plain email, subdomain email, IPv4 at word
+    boundaries, versions that must NOT match (1.2.3 — only 3 octets),
+    international phone, and a short digit run that must survive."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.queries.text_ops import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    cases = [
+        ("mail me at bob.smith+x@sub.example.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("server 192.168.0.1 and 10.0.0.255 up", "server <IP> and <IP> up"),
+        ("version 1.2.3 stays; 1.2.3.4 goes", "version 1.2.3 stays; <IP> goes"),
+        ("call +442071234567 now", "call <PHONE> now"),
+        ("+123 is too short to be a phone", "+123 is too short to be a phone"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s: string")
+    t1 = F.regexp_replace(F.col("s"), _PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _PII_IP, "<IP>")
+    t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    got = [r["out"] for r in df.select(t3.alias("out")).collect()]
+    assert got == [want for _, want in cases]
