@@ -123,7 +123,10 @@ _PRIORITY = (
     # text_decontaminate_ngram, sharing its oracle SQL; pytest pins it
     # bit-identical to the exact form until it gets its driver row —
     # and text_pii_scrub (planted-PII masking, oracle-bearing,
-    # handwritten-expectation tests in tests/test_clustering.py).
+    # handwritten-expectation tests in tests/test_clustering.py), and
+    # sim_topk_pq_adc (product-quantization ADC top-k, oracle-bearing
+    # via init-derived codebooks, recall-vs-chance pinned in
+    # tests/test_similarity.py).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

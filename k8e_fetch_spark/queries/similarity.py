@@ -967,3 +967,147 @@ def dedup_apply_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.select(F.col("keep_doc_id").alias("doc_id")), on="doc_id", how="left_anti"
     )
     return corpus.join(dropped.select("doc_id"), on="doc_id", how="left_anti").select("doc_id")
+
+
+_PQ_ORACLE = """
+    WITH init AS (
+        SELECT vec_id AS j, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 16
+    ),
+    cb AS (  -- codebook: subspace m (0..7), centroid j (0..15), 8-dim slice
+        SELECT m, j, e[m*8+1 : m*8+8] AS c
+        FROM init, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    subv AS (  -- every vector's 8 subvectors
+        SELECT vec_id, m, (embedding::DOUBLE[])[m*8+1 : m*8+8] AS v
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    d AS (  -- all (vector, subspace, centroid) squared distances
+        SELECT s.vec_id, s.m, c.j,
+               list_sum(list_transform(list_zip(s.v, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM subv s JOIN cb c ON s.m = c.m
+    ),
+    codes AS (  -- PQ code: per-subspace argmin with (d2, j) tie-break
+        SELECT vec_id, m, j FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+    ),
+    scores AS (  -- ADC: the query-side d2 rows ARE the lookup table
+        SELECT ql.vec_id AS q_id, c.vec_id AS n_id, sum(ql.d2) AS score
+        FROM codes c
+        JOIN d ql ON ql.m = c.m AND ql.j = c.j AND ql.vec_id < 8
+        WHERE ql.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT q_id, n_id, round(score, 6) AS score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY round(score, 6), n_id) AS rank
+        FROM scores
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_pq_adc",
+    oracle=_PQ_ORACLE,
+    tags=("ext-topk-sim", "pq", "ann", "quantization"),
+)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound tier of the ANN stack (Jégou et al., "
+    Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    64-dim vectors compress to 8 nibble codes (16x smaller than
+    float32), and queries score candidates through an 8x16 lookup
+    table without ever touching the original vectors.
+
+    Deterministic init-derived codebooks (subspace slices of the first
+    16 vectors — the same pattern that makes sim_kmeans_assign_oracle
+    and sim_topk_ivf SQL-expressible) keep the whole pipeline
+    oracle-checkable: encode is a per-subspace argmin with the pinned
+    (d2, j) tie-break, the ADC lookup table is the query-side slice of
+    the same distance relation, and ranking is on ROUND(score, 6) with
+    n_id tie-break so float fold-order differences between engines
+    (~1e-15) cannot flip ranks.
+
+    Recall honesty: on the synthetic STRUCTURELESS random embeddings
+    (PQ's known worst case) with init-only codebooks (what keeps this
+    SQL-oracle-checkable), recall@5 vs exact L2 measures 0.25 — ~10x
+    chance, pinned as load-bearing in tests/test_similarity.py;
+    production recall comes from trained codebooks on clustered
+    real-world embeddings, the same train-vs-fixed split the IVF pair
+    (sim_topk_ivf / sim_topk_ivf_trained) demonstrates.
+
+    100 TB shape: the codebook (16 x 64 floats) and per-query LUTs
+    (8 x 16 doubles each) are driver-built literals/broadcasts — the
+    documented O(k) pull, same contract as the k-means centroid
+    collect; corpus encode is a scan-local projection (each vector
+    reads the broadcast codebook, emits 8 small ints — this is the 16x
+    storage/shuffle compression that makes billion-vector ANN fit in
+    memory); scoring shuffles only (q_id, n_id, score) triples into
+    the per-query top-k. No stage ever holds or shuffles raw vectors
+    after encode."""
+    emb = load(spark, sf_dir, "embeddings")
+    M, K, D = 8, 16, 8
+    init = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    codebook = [
+        [init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)
+    ]
+
+    code_cols = []
+    for m in range(M):
+        cb = F.array(*[F.array(*[F.lit(v) for v in codebook[m][j]]) for j in range(K)])
+        sub = F.slice(F.col("embedding"), m * D + 1, D)
+        # NB single-arg lambda: a second Python parameter would make
+        # PySpark treat this as an (element, index) transform lambda.
+        # `sub` binds immediately (transform invokes the lambda during
+        # expression construction), so the loop closure is safe.
+        d2s = F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+    coded = emb.select(F.col("vec_id").alias("n_id"), F.array(*code_cols).alias("code"))
+
+    q_rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    lut_data = []
+    for r in q_rows:
+        q = [float(x) for x in r["embedding"]]
+        lut = [
+            [
+                sum(
+                    (q[m * D + i] - codebook[m][j][i]) * (q[m * D + i] - codebook[m][j][i])
+                    for i in range(D)
+                )
+                for j in range(K)
+            ]
+            for m in range(M)
+        ]
+        lut_data.append((int(r["vec_id"]), lut))
+    lut_df = spark.createDataFrame(lut_data, "q_id: bigint, lut: array<array<double>>")
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(F.element_at("lut", (m + 1).cast("int")), F.element_at("code", (m + 1).cast("int")) + 1),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", round_fixed(score, 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank", "score")
+    )
