@@ -126,7 +126,9 @@ _PRIORITY = (
     # handwritten-expectation tests in tests/test_clustering.py), and
     # sim_topk_pq_adc (product-quantization ADC top-k, oracle-bearing
     # via init-derived codebooks, recall-vs-chance pinned in
-    # tests/test_similarity.py).
+    # tests/test_similarity.py) with its rows-only trained twin
+    # sim_topk_pq_trained (Lloyd-trained codebooks on a bounded driver
+    # sample; deterministic, recall floor pinned).
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",

@@ -1055,7 +1055,14 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = [
         [init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)
     ]
+    return _pq_adc_topk(spark, emb, codebook, M, K, D)
 
+
+def _pq_adc_topk(spark, emb, codebook, M, K, D):
+    """Shared PQ encode + ADC scoring + per-query top-5 (see
+    sim_topk_pq_adc for the design narrative). ``codebook`` is
+    driver-state [M][K][D] floats — init-derived for the
+    oracle-checkable query, Lloyd-trained for the _trained twin."""
     code_cols = []
     for m in range(M):
         cb = F.array(*[F.array(*[F.lit(v) for v in codebook[m][j]]) for j in range(K)])
@@ -1111,3 +1118,58 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id", "rank", "score")
     )
+
+
+@register(
+    "sim_topk_pq_trained",
+    oracle=None,  # iterative codebook training: rows-only, like
+    # sim_topk_ivf_trained; determinism + recall pinned in
+    # tests/test_similarity.py
+    tags=("ext-topk-sim", "pq", "ann", "quantization", "train+search"),
+)
+def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ path: per-subspace codebooks TRAINED with
+    Lloyd's k-means (numpy, 8 iterations, deterministic first-K init)
+    on a bounded driver sample — exactly how real PQ indexes are built
+    (codebook training happens on a sample on one machine; FAISS does
+    the same), then the identical encode/LUT/score pipeline as
+    sim_topk_pq_adc. The sample pull is bounded at 1024 vectors
+    (~512 KB) regardless of corpus size — the documented O(k)
+    driver-state contract. Deterministic end to end (fixed sample
+    order, fixed init, argmin ties to the lower index), so repeat runs
+    hash identically for the driver's rows-only check.
+
+    Recall honesty (measured, not assumed): on the STRUCTURELESS
+    synthetic vectors, trained recall@5 matches the init-only
+    codebooks (0.225 vs 0.25 — a 1-hit-in-40 difference, noise):
+    isotropic random data has no cluster structure for Lloyd to
+    learn, so training cannot beat data points as centroids here.
+    The variant's value is exercising the production
+    train->encode->search plumbing end to end (the same reason
+    sim_topk_ivf_trained exists beside sim_topk_ivf); on clustered
+    real-world embeddings training is where PQ recall comes from.
+    Both floors pinned in tests/test_similarity.py."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    M, K, D = 8, 16, 8
+    sample = (
+        emb.filter(F.col("vec_id") < 1024)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    codebook = []
+    for m in range(M):
+        sub = X[:, m * D : (m + 1) * D]
+        cents = sub[:K].copy()  # deterministic first-K init
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # numpy argmin ties to lower index
+            for j in range(K):
+                members = sub[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        codebook.append([[float(v) for v in cents[j]] for j in range(K)])
+    return _pq_adc_topk(spark, emb, codebook, M, K, D)
