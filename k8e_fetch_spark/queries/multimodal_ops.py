@@ -747,7 +747,8 @@ _DECODE_VIDEO_ORACLE = """
     )
     SELECT doc_id, width, height, n_frames,
            CAST(uspf * n_frames AS BIGINT) AS duration_us,
-           CAST(range(0, n_frames, 2) AS INTEGER[]) AS sampled_frames,
+           '[' || array_to_string(range(0, n_frames, 2), ',') || ']'
+               AS sampled_frames,
            CAST(
              (SELECT sum(50 + (doc_id * 13 + k * 7) % 100)
               FROM unnest(range(0, n_frames)) AS t(k)) / CAST(n_frames AS DOUBLE)
@@ -800,6 +801,10 @@ def mm_decode_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
         "duration_us",
-        "sampled_frames",
+        # JSON-serialized, not raw array<int>: the driver's canonicalizer
+        # hashes values via pandas factorize, which cannot hash lists —
+        # r7's only red driver row (TypeError: unhashable type: 'list').
+        # Same convention as mm_decode_meta above.
+        F.to_json("sampled_frames").alias("sampled_frames"),
         "mean_frame_bytes",
     )
