@@ -173,9 +173,14 @@ def kmeans(
     # single-split parquet arrives as 1 partition; the assignment
     # projection would serialize on one core. Widen once, cache: every
     # iteration re-reads this exact frame.
-    vecs = fan_out(
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
-    ).persist()
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
+    vecs = persist_scoped(
+        "kmeans.vecs",
+        fan_out(
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        ),
+    )
     init = (
         vecs.orderBy(id_col)
         .limit(k)

@@ -250,8 +250,6 @@ def minhash_candidate_pairs(
     ``max_bucket`` ids regardless of the worst bucket's true size
     (tests/test_scale.py probes this with a planted mega bucket).
     """
-    from pyspark.storagelevel import StorageLevel
-
     # Corpus repartitioned BY ID once, up front (width = full machine
     # parallelism, floored at the session shuffle width): the persisted
     # shingle table then carries hashpartitioning(doc), which the
@@ -283,7 +281,9 @@ def minhash_candidate_pairs(
     sh = df.repartition(width, F.col(id_col)).select(
         F.col(id_col).alias("doc"), hashed_shingles(F.col(text_col)).alias("sh")
     )
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
+    sh = persist_scoped("minhash.shingles", sh)
     # MinHash signature as a whole-stage-codegen aggregation over the
     # id-partitioned table (no exchange, no Python worker round-trip —
     # see minhash_signature_agg for the arithmetic-parity contract).
@@ -423,8 +423,6 @@ def simhash_candidate_pairs(
     in the join, so outputs at test scale are bit-identical to the
     unguarded form (largest natural group in the fixtures: 3).
     """
-    from pyspark.storagelevel import StorageLevel
-
     # The signature table is referenced through every downstream branch
     # (group collapse, both block-join sides, the star edges) — without
     # a persist each branch re-runs the 64-bit majority fold over the
@@ -432,8 +430,10 @@ def simhash_candidate_pairs(
     # scan+fold chains on the formatted plan). (doc, sig) is 16 bytes a
     # row, orders of magnitude under the corpus; MEMORY_AND_DISK spills
     # rather than OOMs — same contract as the MinHash shingle persist.
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
     sigs = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = persist_scoped("simhash.sigs", sigs)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     m = F.size("ds")
     # members entering the block join: whole group if small, anchor only if mega
@@ -646,14 +646,14 @@ def cosine_lsh_pairs(
         if n_rows is None:
             n_rows = df.count()
         bits_per_band = min(62, max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket))))
-    from pyspark.storagelevel import StorageLevel
-
     src = fan_out(df).select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     keys_udf = cosine_lsh_band_keys_arrow(dim, n_bands, bits_per_band, seed)
-    keys = src.select(
-        "vid",
-        keys_udf(F.col("vec")).alias("bkeys"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
+    keys = persist_scoped(
+        "cosine_lsh.band_keys",
+        src.select("vid", keys_udf(F.col("vec")).alias("bkeys")),
+    )
     bands = keys.select(
         "vid", F.posexplode("bkeys").alias("band_idx", "band_key")
     ).select("vid", F.struct("band_idx", "band_key").alias("b"))

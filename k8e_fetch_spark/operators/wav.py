@@ -52,6 +52,11 @@ def encode_wav(
             w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
         return buf.getvalue()
     arr = np.asarray(samples, dtype=np.int64)
+    # fail loud on out-of-range input (the struct.pack path for width 2
+    # raises struct.error; the numpy casts below would silently wrap,
+    # producing corrupt audio bytes instead of an error)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError("sample out of 16-bit range (-32768..32767)")
     if sample_width == 1:
         raw = (((arr >> 8) + 128) & 0xFF).astype(np.uint8).tobytes()
     elif sample_width == 3:

@@ -102,33 +102,33 @@ _PRIORITY = (
     # rotated-out ops keep that recorded history plus pytest parity
     # (tests/test_oracle_parity.py) as evidence.
     #
-    # ROUND-7 ROTATION (VERDICT r6 next-round #2 — the rotation the
-    # policy has been driving at since r4): the LAST 11 zero-history
-    # queries take seats, completing ≥1 driver CORRECTNESS row for
-    # every one of the 137 declared queries. Rotated IN: the 7 codec
-    # oracles (mm_decode_jpeg_real, mm_decode_png_variants,
-    # mm_decode_gif_real, mm_gif_frame_stats, mm_resize_real,
-    # mm_decode_audio_real, mm_decode_video_real) and the 4 rows-only
-    # twins (dedup_minhash_lsh, text_winnowing_fingerprint,
-    # text_compression_ratio, sim_topk_ivf_trained). The GIF and JPEG
-    # rows double as changed-code checks: round 7 rewrote the GIF LZW
-    # decode (table-driven/vectorized), added GIF89a disposal-method
-    # compositing, and re-derived the JPEG accuracy bound — fresh
-    # driver rows land on the NEW code. Rotated OUT (all first-green
-    # r6, evidence now recorded): tpch q4 q6 q7 q11 q12 q13 q14 q15
-    # q16 q19 q22. The 8 structurally hardest TPC-H plans (q2 q8 q9
-    # q17 q18 q20 + the q10/q21 seat-holders) stay for a second green.
-    # Registered AFTER this window froze (rotate in r8):
-    # text_decontaminate_bloom — the Bloom-prefiltered twin of
-    # text_decontaminate_ngram, sharing its oracle SQL; pytest pins it
-    # bit-identical to the exact form until it gets its driver row —
-    # and text_pii_scrub (planted-PII masking, oracle-bearing,
-    # handwritten-expectation tests in tests/test_clustering.py), and
-    # sim_topk_pq_adc (product-quantization ADC top-k, oracle-bearing
-    # via init-derived codebooks, recall-vs-chance pinned in
-    # tests/test_similarity.py) with its rows-only trained twin
-    # sim_topk_pq_trained (Lloyd-trained codebooks on a bounded driver
-    # sample; deterministic, recall floor pinned).
+    # ROUND-8 ROTATION (VERDICT r7 next-round #1/#3): the 4 queries
+    # registered after the r7 window froze take their first driver
+    # rows — text_decontaminate_bloom (Bloom-prefiltered twin of
+    # text_decontaminate_ngram, same oracle SQL), text_pii_scrub
+    # (planted-PII masking, oracle-bearing), sim_topk_pq_adc
+    # (PQ-ADC top-k, oracle-bearing via init-derived codebooks) and
+    # its trained twin sim_topk_pq_trained (Lloyd codebooks on a
+    # bounded driver sample, rows-only). mm_decode_video_real KEEPS
+    # its seat: its r7 row — the first ever — FAILED on output-schema
+    # hashability (raw array<int> column; fixed this round with the
+    # to_json convention + a registry-wide invariant test), so the AVI
+    # walk still has zero comparable driver evidence.
+    # sim_topk_ivf_trained KEEPS its seat on changed code: promoted
+    # rows-only -> oracle-bearing this round (VERDICT r7 #6).
+    # Rotated OUT (4 greens each, code unchanged): text_tfidf_topk,
+    # text_decontaminate_ngram (its bloom twin now holds the shared
+    # oracle's seat), dedup_containment_ngram, sim_quantize_int8.
+    # The r7 first-green codec rows keep seats for a second green on
+    # the round-7-reworked GIF/JPEG decode paths.
+    #
+    # NOTE (r7 post-mortem): the r6-era comment here — "minhash-planted
+    # KEPT: exact-verify stage reworked this round" — outlived its
+    # round and was misread in the r7 verdict as an r7 rework. The
+    # minhash path is byte-identical between the r6 and r7 bench trees
+    # (git diff 6682c08..0b2ffda on operators/similarity.py is empty);
+    # see BASELINE.md round-8 A/B. Rotation comments now carry their
+    # round number for exactly this reason.
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",
@@ -142,8 +142,10 @@ _PRIORITY = (
     "text_sequence_packing",
     "text_shingle_novelty",
     "dedup_paragraphs",
-    "text_tfidf_topk",
-    "text_decontaminate_ngram",
+    # decontamination: the bloom twin takes the shared oracle's seat
+    # (first driver row); PII scrub first row
+    "text_decontaminate_bloom",
+    "text_pii_scrub",
     # corpus mixing / retention / sampling (+ the composed clean-mix
     # flagship, first driver row)
     "corpus_source_profile",
@@ -151,18 +153,17 @@ _PRIORITY = (
     "sample_token_budget",
     "sample_source_temperature",
     "corpus_clean_mix_pipeline",
-    # dedup family (incremental snapshot first row; minhash-planted
-    # KEPT: exact-verify stage reworked this round)
+    # dedup family
     "dedup_apply_retention",
     "dedup_cluster_keep_best",
     "dedup_cross_source_overlap",
-    "dedup_containment_ngram",
     "dedup_incremental_snapshot",
     "dedup_minhash_lsh_planted",
     "dedup_clusters_star_planted",
-    # similarity (cosine-LSH KEPT: sizing path reworked this round)
+    # similarity: the PQ pair takes its first driver rows
     "sim_cosine_lsh_planted",
-    "sim_quantize_int8",
+    "sim_topk_pq_adc",
+    "sim_topk_pq_trained",
     "sim_hybrid_search",
     # data-quality constraint gate (first driver row)
     "quality_constraint_checks",
@@ -182,8 +183,9 @@ _PRIORITY = (
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
     "tpch_q20_potential_promotion",
-    # ext-multimodal: the REAL-codec oracle rows, first driver check —
-    # on the round-7 reworked GIF/JPEG code paths
+    # ext-multimodal: second green for the r7 first-green codec rows
+    # (on the r7-reworked GIF/JPEG decode); video row is the FIRST
+    # comparable one — its r7 row failed on schema hashability
     "mm_decode_jpeg_real",
     "mm_decode_png_variants",
     "mm_decode_gif_real",
@@ -191,8 +193,8 @@ _PRIORITY = (
     "mm_resize_real",
     "mm_decode_audio_real",
     "mm_decode_video_real",
-    # rows-only twins of already-green planted flagships: weaker
-    # rows-only driver checks, but the last queries with NO row ever
+    # rows-only twins with one recorded rows-only row; ivf_trained is
+    # oracle-bearing as of r8 (first driver row on the promoted form)
     "dedup_minhash_lsh",
     "text_winnowing_fingerprint",
     "text_compression_ratio",

@@ -969,7 +969,7 @@ def dedup_apply_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(dropped.select("doc_id"), on="doc_id", how="left_anti").select("doc_id")
 
 
-_PQ_ORACLE = """
+_PQ_ORACLE = f"""
     WITH init AS (
         SELECT vec_id AS j, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 16
     ),
@@ -999,9 +999,9 @@ _PQ_ORACLE = """
         GROUP BY 1, 2
     )
     SELECT q_id, n_id, CAST(rank AS INT) AS rank, score FROM (
-        SELECT q_id, n_id, round(score, 6) AS score,
+        SELECT q_id, n_id, {sql_round("score", 6)} AS score,
                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY round(score, 6), n_id) AS rank
+                                  ORDER BY {sql_round("score", 6)}, n_id) AS rank
         FROM scores
     ) WHERE rank <= 5
 """
@@ -1052,6 +1052,12 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
     }
+    missing = [j for j in range(K) if j not in init]
+    if missing:
+        raise ValueError(
+            f"corpus too small for PQ codebook init: vec_ids {missing} "
+            f"absent (need contiguous 0..{K - 1})"
+        )
     codebook = [
         [init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)
     ]
@@ -1160,6 +1166,11 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    if len(X) < K:
+        raise ValueError(
+            f"corpus too small for PQ codebook training: {len(X)} sample "
+            f"vectors, need at least K={K}"
+        )
     codebook = []
     for m in range(M):
         sub = X[:, m * D : (m + 1) * D]

@@ -590,18 +590,17 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     False positives cannot leak into the answer (the confirm join is
     exact); false negatives cannot exist (Bloom property), so the
     result is bit-identical to the broadcast-join form at any FP rate."""
-    from pyspark.storagelevel import StorageLevel
-
+    from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.similarity import shingles
     from k8e_fetch_spark.operators.text import bloom_build_bitmap, bloom_member
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     grams = docs.select("doc_id", F.explode(shingles(F.col("text"), k=3)).alias("g"))
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 97 == 0)
-        .select("g")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)  # bitmap build + confirm join
+    # persisted for the bitmap build AND the confirm join; scoped so
+    # repeated executions don't accumulate cache entries (see caching.py)
+    eval_grams = persist_scoped(
+        "text_decontaminate_bloom.eval_grams",
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct(),
     )
     n_eval = eval_grams.count()
     m_bits = 1 << max(10, (16 * max(n_eval, 1) - 1).bit_length())  # ~16 bits/gram
@@ -885,10 +884,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    from pyspark import StorageLevel
+    from k8e_fetch_spark.functions.caching import persist_scoped
 
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # persisted for the scalar-total collect AND the broadcast-lm join;
+    # scoped so repeated executions don't accumulate cache entries
+    vocab = persist_scoped(
+        "text_unigram_logprob.vocab",
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")),
     )
     total = vocab.agg(F.sum("c")).collect()[0][0] or 1  # empty corpus: lm is empty anyway
     lm = vocab.select("token", F.log10(F.col("c") / F.lit(float(total))).alias("lp"))
