@@ -132,8 +132,8 @@ _PRIORITY = (
     #
     # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
     "pipeline_end_to_end",
-    # ext-multimodal (stub-codec features + REAL PNG decode, first row)
-    "mm_decode_features",
+    # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
+    # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
     # ext-text-stats + corpus prep (1-2 greens, keep seats)
     "text_vocabulary",
@@ -160,10 +160,12 @@ _PRIORITY = (
     "dedup_incremental_snapshot",
     "dedup_minhash_lsh_planted",
     "dedup_clusters_star_planted",
-    # similarity: the PQ pair takes its first driver rows
+    # similarity: the PQ pair + the new IVFPQ composition take their
+    # first driver rows
     "sim_cosine_lsh_planted",
     "sim_topk_pq_adc",
     "sim_topk_pq_trained",
+    "sim_topk_ivfpq_adc",
     "sim_hybrid_search",
     # data-quality constraint gate (first driver row)
     "quality_constraint_checks",

@@ -854,10 +854,83 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(clusters, quality)
 
 
+def _lloyd_iter_sql(i: int, k: int, dim: int) -> str:
+    """One Lloyd iteration as DuckDB CTEs: L2 argmin with the operator's
+    (d2, cid) tie-break, per-dimension member means, empty clusters
+    keeping the previous centroid (COALESCE) — mirroring
+    operators/clustering.py kmeans() exactly."""
+    return f"""
+    a{i} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(e.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM e CROSS JOIN cent{i - 1} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cid, list(m ORDER BY pos) AS mc FROM (
+            SELECT cid, pos, avg(v[pos]) AS m
+            FROM a{i}, UNNEST(generate_series(1, {dim})) AS g(pos)
+            GROUP BY cid, pos
+        ) GROUP BY cid
+    ),
+    cent{i} AS (
+        SELECT p.cid, COALESCE(m{i}.mc, p.c) AS c
+        FROM cent{i - 1} p LEFT JOIN m{i} ON p.cid = m{i}.cid
+    )"""
+
+
+# Lloyd training is iterative, but TWO iterations from a deterministic
+# init unroll into plain SQL — so the whole train->assign->probe->search
+# pipeline is oracle-checkable, the same init-derived trick that made
+# PQ-ADC and the one-step kmeans assign oracle-bearing. Promoted from
+# rows-only in round 8 (VERDICT r7 next-round #6).
+_IVF_TRAINED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    {_lloyd_iter_sql(1, 16, 64)},
+    {_lloyd_iter_sql(2, 16, 64)},
+    af AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine("e.v", "c.c")} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cent2 c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, cid FROM (
+            SELECT q.vec_id AS q_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.v", "c.c")} DESC, c.cid) AS pr
+            FROM e q CROSS JOIN cent2 c WHERE q.vec_id < 8
+        ) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               {sql_round(sql_cosine("q.v", "a.v"), 6)} AS score
+        FROM probes p
+        JOIN af a ON a.cid = p.cid
+        JOIN e q ON q.vec_id = p.q_id
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT q_id, n_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, n_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "sim_topk_ivf_trained",
-    oracle=None,  # iterative training feeding approximate search: rows-
-    # only; recall vs exact top-k is asserted in tests/test_similarity.py
+    oracle=_IVF_TRAINED_ORACLE,
     tags=("ext-topk-sim", "ivf", "kmeans", "ann", "train+search"),
 )
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,8 +940,18 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses for its planted oracle. Training is the zero-shuffle-assign
     loop (one job per iteration); the trained k x dim centroids hand
     off to ivf_assign as driver state; search probes the 4 nearest
-    cells per query. Deterministic end to end, so repeat runs hash
-    identically."""
+    cells per query. Deterministic end to end.
+
+    FULL-oracle-bearing as of round 8: a fixed TWO-iteration Lloyd
+    from the deterministic first-16 init unrolls into plain SQL
+    (argmin with the (d2, cid) tie-break, per-dim member means,
+    empty-cluster carry-forward), so DuckDB recomputes training,
+    coarse assignment, probe selection and scoring relationally and
+    the driver hash-compares the entire train+search pipeline. Engine
+    float-fold differences (Spark avg/BLAS vs DuckDB sequential sums,
+    ~1e-15 relative) sit far below the 1e-6 score rounding; only a
+    near-exact tie in argmin/probe ordering could diverge, which
+    random embeddings do not produce."""
     from k8e_fetch_spark.operators.clustering import kmeans
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1064,11 +1147,10 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_topk(spark, emb, codebook, M, K, D)
 
 
-def _pq_adc_topk(spark, emb, codebook, M, K, D):
-    """Shared PQ encode + ADC scoring + per-query top-5 (see
-    sim_topk_pq_adc for the design narrative). ``codebook`` is
-    driver-state [M][K][D] floats — init-derived for the
-    oracle-checkable query, Lloyd-trained for the _trained twin."""
+def _pq_code_col(codebook, M, K, D):
+    """PQ encode as a scan-local column expression: per-subspace L2
+    argmin over the broadcast-literal codebook, (d2, j) tie-break via
+    array_position-of-min. Returns the array<int> code column."""
     code_cols = []
     for m in range(M):
         cb = F.array(*[F.array(*[F.lit(v) for v in codebook[m][j]]) for j in range(K)])
@@ -1088,8 +1170,14 @@ def _pq_adc_topk(spark, emb, codebook, M, K, D):
             ),
         )
         code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
-    coded = emb.select(F.col("vec_id").alias("n_id"), F.array(*code_cols).alias("code"))
+    return F.array(*code_cols)
 
+
+def _pq_query_luts(spark, emb, codebook, M, K, D):
+    """Per-query ADC lookup tables (M x K squared distances between the
+    query's subvectors and every codebook centroid), built on the
+    driver from the 8 query rows — O(queries x M x K) doubles, the
+    documented bounded pull — and returned as a broadcastable frame."""
     q_rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
     lut_data = []
     for r in q_rows:
@@ -1105,18 +1193,33 @@ def _pq_adc_topk(spark, emb, codebook, M, K, D):
             for m in range(M)
         ]
         lut_data.append((int(r["vec_id"]), lut))
-    lut_df = spark.createDataFrame(lut_data, "q_id: bigint, lut: array<array<double>>")
+    return spark.createDataFrame(lut_data, "q_id: bigint, lut: array<array<double>>")
 
-    score = F.aggregate(
+
+def _pq_lut_score(M):
+    """ADC score: sum over subspaces of lut[m][code[m]] — pure column
+    arithmetic against the broadcast LUT, no Python in the loop."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(M - 1)),
         F.lit(0.0),
         lambda acc, m: acc
         + F.element_at(F.element_at("lut", (m + 1).cast("int")), F.element_at("code", (m + 1).cast("int")) + 1),
     )
+
+
+def _pq_adc_topk(spark, emb, codebook, M, K, D):
+    """Shared PQ encode + ADC scoring + per-query top-5 (see
+    sim_topk_pq_adc for the design narrative). ``codebook`` is
+    driver-state [M][K][D] floats — init-derived for the
+    oracle-checkable query, Lloyd-trained for the _trained twin."""
+    coded = emb.select(
+        F.col("vec_id").alias("n_id"), _pq_code_col(codebook, M, K, D).alias("code")
+    )
+    lut_df = _pq_query_luts(spark, emb, codebook, M, K, D)
     scored = (
         coded.crossJoin(F.broadcast(lut_df))
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", round_fixed(score, 6).alias("score"))
+        .select("q_id", "n_id", round_fixed(_pq_lut_score(M), 6).alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("n_id"))
     return (
@@ -1184,3 +1287,148 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cents[j] = members.mean(axis=0)
         codebook.append([[float(v) for v in cents[j]] for j in range(K)])
     return _pq_adc_topk(spark, emb, codebook, M, K, D)
+
+
+# IVF + PQ composed: the FAISS IVFPQ architecture (Jégou et al. TPAMI
+# 2011, §V) — coarse cells restrict WHICH candidates are scored, PQ
+# codes compress HOW they are scored. Both constituents are init-
+# derived here (first-16 coarse centroids = sim_topk_ivf's, first-16
+# subspace slices = sim_topk_pq_adc's), so the composition stays fully
+# SQL-oracle-checkable: the oracle below is the PQ oracle's
+# cb/subv/d/codes CTEs joined through the coarse assignment and probe
+# relations. (No residual encoding: codes quantize raw vectors, the
+# same simplification the PQ-alone query documents — residual PQ is a
+# trained-codebook concern and would drop the oracle.)
+_IVFPQ_ORACLE = f"""
+    WITH init AS (
+        SELECT vec_id AS j, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 16
+    ),
+    cb AS (
+        SELECT m, j, e[m*8+1 : m*8+8] AS c
+        FROM init, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    subv AS (
+        SELECT vec_id, m, (embedding::DOUBLE[])[m*8+1 : m*8+8] AS v
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_sum(list_transform(list_zip(s.v, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM subv s JOIN cb c ON s.m = c.m
+    ),
+    codes AS (
+        SELECT vec_id, m, j FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16
+    ),
+    af AS (  -- coarse assignment: cosine argmax, (sim desc, cid) tie
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine("e.embedding", "cent.c")} DESC, cent.cid) AS rn
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (  -- 4 nearest cells per query
+        SELECT q_id, cid FROM (
+            SELECT q.vec_id AS q_id, cent.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine("q.embedding", "cent.c")} DESC, cent.cid) AS pr
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 8
+        ) WHERE pr <= 4
+    ),
+    scores AS (  -- ADC over candidates in probed cells only
+        SELECT p.q_id, c.vec_id AS n_id, sum(ql.d2) AS score
+        FROM codes c
+        JOIN af a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.cid = a.cid
+        JOIN d ql ON ql.m = c.m AND ql.j = c.j AND ql.vec_id = p.q_id
+        WHERE c.vec_id <> p.q_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT q_id, n_id, {sql_round("score", 6)} AS score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {sql_round("score", 6)}, n_id) AS rank
+        FROM scores
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_ivfpq_adc",
+    oracle=_IVFPQ_ORACLE,
+    tags=("ext-topk-sim", "ivf", "pq", "ann", "quantization"),
+)
+def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the billion-vector ANN architecture (FAISS
+    IVFPQ; Jégou et al. TPAMI 2011 §V): the coarse quantizer restricts
+    scoring to the 4 probed cells per query (candidate-count cut),
+    and candidates are scored through 8-nibble PQ codes against the
+    query's broadcast LUT (16x memory/bandwidth cut). The two levers
+    compose multiplicatively, which is exactly why the architecture
+    scales to 10^9 vectors.
+
+    100 TB shape: coarse assign and PQ encode are both scan-local
+    column expressions over broadcast-literal codebooks (zero shuffle,
+    whole-stage codegen); the probe restriction is a broadcast join on
+    centroid_id that drops ~12/16 of the corpus before any scoring
+    work; only (q_id, n_id, score) triples reach the per-query top-k
+    window. Nothing ever shuffles a raw vector or a full LUT product.
+
+    Init-derived constituents (first-16 coarse centroids, first-16
+    subspace slices) keep the full composition SQL-oracle-checkable —
+    the same determinism trick as sim_topk_ivf / sim_topk_pq_adc;
+    production recall comes from trained centroids/codebooks, the
+    split both _trained twins demonstrate."""
+    emb = load(spark, sf_dir, "embeddings")
+    M, K, D = 8, 16, 8
+    init = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    missing = [j for j in range(K) if j not in init]
+    if missing:
+        raise ValueError(
+            f"corpus too small for PQ codebook init: vec_ids {missing} "
+            f"absent (need contiguous 0..{K - 1})"
+        )
+    codebook = [[init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)]
+
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    # coarse assign + PQ encode in ONE scan projection
+    coded = ivf_assign(emb, centroids, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        "centroid_id",
+        _pq_code_col(codebook, M, K, D).alias("code"),
+    )
+
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.col("centroid_id"))
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine_arrow(F.col("q_emb"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= 4)
+        .select("q_id", "centroid_id")
+    )
+    lut_df = _pq_query_luts(spark, emb, codebook, M, K, D)
+    probe_luts = probes.join(lut_df, on="q_id")  # queries x 4 cells, k-row frame
+    scored = (
+        coded.join(F.broadcast(probe_luts), on="centroid_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", round_fixed(_pq_lut_score(M), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank", "score")
+    )

@@ -501,3 +501,54 @@ def test_pq_trained_deterministic_and_load_bearing(spark):
     assert recall >= max(0.15, 10 * chance), (
         f"trained PQ recall@5 {recall:.2f} not load-bearing (chance {chance:.4f})"
     )
+
+def test_ivfpq_cell_containment_and_recall(spark):
+    """The composed IVFPQ query (coarse cells restrict candidates, PQ
+    codes score them) holds its structural invariant — every returned
+    neighbor is coarse-assigned to one of its query's 4 probed cells,
+    recomputed independently in numpy — and recall@5 vs exact L2 stays
+    load-bearing (measured 0.325 at sf0.001: the cell restriction
+    prunes some PQ false positives on this corpus, so the composition
+    lands ABOVE plain PQ's 0.25; pinned conservatively at the same
+    chance-relative floor, not at the measured value)."""
+    import numpy as np
+
+    from k8e_fetch_spark.io import load
+
+    queries()
+    got = REGISTRY["sim_topk_ivfpq_adc"].fn(spark, SF_DIR).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert len(got) > 0
+
+    rows = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order16 = np.argsort(ids)[:16]
+    cent, cent_ids = X[order16], ids[order16]
+
+    def unit(A):
+        return A / np.linalg.norm(A, axis=1, keepdims=True)
+
+    assign = cent_ids[np.argmax(unit(X) @ unit(cent).T, axis=1)]
+    hits = total = 0
+    for q in sorted(approx):
+        qi = np.where(ids == q)[0][0]
+        qsim = (unit(X[qi : qi + 1]) @ unit(cent).T)[0]
+        probed = set(cent_ids[np.argsort(-qsim, kind="stable")[:4]].tolist())
+        for n in approx[q]:
+            ni = np.where(ids == n)[0][0]
+            assert assign[ni] in probed, (
+                f"neighbor {n} of query {q} lies outside its probed cells"
+            )
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        exact5 = set(ids[np.lexsort((ids, d2))[:5]].tolist())
+        hits += len(exact5 & approx[q])
+        total += 5
+    recall = hits / total
+    chance = 5.0 / (len(ids) - 1)
+    assert recall >= max(0.15, 10 * chance), (
+        f"IVFPQ recall@5 {recall:.2f} not load-bearing (chance {chance:.4f})"
+    )
