@@ -39,6 +39,8 @@ PROBES = [
     "corpus_prep_pipeline",
     "sim_cosine_lsh",
     "sim_topk_ivf",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq_adc",
     "sim_kmeans_assign",
     "tpch_q21_waiting_supplier",
     "dedup_paragraphs",
