@@ -1211,15 +1211,29 @@ def _pq_adc_topk(spark, emb, codebook, M, K, D):
     """Shared PQ encode + ADC scoring + per-query top-5 (see
     sim_topk_pq_adc for the design narrative). ``codebook`` is
     driver-state [M][K][D] floats — init-derived for the
-    oracle-checkable query, Lloyd-trained for the _trained twin."""
+    oracle-checkable query, Lloyd-trained for the _trained twin.
+
+    Encode and scoring run on the Arrow/numpy fast path (r8): the
+    HOF-fold twins (_pq_code_col / _pq_lut_score) cost ~0.6 ms/row
+    interpreted plus ~0.8 s of literal-tree plan build — constants a
+    billion-row encode cannot afford. Both forms are pinned equal on
+    the fixtures (codes bit-identical, final outputs identical) in
+    tests/test_similarity.py."""
+    from k8e_fetch_spark.functions.vectors import pq_adc_score_arrow, pq_encode_arrow
+
     coded = emb.select(
-        F.col("vec_id").alias("n_id"), _pq_code_col(codebook, M, K, D).alias("code")
+        F.col("vec_id").alias("n_id"),
+        pq_encode_arrow(codebook)(F.col("embedding")).alias("code"),
     )
     lut_df = _pq_query_luts(spark, emb, codebook, M, K, D)
     scored = (
         coded.crossJoin(F.broadcast(lut_df))
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", round_fixed(_pq_lut_score(M), 6).alias("score"))
+        .select(
+            "q_id",
+            "n_id",
+            round_fixed(pq_adc_score_arrow(F.col("code"), F.col("lut")), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("n_id"))
     return (
@@ -1398,14 +1412,17 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     codebook = [[init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)]
 
+    from k8e_fetch_spark.functions.vectors import pq_adc_score_arrow, pq_encode_arrow
+
     centroids = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
-    # coarse assign + PQ encode in ONE scan projection
+    # coarse assign + PQ encode in ONE scan projection (Arrow encode —
+    # see _pq_adc_topk; the HOF twin is pinned equal in tests)
     coded = ivf_assign(emb, centroids, "vec_id").select(
         F.col("vec_id").alias("n_id"),
         "centroid_id",
-        _pq_code_col(codebook, M, K, D).alias("code"),
+        pq_encode_arrow(codebook)(F.col("embedding")).alias("code"),
     )
 
     queries_df = emb.filter(F.col("vec_id") < 8).select(
@@ -1424,7 +1441,11 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         coded.join(F.broadcast(probe_luts), on="centroid_id")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", round_fixed(_pq_lut_score(M), 6).alias("score"))
+        .select(
+            "q_id",
+            "n_id",
+            round_fixed(pq_adc_score_arrow(F.col("code"), F.col("lut")), 6).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").asc(), F.col("n_id"))
     return (

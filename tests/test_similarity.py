@@ -552,3 +552,50 @@ def test_ivfpq_cell_containment_and_recall(spark):
     assert recall >= max(0.15, 10 * chance), (
         f"IVFPQ recall@5 {recall:.2f} not load-bearing (chance {chance:.4f})"
     )
+
+def test_pq_arrow_twins_match_expression_forms(spark):
+    """The Arrow/numpy PQ encode + ADC scorer (the production fast
+    path) must agree with the interpreted HOF expression twins —
+    codes bit-identical, fold scores equal bitwise on these fixtures
+    (both accumulate float64 per dimension; only a near-exact argmin
+    tie could diverge, and the exact-duplicate case gives d2 == 0.0
+    in both forms). Same evidence pattern as the three bit-identical
+    MinHash signature forms."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.functions.vectors import pq_adc_score_arrow, pq_encode_arrow
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.queries.similarity import (
+        _pq_code_col,
+        _pq_lut_score,
+        _pq_query_luts,
+    )
+
+    queries()
+    emb = load(spark, SF_DIR, "embeddings")
+    M, K, D = 8, 16, 8
+    init = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    }
+    codebook = [[init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)]
+
+    both = emb.select(
+        "vec_id",
+        _pq_code_col(codebook, M, K, D).alias("code_expr"),
+        pq_encode_arrow(codebook)(F.col("embedding")).alias("code_arrow"),
+    )
+    diff = both.filter(F.col("code_expr") != F.col("code_arrow")).count()
+    assert diff == 0, f"{diff} rows encode differently between HOF and Arrow forms"
+
+    lut_df = _pq_query_luts(spark, emb, codebook, M, K, D)
+    scored = (
+        both.select("vec_id", F.col("code_arrow").alias("code"))
+        .crossJoin(F.broadcast(lut_df))
+        .select(
+            _pq_lut_score(M).alias("s_expr"),
+            pq_adc_score_arrow(F.col("code"), F.col("lut")).alias("s_arrow"),
+        )
+    )
+    sdiff = scored.filter(F.col("s_expr") != F.col("s_arrow")).count()
+    assert sdiff == 0, f"{sdiff} ADC scores differ between HOF and Arrow forms"
