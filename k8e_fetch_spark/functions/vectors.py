@@ -194,3 +194,36 @@ def pq_adc_score_arrow(code: Column, lut: Column) -> Column:
 
     _score.__annotations__ = {"codes": pd.Series, "luts": pd.Series, "return": pd.Series}
     return pandas_udf(_score, "double")(code, lut)
+
+
+def coarse_assign_arrow(units) -> Column:
+    """Arrow-vectorized IVF coarse assignment: argmax of dot(v, c_unit)
+    over the k unit-normalized centroids, one batch matmul per Arrow
+    batch. ``units`` is the driver-state [(centroid_id, unit_vec)]
+    list SORTED by centroid_id, so numpy argmax's first-occurrence tie
+    rule equals the expression twin's smaller-cid tie-break.
+
+    Same twin discipline as pq_encode_arrow: the interpreted fold in
+    operators/similarity.py:ivf_assign(use_arrow=False) computes the
+    same float64 dots in sequential order, the matmul in BLAS order —
+    ~1e-16 apart, so assignments agree except on near-exact ties
+    (exact duplicates dot identically in both and tie the same way);
+    pinned assignment-identical on the fixtures in
+    tests/test_similarity.py.
+
+    Returns a function of the vector column -> int centroid_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([cid for cid, _ in units], dtype=np.int64)
+    C = np.asarray([vec for _, vec in units], dtype=np.float64)  # (k, dim)
+
+    def _assign(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(cids[np.argmax(X @ C.T, axis=1)].astype(np.int32))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")

@@ -689,24 +689,10 @@ def cosine_lsh_pairs(
     )
 
 
-def ivf_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str = "embedding"
-) -> DataFrame:
-    """Coarse quantization: assign each vector to its nearest centroid
-    by cosine — ZERO-shuffle form (the clustering._assign pattern).
-
-    The centroid table is model state (k x dim floats), so it collects
-    to the driver and is inlined as a literal array-of-structs; the
-    per-vector argmax is then one ``transform`` + ``array_min`` fold
-    inside the scan projection. No crossJoin, no window, no Exchange:
-    the earlier window-argmax form shuffled all N x k scored rows on
-    the vector id, which is exactly the shuffle a 100 TB corpus cannot
-    afford. Centroids are unit-normalized on the driver, so per
-    candidate the fold is a single dot product (argmax of dot(v, c/|c|)
-    == argmax cosine; |v| is constant across candidates and drops out).
-    Ties break on the smaller centroid_id, matching the previous
-    window ordering (sim desc, centroid_id asc).
-    """
+def _ivf_unit_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect + unit-normalize the centroid table (k x dim — bytes,
+    the documented O(k) driver pull), sorted by centroid_id so both
+    assign forms break argmax ties toward the smaller id."""
     import math
 
     from k8e_fetch_spark.functions.vectors import validate_finite_centroids
@@ -717,7 +703,48 @@ def ivf_assign(
         vec = [float(x) for x in r["centroid"]]
         norm = math.sqrt(sum(x * x for x in vec))
         units.append((int(r["centroid_id"]), [x / norm for x in vec] if norm > 0 else vec))
+    units.sort(key=lambda t: t[0])
     validate_finite_centroids(units)
+    return units
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its nearest centroid
+    by cosine — ZERO-shuffle, scan-local in both forms.
+
+    The centroid table is model state (k x dim floats), so it collects
+    to the driver; no crossJoin, no window, no Exchange — the earlier
+    window-argmax form shuffled all N x k scored rows on the vector
+    id, which is exactly the shuffle a 100 TB corpus cannot afford.
+    Centroids are unit-normalized on the driver (argmax of
+    dot(v, c/|c|) == argmax cosine; |v| is constant across candidates
+    and drops out); ties break on the smaller centroid_id.
+
+    Default path (r8): Arrow/numpy — one batch matmul against the
+    closure-shipped unit-centroid matrix, argmax per row. The
+    expression twin below (literal array-of-structs + transform/
+    array_min fold) is the same shape as clustering._assign but runs
+    INTERPRETED (~0.15 ms/row for k=16 — it dominated the 20x ANN
+    stress probes); it stays as ``use_arrow=False`` and the two are
+    pinned assignment-identical on the fixtures in
+    tests/test_similarity.py (same twin discipline as the PQ encode —
+    dot products differ only in summation order, ~1e-16, so an argmax
+    flip needs a near-exact tie; exact duplicates produce identical
+    dot ROWS in both forms and tie identically toward the lower id).
+    """
+    units = _ivf_unit_centroids(centroids)
+    if use_arrow:
+        from k8e_fetch_spark.functions.vectors import coarse_assign_arrow
+
+        return df.withColumn(
+            "centroid_id", coarse_assign_arrow(units)(F.col(vec_col))
+        )
     cents = ",".join(
         f"named_struct('cid',{cid},'c',array({','.join(f'{x!r}D' for x in vec)}))"
         for cid, vec in units

@@ -599,3 +599,42 @@ def test_pq_arrow_twins_match_expression_forms(spark):
     )
     sdiff = scored.filter(F.col("s_expr") != F.col("s_arrow")).count()
     assert sdiff == 0, f"{sdiff} ADC scores differ between HOF and Arrow forms"
+
+def test_ivf_assign_arrow_matches_expression_form(spark):
+    """The Arrow coarse assign (batch matmul argmax) and the
+    literal-inlined expression twin must produce IDENTICAL cell
+    assignments — including on a corpus with planted exact duplicates,
+    where both forms must tie the duplicate into its original's cell.
+    Same twin discipline as the PQ encode pin."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import ivf_assign
+
+    queries()
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    arrow = ivf_assign(corpus, centroids, "vec_id", use_arrow=True).select(
+        "vec_id", F.col("centroid_id").alias("cid_arrow")
+    )
+    expr = ivf_assign(corpus, centroids, "vec_id", use_arrow=False).select(
+        "vec_id", F.col("centroid_id").alias("cid_expr")
+    )
+    diff = (
+        arrow.join(expr, on="vec_id")
+        .filter(F.col("cid_arrow") != F.col("cid_expr"))
+        .count()
+    )
+    assert diff == 0, f"{diff} vectors assigned to different cells by the two forms"
+
+    # planted duplicates land in their original's cell in BOTH forms
+    both = arrow.join(expr, on="vec_id")
+    orig = {r["vec_id"]: r["cid_arrow"] for r in both.filter(F.col("vec_id") < 25).collect()}
+    for r in both.filter(F.col("vec_id") >= 100000).collect():
+        assert r["cid_arrow"] == orig[r["vec_id"] - 100000]
