@@ -35,6 +35,7 @@ PROBES = [
     "dedup_exact_documents",
     "events_tumbling_window",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_winnowing_fingerprint",
     "corpus_prep_pipeline",
     "sim_cosine_lsh",
