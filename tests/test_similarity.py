@@ -638,3 +638,51 @@ def test_ivf_assign_arrow_matches_expression_form(spark):
     orig = {r["vec_id"]: r["cid_arrow"] for r in both.filter(F.col("vec_id") < 25).collect()}
     for r in both.filter(F.col("vec_id") >= 100000).collect():
         assert r["cid_arrow"] == orig[r["vec_id"] - 100000]
+
+def test_arrow_twins_exact_tie_break(spark):
+    """Crafted EXACT ties — the one case where the twin-equality
+    argument needs more than 'no realistic near-tie': two IDENTICAL
+    centroids (different ids) produce bitwise-equal scores for every
+    vector, and both assign forms must break toward the LOWER id;
+    likewise a duplicated PQ codebook entry must encode to the lower
+    code in both forms."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.functions.vectors import pq_encode_arrow
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import ivf_assign
+    from k8e_fetch_spark.queries.similarity import _pq_code_col
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 4).collect()
+    # centroid 7 duplicates centroid 2's vector exactly
+    rows = [(i, list(r["embedding"])) for i, r in enumerate(base)]
+    rows.append((7, rows[2][1]))
+    cents = spark.createDataFrame(
+        rows, "centroid_id int, centroid array<float>"
+    )
+    for use_arrow in (True, False):
+        got = ivf_assign(emb.limit(50), cents, "vec_id", use_arrow=use_arrow)
+        assert got.filter(F.col("centroid_id") == 7).count() == 0, (
+            f"use_arrow={use_arrow}: tie with an identical lower-id centroid "
+            "must never resolve to the higher id"
+        )
+
+    # PQ codebook with entry j=9 duplicating j=3 in every subspace
+    M, K, D = 8, 16, 8
+    init = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    codebook = [[init[j][m * D : (m + 1) * D] for j in range(K)] for m in range(M)]
+    for m in range(M):
+        codebook[m][9] = list(codebook[m][3])
+    both = emb.limit(50).select(
+        _pq_code_col(codebook, M, K, D).alias("ce"),
+        pq_encode_arrow(codebook)(F.col("embedding")).alias("ca"),
+    )
+    bad = both.filter(
+        F.array_contains("ce", 9) | F.array_contains("ca", 9)
+    ).count()
+    assert bad == 0, "duplicated codebook entry must encode to the lower code"
+    assert both.filter(F.col("ce") != F.col("ca")).count() == 0
