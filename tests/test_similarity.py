@@ -686,3 +686,46 @@ def test_arrow_twins_exact_tie_break(spark):
     ).count()
     assert bad == 0, "duplicated codebook entry must encode to the lower code"
     assert both.filter(F.col("ce") != F.col("ca")).count() == 0
+
+def test_arrow_twins_on_random_data_sweep(spark):
+    """Twin equality beyond the parquet fixtures: five seeded random
+    corpora (float32 vectors, the embeddings column's type) through
+    both the coarse-assign and PQ-encode twins — assignments and codes
+    must match exactly on every draw. Deterministic (fixed seeds), so
+    a failure is a reproducible counterexample, not flake."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.functions.vectors import pq_encode_arrow
+    from k8e_fetch_spark.operators.similarity import ivf_assign
+    from k8e_fetch_spark.queries.similarity import _pq_code_col
+
+    M, K, D = 4, 8, 8  # dim 32 keeps the literal twin's plan small
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(120, M * D)).astype(np.float32)
+        rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        cents = spark.createDataFrame(
+            rows[:8], "centroid_id int, centroid array<float>"
+        )
+        a = ivf_assign(df, cents, "vec_id", use_arrow=True).select(
+            "vec_id", F.col("centroid_id").alias("ca")
+        )
+        e = ivf_assign(df, cents, "vec_id", use_arrow=False).select(
+            "vec_id", F.col("centroid_id").alias("ce")
+        )
+        assert a.join(e, "vec_id").filter(F.col("ca") != F.col("ce")).count() == 0, (
+            f"seed {seed}: coarse assignment diverged between twins"
+        )
+        codebook = [
+            [[float(v) for v in X[j][m * D : (m + 1) * D]] for j in range(K)]
+            for m in range(M)
+        ]
+        both = df.select(
+            _pq_code_col(codebook, M, K, D).alias("ce"),
+            pq_encode_arrow(codebook)(F.col("embedding")).alias("ca"),
+        )
+        assert both.filter(F.col("ce") != F.col("ca")).count() == 0, (
+            f"seed {seed}: PQ codes diverged between twins"
+        )
