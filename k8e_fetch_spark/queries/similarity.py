@@ -1,8 +1,10 @@
-"""ext-topk-sim / ext-minhash-dedup / simhash / n-gram Jaccard / IVF.
+"""ext-topk-sim / ext-minhash-dedup / simhash / n-gram Jaccard / IVF / PQ.
 
-Exact/SQL-expressible variants carry DuckDB oracles; the LSH-family
-operators (minhash bucket join, simhash, IVF probe) are rows-only here
-and self-verified against exact computations in tests/test_similarity.py
+Exact/SQL-expressible variants carry DuckDB oracles — including the
+whole IVF/PQ ANN tier (init-derived or fixed-iteration-unrolled
+constructions make train+assign+probe+search relational). The LSH
+bucket-join flagships and the trained-PQ twin are rows-only and
+self-verified against exact computations in tests/test_similarity.py
 (planted-duplicate recovery, recall vs brute force) — per SURVEY.md §5.
 """
 
