@@ -186,6 +186,8 @@ def kmeans(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("k-means init: input has no rows")
     dim = len(init[0][vec_col])  # from the init collect — no extra probe job
     centroid_rows = [(i, list(r[vec_col])) for i, r in enumerate(init)]
 

@@ -704,6 +704,8 @@ def _ivf_unit_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
         norm = math.sqrt(sum(x * x for x in vec))
         units.append((int(r["centroid_id"]), [x / norm for x in vec] if norm > 0 else vec))
     units.sort(key=lambda t: t[0])
+    if not units:
+        raise ValueError("ivf_assign: empty centroid table")
     validate_finite_centroids(units)
     return units
 

@@ -628,7 +628,7 @@ _DECODE_AUDIO_ORACLE = """
            CAST(rate AS INTEGER) AS sample_rate,
            CAST(1 AS INTEGER) AS n_channels,
            CAST(frames AS INTEGER) AS n_frames,
-           CAST(round(1000000.0 * frames / rate) AS BIGINT) AS duration_us,
+           CAST(floor(1000000.0 * frames / rate + 0.5) AS BIGINT) AS duration_us,
            CAST(amp AS INTEGER) AS peak_i16,
            CAST(amp AS INTEGER) AS rms_i16,
            CAST(0 AS INTEGER) AS mean_i16,

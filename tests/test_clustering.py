@@ -476,3 +476,23 @@ def test_pii_masking_semantics_on_handwritten_cases(spark):
     t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
     got = [r["out"] for r in df.select(t3.alias("out")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_empty_input_guards(spark):
+    """Driver-state builders fail loud with a descriptive error on
+    empty inputs instead of IndexError deep in numpy/collect code."""
+    import pytest
+
+    from k8e_fetch_spark.operators.clustering import kmeans
+    from k8e_fetch_spark.operators.similarity import ivf_assign
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans(empty_vecs, k=4, iterations=1)
+
+    some = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    empty_cents = spark.createDataFrame([], "centroid_id int, centroid array<float>")
+    with pytest.raises(ValueError, match="empty centroid"):
+        ivf_assign(some, empty_cents, "vec_id")
