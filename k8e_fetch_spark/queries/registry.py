@@ -146,9 +146,8 @@ _PRIORITY = (
     # (first driver row); PII scrub first row
     "text_decontaminate_bloom",
     "text_pii_scrub",
-    # corpus mixing / retention / sampling (+ the composed clean-mix
-    # flagship, first driver row)
-    "corpus_source_profile",
+    # corpus mixing / retention / sampling (corpus_source_profile,
+    # 3 greens, rotated out for the new incremental-minhash row)
     "corpus_split_assign",
     "sample_token_budget",
     "sample_source_temperature",
@@ -158,6 +157,9 @@ _PRIORITY = (
     "dedup_cluster_keep_best",
     "dedup_cross_source_overlap",
     "dedup_incremental_snapshot",
+    # r8 addition: incremental NEAR-dup (batch vs corpus banding),
+    # first driver row
+    "dedup_incremental_minhash",
     "dedup_minhash_lsh_planted",
     "dedup_clusters_star_planted",
     # similarity: the PQ pair + the new IVFPQ composition take their

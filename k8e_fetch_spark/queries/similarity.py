@@ -238,6 +238,67 @@ _LSH_PLANTED_ORACLE = """
 """
 
 
+_INCREMENTAL_ORACLE = """
+    WITH new_docs AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+    ),
+    toks_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    toks_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM new_docs),
+    sh_o AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks_o, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    sh_n AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks_n, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    ),
+    sz_o AS (SELECT doc_id, count(*) AS n FROM sh_o GROUP BY doc_id),
+    sz_n AS (SELECT doc_id, count(*) AS n FROM sh_n GROUP BY doc_id),
+    pairs AS (
+        SELECT n.doc_id AS new_doc, o.doc_id AS old_doc, count(*) AS inter
+        FROM sh_n n JOIN sh_o o ON n.sh = o.sh
+        GROUP BY 1, 2
+    )
+    SELECT new_doc, old_doc, 1.0 AS jaccard
+    FROM pairs
+    JOIN sz_n ON new_doc = sz_n.doc_id
+    JOIN sz_o ON old_doc = sz_o.doc_id
+    WHERE inter = sz_n.n AND inter = sz_o.n
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("ext-minhash-dedup", "lsh", "incremental", "planted-oracle"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup, hash-checked against SQL ground
+    truth: the first 25 docs re-arrive as a NEW batch (relabeled
+    doc_id+100000) and are banded against the EXISTING corpus only —
+    the daily-ingest pattern where a batch dedups against a petabyte
+    store without an existing x existing re-band
+    (operators/similarity.py:minhash_incremental_pairs has the
+    candidate-restriction + mega-bucket-anchor design and the honest
+    note on storing the existing side's signatures). Identical docs
+    are guaranteed candidates (identical shingle sets -> identical
+    signatures -> same key in every band), so LSH recall on the
+    planted batch is structurally 1 and the oracle — a one-sided
+    shingle-set-equality join — is exact, not probabilistic. The full
+    incremental path (batch shingles -> signatures -> band join
+    against corpus bands -> exact verify) executes for real."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    from k8e_fetch_spark.operators.similarity import minhash_incremental_pairs
+
+    pairs = minhash_incremental_pairs(docs, new)
+    return pairs.filter(F.col("jaccard") == 1.0).select(
+        "new_doc", "old_doc", F.lit(1.0).alias("jaccard")
+    )
+
+
 @register(
     "dedup_minhash_lsh_planted",
     oracle=_LSH_PLANTED_ORACLE,

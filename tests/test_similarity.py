@@ -729,3 +729,28 @@ def test_arrow_twins_on_random_data_sweep(spark):
         assert both.filter(F.col("ce") != F.col("ca")).count() == 0, (
             f"seed {seed}: PQ codes diverged between twins"
         )
+
+def test_incremental_minhash_mega_bucket_anchor(spark):
+    """The incremental pair generator's skew guard: when an existing
+    band bucket exceeds max_bucket (boilerplate mega cluster), a new
+    doc matching the cluster must STILL be flagged — via the min-id
+    anchor representative — with O(1) candidates per band instead of
+    O(cluster)."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.similarity import minhash_incremental_pairs
+
+    boiler = "the same boilerplate sentence repeated for every mirror page here"
+    existing = spark.createDataFrame(
+        [(i, boiler) for i in range(30)] + [(100, "a completely different document about spark and parquet files")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(9000, boiler)], "doc_id long, text string")
+    got = minhash_incremental_pairs(existing, new, max_bucket=5).filter(
+        F.col("jaccard") == 1.0
+    )
+    rows = got.collect()
+    # the new doc is flagged against the cluster anchor (min doc id 0)
+    assert any(r["new_doc"] == 9000 and r["old_doc"] == 0 for r in rows), rows
+    # bounded candidates: far fewer than the 30-member cluster
+    assert len(rows) <= 8, f"anchor guard leaked {len(rows)} candidates"
