@@ -917,7 +917,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(clusters, quality)
 
 
-def _lloyd_iter_sql(i: int, k: int, dim: int) -> str:
+def _lloyd_iter_sql(i: int, dim: int) -> str:
     """One Lloyd iteration as DuckDB CTEs: L2 argmin with the operator's
     (d2, cid) tie-break, per-dimension member means, empty clusters
     keeping the previous centroid (COALESCE) — mirroring
@@ -956,8 +956,8 @@ _IVF_TRAINED_ORACLE = f"""
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
     ),
-    {_lloyd_iter_sql(1, 16, 64)},
-    {_lloyd_iter_sql(2, 16, 64)},
+    {_lloyd_iter_sql(1, 64)},
+    {_lloyd_iter_sql(2, 64)},
     af AS (
         SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, c.cid,
