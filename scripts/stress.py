@@ -36,6 +36,7 @@ PROBES = [
     "events_tumbling_window",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental_minhash",
     "text_winnowing_fingerprint",
     "corpus_prep_pipeline",
     "sim_cosine_lsh",
