@@ -146,10 +146,10 @@ _PRIORITY = (
     # (first driver row); PII scrub first row
     "text_decontaminate_bloom",
     "text_pii_scrub",
-    # corpus mixing / retention / sampling (corpus_source_profile,
-    # 3 greens, rotated out for the new incremental-minhash row)
+    # corpus mixing / retention / sampling (corpus_source_profile and
+    # sample_token_budget, 3 greens each, rotated out for the new
+    # incremental-minhash and stream-enrichment rows)
     "corpus_split_assign",
-    "sample_token_budget",
     "sample_source_temperature",
     "corpus_clean_mix_pipeline",
     # dedup family
@@ -174,9 +174,11 @@ _PRIORITY = (
     # events analytics (funnel keeps seat; retention cohort first row)
     "events_funnel_conversion",
     "events_retention_cohort",
-    # ext-stream-window (real streams at 2 greens keep seats)
+    # ext-stream-window (real streams at 2 greens keep seats; the new
+    # stream-static enrichment takes its first row)
     "stream_dedup_redelivery",
     "stream_join_attribution",
+    "stream_enrich_dimension",
     # ext-typed-relational: the 8 structurally hardest TPC-H plans keep
     # seats for a second green (correlated subqueries, fact-fact joins)
     "tpch_q10_returned_items",

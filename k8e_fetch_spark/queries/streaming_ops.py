@@ -326,3 +326,50 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         prefix="k8e_join_stream_",
     )
+
+
+@register(
+    "stream_enrich_dimension",
+    # Stream-static left join over a fixed file set is deterministic
+    # and equals the identical batch join — the oracle.
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_name AS customer_name,
+               c.c_mktsegment AS mktsegment
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("ext-stream-window", "stream-static-join", "enrichment"),
+)
+def stream_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment executed as a real stream —
+    the production shape missing between the windowed aggregates and
+    the stream-stream join: every event micro-batch left-joins the
+    broadcast customer dimension (user_id -> c_custkey) as it arrives.
+    Stream-static joins are STATELESS (no watermark, no join state —
+    the static side is re-resolved per micro-batch, which on a real
+    deployment also picks up dimension updates between batches), so
+    this plan's memory footprint is the broadcast dim alone at any
+    stream length. availableNow over a fixed file set makes the output
+    deterministic and equal to the batch join — the declared oracle."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+    def build(ev):
+        return ev.join(
+            F.broadcast(customer), ev.user_id == customer.c_custkey, "left"
+        ).select(
+            "event_id", "user_id", "event_type", "value",
+            "customer_name", "mktsegment",
+        )
+
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        build,
+        output_mode="append",
+        prefix="k8e_enrich_stream_",
+    )
