@@ -23,9 +23,12 @@ new one.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+_LOCK = threading.Lock()
 _LIVE: dict[str, DataFrame] = {}
 
 
@@ -33,12 +36,24 @@ def persist_scoped(
     key: str, df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     """Persist ``df``, releasing whatever the same ``key`` persisted on
-    the previous call. Returns ``df`` (persisted)."""
-    prev = _LIVE.pop(key, None)
+    the previous call. Returns ``df`` (persisted).
+
+    Concurrency contract: the registry swap itself is lock-guarded, so
+    interleaved calls from two threads cannot corrupt ``_LIVE`` — but
+    the CALL-SITE keying assumes one pipeline per key at a time. Two
+    concurrent runs of the same pipeline in one process evict each
+    other's frame mid-flight, and because Spark's CacheManager is
+    PLAN-keyed, unpersisting one key's frame also uncaches any other
+    key holding the same logical plan. Either way the loser silently
+    recomputes from lineage — correct results, lost caching. Callers
+    needing true concurrent isolation should pass a caller-unique key
+    (e.g. ``f"minhash.shingles.{run_id}"``)."""
+    with _LOCK:
+        prev = _LIVE.pop(key, None)
+        _LIVE[key] = df.persist(level)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # a stopped/replaced context invalidates the handle
-    _LIVE[key] = df.persist(level)
     return df

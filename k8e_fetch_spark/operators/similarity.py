@@ -846,25 +846,23 @@ def minhash_incremental_pairs(
         .select("new_doc", "old_doc")
         .distinct()
     )
-    # exact verify on candidates only
-    n_old = sh_old.groupBy("old_doc").agg(F.count(F.lit(1)).alias("n_o"))
-    n_new = sh_new.groupBy("new_doc").agg(F.count(F.lit(1)).alias("n_n"))
-    inter = (
-        sh_new.join(cand, on="new_doc")
-        .join(sh_old, on=["old_doc", "sh"])
-        .groupBy("new_doc", "old_doc")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # Exact verify on candidates only, over the per-doc shingle SETS
+    # (same array_intersect form as minhash_candidate_pairs — the r8
+    # version grouped the one-row-per-doc ARRAY table as if it were
+    # exploded and joined on whole-array equality, so every
+    # partial-overlap candidate collapsed to jaccard 1.0 or vanished;
+    # callers only saw it survive because the declared query filters
+    # jaccard == 1.0. tests/test_similarity.py now pins a J=0.5 pair.)
     from k8e_fetch_spark.functions.rounding import round_fixed
 
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    union = F.size(F.col("sh_n")) + F.size(F.col("sh_o")) - inter
     return (
-        inter.join(n_new, on="new_doc")
-        .join(n_old, on="old_doc")
+        cand.join(sh_new.select("new_doc", F.col("sh").alias("sh_n")), on="new_doc")
+        .join(sh_old.select("old_doc", F.col("sh").alias("sh_o")), on="old_doc")
         .select(
             "new_doc",
             "old_doc",
-            round_fixed(
-                F.col("inter") / (F.col("n_n") + F.col("n_o") - F.col("inter")), 6
-            ).alias("jaccard"),
+            round_fixed(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )

@@ -219,9 +219,17 @@ _LSH_PLANTED_ORACLE = """
         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
     ),
     toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+    -- mirrors hashed_shingles' short-doc fallback: a doc with < 3
+    -- tokens contributes its whole trimmed text as its one shingle
+    -- (a <3-token string can never equal a 3-token gram, so the two
+    -- branches cannot cross-collide — same argument as the Spark
+    -- side's 1-arg vs 3-arg xxhash64 domains)
     shingles AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        UNION
+        SELECT doc_id, trim(text) AS sh FROM corpus
+        WHERE len(string_split_regex(trim(text), '\\s+')) < 3
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     pairs AS (
@@ -244,13 +252,23 @@ _INCREMENTAL_ORACLE = """
     ),
     toks_o AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
     toks_n AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM new_docs),
+    -- both sides mirror hashed_shingles' short-doc fallback (see the
+    -- planted-LSH oracle note): a <3-token doc's one shingle is its
+    -- whole trimmed text, so an identical short doc re-arriving in
+    -- the batch matches in BOTH the Spark plan and this oracle
     sh_o AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         FROM toks_o, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        UNION
+        SELECT doc_id, trim(text) AS sh FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) < 3
     ),
     sh_n AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         FROM toks_n, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        UNION
+        SELECT doc_id, trim(text) AS sh FROM new_docs
+        WHERE len(string_split_regex(trim(text), '\\s+')) < 3
     ),
     sz_o AS (SELECT doc_id, count(*) AS n FROM sh_o GROUP BY doc_id),
     sz_n AS (SELECT doc_id, count(*) AS n FROM sh_n GROUP BY doc_id),

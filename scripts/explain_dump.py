@@ -37,7 +37,7 @@ SHOWCASE = [
     ("text_unigram_logprob", "LM quality score: unigram table broadcast back against the token stream; only (token,count) and (doc, partial-mean) aggregates exchange"),
     ("text_decontaminate_bloom", "Bloom-prefiltered decontamination: fixed-size bitmap broadcast probed scan-local (seeded xxhash64 + bit_get column exprs), exact confirm join sees only survivors"),
     ("sim_topk_pq_adc", "PQ-ADC quantized ANN: Arrow-batched nibble-code encode (one numpy distance pass per batch; the HOF expression twin is pinned bit-identical), broadcast 8x16 LUT scoring via the Arrow ADC gather, only (q_id,n_id,score) triples reach the per-query top-k"),
-    ("sim_topk_ivfpq_adc", "IVF+PQ composed ANN (the billion-vector shape): literal-inlined coarse assign + Arrow PQ encode inside the scan stage (no exchange on the corpus), probe restriction via broadcast join drops ~12/16 of candidates before any scoring, then Arrow LUT scoring and per-query top-k on (q,n,score) triples only"),
+    ("sim_topk_ivfpq_adc", "IVF+PQ composed ANN (the billion-vector shape): Arrow coarse assign (batch matmul-argmax, same pinned twin as sim_topk_ivf) + Arrow PQ encode inside the scan stage (no exchange on the corpus), probe restriction via broadcast join drops ~12/16 of candidates before any scoring, then Arrow LUT scoring and per-query top-k on (q,n,score) triples only"),
     ("sample_token_budget", "token-budget subsample: per-source window cumulative sum, one exchange on the source key, budget as a filter"),
     ("corpus_split_assign", "deterministic train/val/test split: pure hash projection, ZERO shuffle"),
     ("dedup_cluster_keep_best", "keep-best retention over real MinHash+components clusters: struct-max aggregation (no window sort), one-struct buffer per cluster"),

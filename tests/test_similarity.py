@@ -754,3 +754,28 @@ def test_incremental_minhash_mega_bucket_anchor(spark):
     assert any(r["new_doc"] == 9000 and r["old_doc"] == 0 for r in rows), rows
     # bounded candidates: far fewer than the 30-member cluster
     assert len(rows) <= 8, f"anchor guard leaked {len(rows)} candidates"
+
+
+def test_incremental_minhash_partial_overlap_jaccard(spark):
+    """Regression (r9 advice, high): the r8 exact-verify stage joined
+    the one-row-per-doc shingle ARRAY table on whole-array equality,
+    so any partial-overlap candidate (a true near-dup, J < 1) was
+    silently dropped — only byte-identical docs survived. A J=9/11
+    planted pair must come back with its true fractional jaccard."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.similarity import minhash_incremental_pairs
+
+    old_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    # same 12 tokens, last one changed: 10 shingles each, 9 shared,
+    # union 11 -> jaccard 9/11 (k=3 word shingles, all distinct)
+    new_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    existing = spark.createDataFrame(
+        [(1, old_text), (2, "a completely unrelated document about parquet row groups")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(500, new_text)], "doc_id long, text string")
+    rows = minhash_incremental_pairs(existing, new).collect()
+    match = [r for r in rows if r["new_doc"] == 500 and r["old_doc"] == 1]
+    assert match, f"near-dup pair not surfaced as a candidate: {rows}"
+    assert abs(match[0]["jaccard"] - 9 / 11) < 1e-5, match
