@@ -1,0 +1,171 @@
+"""Exact duplicated-substring span removal (the Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" ExactSubstr
+recipe, re-expressed for Spark).
+
+The paper removes any substring of >= ``min_len`` tokens that occurs
+more than once in the corpus (across documents OR repeated within
+one), using a suffix array over the concatenated corpus — a shared-
+memory construction that does not distribute. The Spark-first
+equivalence: a maximal duplicated span of length >= L is exactly the
+union of its duplicated L-token windows, so
+
+  1. emit every L-token window (gram) per document with its position,
+     as a 64-bit multi-arg ``xxhash64`` identity (no gram string is
+     ever allocated; token boundaries are preserved by per-field
+     seeding — same domain argument as
+     ``operators.similarity.hashed_shingles``);
+  2. tag each gram row with its corpus-wide occurrence count via ONE
+     window over the hash — a single 8-byte-keyed shuffle, no join, no
+     second scan (the same tag-with-window form as the MinHash bucket
+     stage, A/B'd there against groupBy+join);
+  3. per document, sort the duplicated positions and fold them into
+     merged disjoint spans (classic interval merge as one
+     ``aggregate`` expression — row-local, zero Python);
+  4. removed-token counts and the cleaned text are pure column
+     expressions over (tokens, merged spans).
+
+A token is removed iff it lies inside some L-token window that occurs
+at least ``min_count`` times in the corpus — precisely the paper's
+criterion, and (unlike the suffix array) expressible as three shuffles
+of 8-byte keys.
+
+Scale (100 TB): the gram relation is ~one row per corpus token of
+(hash, doc, pos) — the window shuffle carries it once; partitions
+spill via WindowExec's external sorter, so a boilerplate gram
+occurring 10M times costs one ~240 MB spillable partition, not an
+aggregation buffer. The per-doc fold buffers only that document's
+duplicated positions (bounded by the doc's own token count — the doc
+row itself is bigger). Nothing is quadratic: each gram row joins
+nothing, the span merge is linear in duplicated positions, and the
+cleaned-text rebuild is O(tokens x merged-spans) with merged spans
+<= tokens/L by disjointness.
+
+Reference parity note: the k8e-fetch reference (bash/sed ingest
+pipeline) has no near-dup or substring stage; this operator is part
+of the mandated LLM-training-data extension surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPAN_ARR = "array<struct<s:int,e:int>>"
+
+
+def _gram_hash(t: Column, i: Column, min_len: int) -> Column:
+    """64-bit identity of the ``min_len``-token window starting at
+    0-based position ``i`` of token array ``t``."""
+    return F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(min_len)])
+
+
+def merge_spans(dp: Column, min_len: int) -> Column:
+    """Fold a SORTED array of 0-based window-start positions into
+    merged disjoint half-open token spans [s, e): each position p
+    covers [p, p+min_len); overlapping or adjacent windows coalesce.
+    Pure expression — evaluated row-local inside the scan stage."""
+    L = F.lit(min_len)
+    init = F.struct(
+        F.array().cast(_SPAN_ARR).alias("sp"),
+        F.lit(-1).alias("cs"),
+        F.lit(-1).alias("ce"),
+    )
+
+    def step(acc: Column, p: Column) -> Column:
+        fresh = (acc["cs"] < 0) | (p > acc["ce"])  # start a new span
+        flushed = F.when(
+            fresh & (acc["cs"] >= 0),
+            F.concat(
+                acc["sp"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ),
+        ).otherwise(acc["sp"])
+        return F.struct(
+            flushed.alias("sp"),
+            F.when(fresh, p).otherwise(acc["cs"]).alias("cs"),
+            # sorted input + constant L: p + L >= previous ce always
+            (p + L).alias("ce"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["cs"] >= 0,
+            F.concat(
+                acc["sp"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ),
+        ).otherwise(acc["sp"])
+
+    return F.aggregate(dp, init, step, finish)
+
+
+def duplicated_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every token run of >= ``min_len`` whitespace tokens that
+    occurs >= ``min_count`` times in the corpus (within- and cross-
+    document occurrences both count, per the paper).
+
+    Returns one row per input document:
+    (``id_col``, n_tokens, n_removed, cleaned_text) where
+    ``cleaned_text`` is the surviving tokens joined by single spaces
+    (whitespace-normalized — the tokenizer's view of the text).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    n = F.size("t")
+    # guarded descending-sequence edge, as in _hashed_gram_index: docs
+    # shorter than min_len emit no windows (they can neither cover nor
+    # be covered — span removal has no whole-text fallback, by design)
+    idx = F.when(
+        n >= min_len, F.sequence(F.lit(0), n - min_len)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(idx, lambda i: _gram_hash(F.col("t"), i, min_len))
+        ).alias("pos", "h"),
+    )
+    # ONE shuffle on the 8-byte gram hash: tag occurrence counts with a
+    # window (no join, no second text scan; see module docstring for
+    # the spill/skew argument)
+    wh = Window.partitionBy("h")
+    dpos = (
+        grams.withColumn("m", F.count(F.lit(1)).over(wh))
+        .filter(F.col("m") >= min_count)
+        .select(id_col, "pos")
+    )
+    # per-doc duplicated positions; buffer bounded by the doc's own
+    # token count (the doc text row is strictly larger)
+    dp = dpos.groupBy(id_col).agg(F.sort_array(F.collect_list("pos")).alias("dp"))
+    joined = toks.join(dp, on=id_col, how="left")
+    spans = merge_spans(
+        F.coalesce(F.col("dp"), F.array().cast("array<int>")), min_len
+    )
+    out = joined.select(
+        id_col, "t", spans.alias("spans")
+    )
+    n_removed = F.aggregate(
+        "spans", F.lit(0), lambda acc, sp: acc + (sp["e"] - sp["s"])
+    )
+    jseq = F.sequence(F.lit(0), F.size("t") - 1)
+    kept = F.filter(
+        jseq,
+        lambda j: ~F.exists(
+            F.col("spans"), lambda sp: (sp["s"] <= j) & (j < sp["e"])
+        ),
+    )
+    cleaned = F.concat_ws(
+        " ", F.transform(kept, lambda j: F.element_at(F.col("t"), j + 1))
+    )
+    return out.select(
+        id_col,
+        F.size("t").cast("bigint").alias("n_tokens"),
+        n_removed.cast("bigint").alias("n_removed"),
+        cleaned.alias("cleaned_text"),
+    )

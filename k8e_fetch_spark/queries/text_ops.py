@@ -1412,3 +1412,89 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 2 == 0).select(fp)
     new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", fp)
     return new.join(old, on="fp", how="left_anti").select("doc_id", "source", "fp")
+
+
+_SUBSTRING_ORACLE = """
+    WITH planted AS (
+        SELECT a.doc_id + 100000 AS doc_id, a.text || ' ' || b.text AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 25
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+    grams AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i : i+7], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    covered AS (
+        SELECT DISTINCT d.doc_id, u.k AS j
+        FROM dpos d, UNNEST(generate_series(d.pos, d.pos + 7)) AS u(k)
+    ),
+    tokidx AS (
+        SELECT doc_id, i AS j, t[i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t))) s(i)
+    ),
+    base AS (
+        SELECT t.doc_id, len(t.t) AS n_tokens, coalesce(c.n_removed, 0) AS n_removed
+        FROM toks t LEFT JOIN (
+            SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+        ) c USING (doc_id)
+    ),
+    clean AS (
+        SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.j) AS cleaned
+        FROM tokidx tk LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.j = tk.j
+        WHERE c.j IS NULL
+        GROUP BY tk.doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_removed AS BIGINT) AS n_removed,
+           md5(coalesce(c.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN clean c USING (doc_id)
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_ORACLE,
+    tags=("ext-exact-dedup", "substring", "planted-oracle"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr),
+    hash-checked against SQL ground truth: any run of >= 8 tokens
+    occurring twice anywhere in the corpus is removed from every
+    document. The planting grafts composite docs (doc_id+100000 :=
+    text_i || ' ' || text_{i+1} for the first 25 ids), so each
+    composite's halves — and the source documents they duplicate — must
+    come back covered; natural within-corpus 8-gram repeats count too
+    and are mirrored by the oracle. The declared output carries the
+    cleaned text as its md5 (the raw text would dominate the compare
+    payload; the hash pins every surviving token and its order).
+
+    operators/substring.py has the distributed construction: the
+    suffix-array recipe re-expressed as one gram-hash window shuffle +
+    a row-local interval-merge fold — three 8-byte-keyed shuffles
+    total, nothing quadratic, nothing Python."""
+    from k8e_fetch_spark.operators.substring import duplicated_span_removal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    planted = (
+        docs.filter(F.col("doc_id") < 25)
+        .join(nxt, on="doc_id")
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("text_b")).alias("text"),
+        )
+    )
+    corpus = fan_out(docs.unionByName(planted))
+    out = duplicated_span_removal(corpus, min_len=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
+    )
