@@ -1498,3 +1498,92 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
     )
+
+
+_DOMAIN_FILTER_ORACLE = """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' ||
+               CASE WHEN doc_id % 20 < 10 THEN
+                        CASE WHEN doc_id % 2 = 0 THEN 'cdn.boilerplate.com'
+                             ELSE 'img.boilerplate.com' END
+                    WHEN doc_id % 20 < 15 THEN 'news.example.org'
+                    WHEN doc_id % 20 = 15 THEN 'tracker.spamlist.net'
+                    ELSE 'www.longtail' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+               END || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+        FROM urls
+    ),
+    dom AS (
+        SELECT doc_id, host,
+               CASE WHEN len(string_split(host, '.')) >= 2
+                    THEN array_to_string(string_split(host, '.')[-2:], '.')
+                    ELSE host END AS domain
+        FROM parsed
+    ),
+    capped AS (
+        SELECT doc_id, host, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM dom WHERE domain NOT IN ('spamlist.net')
+    )
+    SELECT doc_id, host, domain FROM capped WHERE rn <= 40
+"""
+
+
+@register(
+    "text_domain_filter",
+    oracle=_DOMAIN_FILTER_ORACLE,
+    tags=("ext-text-stats", "curation", "web", "planted-oracle"),
+)
+def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation front door (the C4/RefinedWeb first filter),
+    hash-checked against SQL ground truth: host extraction from the
+    URL, naive registered-domain fold (last two labels), blocklist
+    drop, and a 40-docs-per-domain cap. URLs are planted
+    deterministically from doc_id with a skewed distribution — one
+    boilerplate domain owns 50% of the corpus across two subdomains
+    (the cap must count them together), one blocklisted tracker
+    domain, and a long tail — so every mechanism provably fires.
+
+    operators/web.py has the pieces: scan-local regex projection for
+    host/domain, literal isin for the small blocklist (broadcast
+    anti-join is the big-list drop-in), and ONE row_number window on
+    the domain whose <= cap filter WindowGroupLimit pushes below the
+    exchange — a 10M-doc boilerplate domain ships cap survivors per
+    map partition, not the cluster."""
+    from k8e_fetch_spark.operators.web import (
+        domain_blocklist_filter,
+        domain_cap,
+        host_of,
+        registered_domain,
+    )
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    bucket = F.col("doc_id") % 20
+    host_planted = (
+        F.when(
+            bucket < 10,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("cdn.boilerplate.com")).otherwise(
+                F.lit("img.boilerplate.com")
+            ),
+        )
+        .when(bucket < 15, F.lit("news.example.org"))
+        .when(bucket == 15, F.lit("tracker.spamlist.net"))
+        .otherwise(F.concat(F.lit("www.longtail"), bucket.cast("string"), F.lit(".org")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host_planted, F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    parsed = urls.select("doc_id", host_of(F.col("url")).alias("host"))
+    dom = parsed.select(
+        "doc_id", "host", registered_domain(F.col("host")).alias("domain")
+    )
+    kept = domain_blocklist_filter(dom, "domain", ["spamlist.net"])
+    return domain_cap(kept, "domain", "doc_id", 40).select("doc_id", "host", "domain")
