@@ -102,6 +102,24 @@ _PRIORITY = (
     # rotated-out ops keep that recorded history plus pytest parity
     # (tests/test_oracle_parity.py) as evidence.
     #
+    # ROUND-9 ROTATION (VERDICT r8 next-round #1): the four rows-only
+    # seats that returned `err: no_oracle` every round they appeared
+    # (dedup_minhash_lsh, text_winnowing_fingerprint,
+    # text_compression_ratio, sim_topk_pq_trained) rotate OUT — their
+    # rows-only evidence lives in pytest (test_oracle_parity rows-only
+    # twins + recall/property tests) and cannot improve in the window.
+    # Their seats go to the four NEW oracle-bearing r9 queries:
+    # dedup_substring_spans (ExactSubstr span removal, VERDICT #2),
+    # text_domain_filter (URL/domain curation, VERDICT #3),
+    # stream_session_window (real-stream sessions, VERDICT #4),
+    # join_salted_skew (declared skew salting, VERDICT #7). The six
+    # single-green rows (stream_enrich_dimension,
+    # dedup_incremental_minhash, sim_topk_ivfpq_adc,
+    # sim_topk_ivf_trained, mm_decode_video_real,
+    # text_decontaminate_bloom) all KEEP their seats for a second
+    # green. With this swap every one of the 50 window rows is
+    # oracle-bearing — the first all-comparable window.
+    #
     # ROUND-8 ROTATION (VERDICT r7 next-round #1/#3): the 4 queries
     # registered after the r7 window froze take their first driver
     # rows — text_decontaminate_bloom (Bloom-prefiltered twin of
@@ -166,7 +184,7 @@ _PRIORITY = (
     # first driver rows
     "sim_cosine_lsh_planted",
     "sim_topk_pq_adc",
-    "sim_topk_pq_trained",
+    "dedup_substring_spans",
     "sim_topk_ivfpq_adc",
     "sim_hybrid_search",
     # data-quality constraint gate (first driver row)
@@ -199,11 +217,12 @@ _PRIORITY = (
     "mm_resize_real",
     "mm_decode_audio_real",
     "mm_decode_video_real",
-    # rows-only twins with one recorded rows-only row; ivf_trained is
-    # oracle-bearing as of r8 (first driver row on the promoted form)
-    "dedup_minhash_lsh",
-    "text_winnowing_fingerprint",
-    "text_compression_ratio",
+    # r9 first-row seats: URL/domain curation, the real-stream session
+    # window, and the answer-invariant salted skew join; ivf_trained
+    # keeps its seat (oracle-bearing as of r8, one green)
+    "text_domain_filter",
+    "stream_session_window",
+    "join_salted_skew",
     "sim_topk_ivf_trained",
 )
 

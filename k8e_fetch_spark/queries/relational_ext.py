@@ -785,3 +785,61 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "join_salted_skew",
+    # Salting must be answer-invariant: the oracle is the PLAIN
+    # join + aggregate over the same planted-skew key.
+    oracle=f"""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                        ELSE l_orderkey % 97 END AS k,
+                   l_quantity
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT g.k, 'grp_' || CAST(g.k AS VARCHAR) AS label
+            FROM (SELECT unnest(generate_series(0, 96)) AS k) g
+        )
+        SELECT f.k, d.label,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_round('sum(f.l_quantity)', 2)} AS sum_qty
+        FROM fact f JOIN dim d ON f.k = d.k
+        GROUP BY f.k, d.label
+    """,
+    tags=("scale", "skew-salting", "planted-oracle"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join, hash-checked answer-invariant: the
+    fact side gets a planted hot key (70% of lineitem collapses to
+    k=0, the remainder spreads over 96 tail keys — the boilerplate-key
+    profile a 100 TB web corpus join actually shows) and joins a
+    97-row dimension through operators/scale.py:salted_join — the
+    fact key becomes (k, deterministic salt in [0,8)), the dim is
+    replicated once per salt, so the hot key's rows spread over 8
+    tasks instead of stalling one straggler. The oracle is the PLAIN
+    join + aggregate: salting that changes any row is a wrong salting.
+
+    This is the manual form for engines/paths without AQE skew
+    handling (and for deterministic layout control); with AQE on,
+    spark.sql.adaptive.skewJoin splits the same straggler at runtime —
+    both paths are tested equivalent in tests/test_scale.py."""
+    from k8e_fetch_spark.operators.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 97)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("label"),
+    )
+    joined = salted_join(fact, dim, "k", n_salts=8)
+    return joined.groupBy("k", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        round_fixed(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

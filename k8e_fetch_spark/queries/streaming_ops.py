@@ -373,3 +373,64 @@ def stream_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         prefix="k8e_enrich_stream_",
     )
+
+
+@register(
+    "stream_session_window",
+    # Deterministic complete-mode drain over a fixed file set == the
+    # batch session_window aggregation; the oracle is the same
+    # lag/cumsum session derivation events_session_window declares.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("ext-stream-window", "session", "real-stream"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed as a REAL stream — the one windowed
+    shape the real-stream family lacked (tumbling/stateful/dedup/
+    stream-stream/stream-static all stream; sessions were batch-only):
+    ``session_window`` with a 30-minute gap per user, drained with
+    availableNow through the foreachBatch parquet sink in complete
+    mode, so the final batch's overwrite is the final session set.
+    Streaming state = open sessions per user, merged server-side as
+    micro-batches arrive; complete mode keeps every closed session in
+    the state store for re-emission, which is the right trade for a
+    bounded backfill (an unbounded production stream uses append +
+    a finite watermark and accepts that tail sessions flush late —
+    the trade streaming/windows.py documents). Rounding happens after
+    the drain: the sink carries raw sums, the declared output the
+    2-decimal convention shared with the batch twin."""
+    from k8e_fetch_spark.streaming import windows as sw
+
+    out = _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.sessionized(ev, gap="30 minutes", watermark="0 seconds"),
+        output_mode="complete",
+        prefix="k8e_session_stream_",
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        round_fixed(F.col("total_value"), 2).alias("total_value"),
+    )
