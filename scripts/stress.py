@@ -49,6 +49,13 @@ PROBES = [
     "corpus_clean_mix_pipeline",
     "text_decontaminate_ngram",
     "text_decontaminate_bloom",
+    # r9 additions: ExactSubstr span removal (note: the harness's
+    # per-copy " v<n>" text suffix makes ~the whole 20x corpus
+    # duplicated spans — the WORST case for this op, deliberately),
+    # the URL/domain cap, and the salted skew join
+    "dedup_substring_spans",
+    "text_domain_filter",
+    "join_salted_skew",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
