@@ -351,3 +351,135 @@ def connected_components_star(
     )
     out = labels.unionByName(roots)
     return (out, rounds) if return_rounds else out
+
+
+def train_centroids_sampled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 8,
+    sample_size: int = 2048,
+) -> list[tuple[int, list[float]]]:
+    """Train k-means centroids on a BOUNDED driver sample (numpy Lloyd)
+    — the production quantizer-training pattern (FAISS trains coarse/PQ
+    codebooks on a sample on one machine; sim_topk_pq_trained uses the
+    same shape for its subspace codebooks). Driver state is
+    sample_size x dim + k x dim doubles regardless of corpus size —
+    the documented O(k) contract that lets k scale with n (SemDeDup
+    and IVF both need cluster count ~ n/target at 100 TB, where the
+    full-corpus kmeans() loop's per-iteration literal-inlined assign
+    stops being practical past a few dozen centroids).
+
+    Deterministic: fixed sample (first ``sample_size`` by id), first-k
+    init, L2 argmin with numpy's lower-index tie, mean update, empty
+    clusters carry the previous centroid."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"centroid training: {len(X)} sample vectors, need at least k={k}"
+        )
+    cents = X[:k].copy()
+    for _ in range(iterations):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [(j, [float(v) for v in cents[j]]) for j in range(k)]
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    eps: float = 0.95,
+    iterations: int = 2,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, then within each cluster drop every item with cosine
+    >= ``eps`` to an already-ranked cluster-mate, where rank ascends by
+    similarity to the centroid (ties to the smaller id) — the paper's
+    keep-the-least-centroid-similar retention rule, applied as the
+    released implementation's upper-triangular similarity-matrix test
+    (an earlier-ranked neighbor suppresses you whether or not it was
+    itself dropped).
+
+    Returns one row per input vector:
+    (id_col, cluster_id int, centroid_sim double, kept int).
+
+    Training: ``train_sample=None`` runs the full-corpus kmeans() loop
+    (deterministic, SQL-unrollable for fixed iterations — the declared
+    query's oracle-able path, right for modest k); an int trains on
+    that bounded driver sample instead (train_centroids_sampled) —
+    the 100 TB path, where k must scale ~ n/target_cluster_size to keep
+    the within-cluster pairwise stage (the paper's own O(n^2/k))
+    per-task-bounded. Assignment and the dedup pipeline are identical
+    either way: Arrow coarse assign (zero shuffle), one rank window on
+    the cluster id, the pairwise stage a self-join on the cluster id
+    with cosines batched through BLAS (cosine_arrow), round(cos, 6)
+    before the eps compare so cross-engine float fold order cannot
+    flip a boundary pair."""
+    from pyspark.sql import Window
+
+    from k8e_fetch_spark.functions.rounding import round_fixed
+    from k8e_fetch_spark.functions.vectors import cosine_arrow
+    from k8e_fetch_spark.operators.similarity import ivf_assign
+
+    if train_sample is not None:
+        cent_rows = train_centroids_sampled(
+            df, id_col, vec_col, k=k, iterations=iterations, sample_size=train_sample
+        )
+    else:
+        _assigned, _hist, cent_rows = kmeans(
+            df, id_col, vec_col, k=k, iterations=iterations, return_centroids=True
+        )
+    centroids = df.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    withsim = assigned.join(F.broadcast(centroids), on="centroid_id").withColumn(
+        "csim", cosine_arrow(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.asc("csim"), F.asc(id_col))
+    ranked = withsim.withColumn("rn", F.row_number().over(w)).select(
+        "centroid_id", id_col, vec_col, "csim", "rn"
+    )
+    lhs = ranked.select(
+        "centroid_id",
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_emb"),
+        F.col("rn").alias("a_rn"),
+    )
+    rhs = ranked.select(
+        "centroid_id",
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_emb"),
+        F.col("rn").alias("b_rn"),
+    )
+    dropped = (
+        lhs.join(rhs, on="centroid_id")
+        .filter(F.col("b_rn") < F.col("a_rn"))
+        .filter(round_fixed(cosine_arrow(F.col("a_emb"), F.col("b_emb")), 6) >= eps)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return ranked.join(dropped, on=id_col, how="left").select(
+        id_col,
+        F.col("centroid_id").cast("int").alias("cluster_id"),
+        F.col("csim").alias("centroid_sim"),
+        F.when(F.col("_dropped").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )

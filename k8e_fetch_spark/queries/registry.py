@@ -181,8 +181,12 @@ _PRIORITY = (
     "dedup_minhash_lsh_planted",
     "dedup_clusters_star_planted",
     # similarity: the PQ pair + the new IVFPQ composition take their
-    # first driver rows
-    "sim_cosine_lsh_planted",
+    # first driver rows. r9 mid-round swap: sim_cosine_lsh_planted
+    # (7 greens, code untouched since r6) rotates OUT for the new
+    # SemDeDup embedding-space dedup (Abbas et al. 2023) — trained
+    # k-means + within-cluster eps-drop, full unrolled-Lloyd oracle,
+    # first driver row
+    "dedup_semantic_semdedup",
     "sim_topk_pq_adc",
     "dedup_substring_spans",
     "sim_topk_ivfpq_adc",

@@ -1534,3 +1534,96 @@ def sim_topk_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "n_id", "rank", "score")
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    plant AS (SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id < 25),
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM plant),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    {{lloyd1}},
+    {{lloyd2}},
+    af AS (
+        SELECT vec_id, v, cid, csim FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   {sql_cosine("e.v", "c.c")} AS csim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine("e.v", "c.c")} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cent2 c
+        ) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, v, cid, csim,
+               row_number() OVER (PARTITION BY cid ORDER BY csim, vec_id) AS rn
+        FROM af
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM ranked a JOIN ranked b ON a.cid = b.cid AND b.rn < a.rn
+        WHERE {sql_round(sql_cosine("a.v", "b.v"), 6)} >= 0.95
+    )
+    SELECT r.vec_id, CAST(r.cid AS INT) AS cluster_id,
+           {sql_round("r.csim", 6)} AS centroid_sim,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+""".format(lloyd1=_lloyd_iter_sql(1, 64), lloyd2=_lloyd_iter_sql(2, 64))
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("ext-minhash-dedup", "semdedup", "kmeans", "embedding-dedup", "planted-oracle"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — the embedding-space
+    member of the dedup family (exact / substring / MinHash / SimHash /
+    cosine-LSH cover the lexical tiers): k-means-cluster the embedding
+    corpus, then WITHIN each cluster drop every item that has cosine
+    >= eps to an already-ranked item, keeping the member with the
+    LOWEST similarity to the centroid (the paper's retention rule —
+    rank ascending by centroid similarity, tie to the smaller id;
+    an item is dropped iff some earlier-ranked cluster-mate is within
+    eps, dropped or not, exactly the released implementation's
+    upper-triangular similarity-matrix test).
+
+    Hash-checked end to end against SQL ground truth: training (the
+    same deterministic 2-iteration Lloyd from the first-16 init that
+    sim_topk_ivf_trained unrolls into DuckDB CTEs), cosine coarse
+    assignment, centroid-similarity ranking, and the pairwise
+    eps-filter are ALL recomputed relationally by the oracle. Planted
+    exact copies (vec_id+100000 for the first 25 ids) land in their
+    original's cluster with bitwise-equal centroid similarity, rank
+    directly after it on the id tie-break, and MUST come back
+    kept=0 — natural eps-neighbors among the random embeddings count
+    too and are mirrored by the oracle.
+
+    Scale (100 TB): the within-cluster pairwise stage is the paper's
+    own O(n^2/k) — production sizes k ~ n/target so each cluster holds
+    a bounded member count and the quadratic is per-task-bounded, not
+    corpus-global; the self-join key is the cluster id, the pair
+    cosines are one BLAS batch per Arrow partition (cosine_arrow), and
+    everything upstream is the zero-shuffle trained-IVF assign path.
+    The k-row centroid frame broadcasts; no all-pairs stage exists
+    outside a cluster. operators/clustering.py:semdedup holds the
+    construction; its ``train_sample`` path (bounded-sample numpy
+    Lloyd) is the 100 TB form where k scales ~ n/target to keep the
+    per-cluster pairwise stage task-bounded — measured in the 20x
+    stress harness with k scaled to hold cluster size constant."""
+    from k8e_fetch_spark.operators.clustering import semdedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = semdedup(corpus, "vec_id", "embedding", k=16, eps=0.95, iterations=2)
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        round_fixed(F.col("centroid_sim"), 6).alias("centroid_sim"),
+        "kept",
+    )

@@ -496,3 +496,36 @@ def test_empty_input_guards(spark):
     empty_cents = spark.createDataFrame([], "centroid_id int, centroid array<float>")
     with pytest.raises(ValueError, match="empty centroid"):
         ivf_assign(some, empty_cents, "vec_id")
+
+
+def test_semdedup_sampled_training_path(spark):
+    """The 100 TB semdedup form: bounded-sample numpy-Lloyd training
+    instead of the full-corpus kmeans loop. Same pipeline downstream,
+    so planted exact copies must still be dropped and their originals
+    kept; repeat runs must be identical (fixed sample, fixed init)."""
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.clustering import (
+        semdedup,
+        train_centroids_sampled,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = semdedup(corpus, k=8, eps=0.95, iterations=4, train_sample=256)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    for vid in range(10):
+        assert rows[vid + 100000]["kept"] == 0
+        assert rows[vid]["kept"] == 1
+        assert rows[vid]["cluster_id"] == rows[vid + 100000]["cluster_id"]
+    # deterministic training: same sample -> same centroids
+    c1 = train_centroids_sampled(corpus, k=8, iterations=4, sample_size=256)
+    c2 = train_centroids_sampled(corpus, k=8, iterations=4, sample_size=256)
+    assert c1 == c2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        train_centroids_sampled(corpus.limit(3), k=8, sample_size=256)

@@ -779,3 +779,36 @@ def test_incremental_minhash_partial_overlap_jaccard(spark):
     match = [r for r in rows if r["new_doc"] == 500 and r["old_doc"] == 1]
     assert match, f"near-dup pair not surfaced as a candidate: {rows}"
     assert abs(match[0]["jaccard"] - 9 / 11) < 1e-5, match
+
+
+def test_semdedup_drops_planted_and_keeps_low_centroid_sim(spark):
+    """SemDeDup semantics on the declared query: every planted exact
+    copy (vec_id+100000) must come back kept=0 with its original
+    kept (unless the original is itself suppressed by an earlier-
+    ranked eps-neighbor — which the fixture's well-separated random
+    embeddings do not produce), and within every cluster the rank-1
+    member (lowest centroid similarity) is always kept — the paper's
+    retention rule has no one to suppress it."""
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    out = REGISTRY["dedup_semantic_semdedup"].fn(spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    planted = [r for r in out if r["vec_id"] >= 100000]
+    assert planted, "fixture must plant copies"
+    for r in planted:
+        assert r["kept"] == 0, f"planted copy {r['vec_id']} survived"
+        orig = by_id[r["vec_id"] - 100000]
+        assert orig["kept"] == 1
+        assert orig["cluster_id"] == r["cluster_id"]
+        assert orig["centroid_sim"] == r["centroid_sim"]
+    # rank-1 per cluster == the min (centroid_sim, vec_id) member; it
+    # can never be suppressed
+    import collections
+
+    clusters = collections.defaultdict(list)
+    for r in out:
+        clusters[r["cluster_id"]].append(r)
+    for cid, rows in clusters.items():
+        first = min(rows, key=lambda r: (r["centroid_sim"], r["vec_id"]))
+        assert first["kept"] == 1, f"cluster {cid} rank-1 member dropped"
