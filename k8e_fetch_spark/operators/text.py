@@ -338,3 +338,75 @@ def bloom_member(col: Column, bitmap: Column, m_bits: int, k: int = 3) -> Column
         word = F.element_at(bitmap, (pos / 64).cast("int") + F.lit(1))
         cond = cond & (F.bit_get(word, (pos % 64).cast("int")) == 1)
     return cond
+
+
+def dsir_importance_weights(
+    df,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+):
+    """DSIR importance log-weights (Xie et al. 2023): hashed word-bigram
+    bucket unigram models of the TARGET subset (rows where ``target`` is
+    true) vs the RAW corpus, +1 smoothing over ``n_buckets``, per-doc
+    weight = sum over bigram occurrences of ln(p_target/p_raw). Returns
+    (``id_col``, weight double, unrounded) — one row per doc that has at
+    least one bigram. Callers select (resample / top-k) on the weights.
+
+    Cross-engine determinism: the bucket is the first 8 hex chars of
+    md5 parsed as an integer — DuckDB computes the identical value, so
+    consumers stay oracle-checkable (xxhash64 is the cheaper
+    production swap, absent from the oracle engine).
+
+    Scale: two map-side-combined aggregate shuffles (bucket counts on
+    <= n_buckets keys, per-doc sums on uniform doc ids); the lambda
+    table is n_buckets rows and broadcasts; the totals are a 1-row
+    broadcast crossJoin. State never exceeds O(n_buckets)."""
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t"),
+    )
+    n = F.size("t")
+    # guarded descending-sequence edge: docs with < 2 tokens emit no bigrams
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    big = toks.select(
+        id_col,
+        "_is_target",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    feat = big.select(
+        id_col,
+        "_is_target",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % n_buckets).alias(
+            "f"
+        ),
+    )
+    cnt = feat.groupBy("f").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    tot = cnt.agg(F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot"))
+    b = float(n_buckets)
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("t_tot") + b))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("r_tot") + b))
+        ).alias("lam"),
+    )
+    return (
+        feat.join(F.broadcast(lam), on="f")
+        .groupBy(id_col)
+        .agg(F.sum("lam").alias("weight"))
+    )

@@ -178,7 +178,11 @@ _PRIORITY = (
     # r8 addition: incremental NEAR-dup (batch vs corpus banding),
     # first driver row
     "dedup_incremental_minhash",
-    "dedup_minhash_lsh_planted",
+    # r9 mid-round swap: dedup_minhash_lsh_planted (7 greens, pair
+    # generator untouched this round — the r9 verify fix is in the
+    # INCREMENTAL variant, which keeps its own seat above) rotates OUT
+    # for the new DSIR importance-selection query (first driver row)
+    "sample_dsir_importance",
     "dedup_clusters_star_planted",
     # similarity: the PQ pair + the new IVFPQ composition take their
     # first driver rows. r9 mid-round swap: sim_cosine_lsh_planted

@@ -1587,3 +1587,75 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = domain_blocklist_filter(dom, "domain", ["spamlist.net"])
     return domain_cap(kept, "domain", "doc_id", 40).select("doc_id", "host", "domain")
+
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+    ),
+    feat AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS f
+        FROM big
+    ),
+    cnt AS (
+        SELECT f, count(*) AS raw_c,
+               sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS tgt_c
+        FROM feat GROUP BY f
+    ),
+    tot AS (SELECT sum(raw_c) AS r_tot, sum(tgt_c) AS t_tot FROM cnt),
+    lam AS (
+        SELECT f, ln((tgt_c + 1.0) / (t_tot + 4096.0))
+                 - ln((raw_c + 1.0) / (r_tot + 4096.0)) AS lam
+        FROM cnt, tot
+    ),
+    w AS (
+        SELECT doc_id, {sql_round("sum(lam)", 6)} AS weight
+        FROM feat JOIN lam USING (f) GROUP BY doc_id
+    )
+    SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    tags=("ext-text-stats", "curation", "dsir", "selection"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"), hash-checked end to
+    end: hashed word-bigram features (4096 buckets), bucket unigram
+    models of the TARGET (the src0/src1 sources as the high-quality
+    proxy) and the RAW corpus with +1 smoothing, per-document
+    importance log-weight = sum over the doc's bigram occurrences of
+    ln(p_target(f)/p_raw(f)), and the top-100 selection by
+    (weight desc, doc_id). Deterministic rather than Gumbel-resampled
+    — the paper's resampling adds noise to the same weights; top-k is
+    its zero-temperature limit and the form an oracle can check.
+
+    The feature hash must agree bit-for-bit across engines, so the
+    bucket is the first 8 hex chars of md5 parsed as an integer — both
+    engines compute the identical value (xxhash64 is the cheaper
+    production swap; it is not available in the oracle engine).
+
+    Scale (100 TB): two map-side-combined aggregate shuffles (bucket
+    counts, per-doc weight sums) — both on bounded-cardinality or
+    uniform keys; the lambda table is B=4096 rows and BROADCASTS; the
+    totals are a 1-row broadcast crossJoin; selection compiles to
+    TakeOrderedAndProject (per-partition top-100, no global sort
+    exchange). State never exceeds O(B) anywhere.
+    operators/text.py:dsir_importance_weights holds the construction."""
+    from k8e_fetch_spark.operators.text import dsir_importance_weights
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    w = dsir_importance_weights(
+        docs, target=F.col("source").isin("src0", "src1"), n_buckets=4096
+    ).select("doc_id", round_fixed(F.col("weight"), 6).alias("weight"))
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(100).select("doc_id", "weight")

@@ -46,6 +46,11 @@ SHOWCASE = [
     ("dedup_paragraphs", "paragraph dedup keep-first: scan-local segmentation -> one groupBy-min on segment text -> per-doc bounded reassembly"),
     ("corpus_clean_mix_pipeline", "the composed curation flow: dedup -> re-score -> floor -> temperature mix -> split as ONE plan; rates broadcast, sampling/split scan-local"),
     ("events_retention_cohort", "retention matrix in ONE fact scan: cohort week as a window-min over distinct active weeks (min commutes with date_trunc) instead of an aggregate joined back"),
+    ("dedup_substring_spans", "ExactSubstr duplicated-span removal (Lee et al. 2022 re-expressed): gram-hash dup detection is ONE map-side-combined aggregate on 8-byte xxhash64 keys, coverage merge is a row-local interval fold (no explode of covered positions), reassembly one per-doc shuffle — three keyed exchanges total, nothing quadratic, no Python"),
+    ("text_domain_filter", "URL/domain curation front door: host + registered-domain are scan-local regex projections, blocklist a literal isin filter, the per-domain cap ONE row_number window whose <= filter becomes WindowGroupLimit BELOW the exchange — a boilerplate mega-domain ships only cap survivors per map partition"),
+    ("join_salted_skew", "skew-salted fact-dim join (answer-invariant, oracle = plain join): fact key becomes (k, pmod(hash, 8)), the 97-row dim explodes once per salt and still BROADCASTS — the hot key's 70% of the fact spreads over 8 tasks with ZERO extra exchanges vs the unsalted plan"),
+    ("dedup_semantic_semdedup", "SemDeDup embedding dedup: Arrow coarse assign (zero shuffle) -> broadcast centroid join -> ONE rank window on the cluster id -> within-cluster pairwise self-join (the paper's O(n^2/k), per-cluster-bounded) with BLAS-batched cosines -> dropped-id left join"),
+    ("sample_dsir_importance", "DSIR selection: bigram-bucket features scan-local (md5-prefix bucket), TWO map-side-combined aggregate shuffles (bucket counts, per-doc weight sums), lambda table + totals BROADCAST, top-100 as TakeOrderedAndProject — no global sort exchange"),
     ("quality_constraint_checks", "data-quality gate in ONE pass per table: FK orphan counts ride the same LEFT join as the temporal check via conditional aggregation — 3 scans, not 8"),
 ]
 

@@ -56,6 +56,12 @@ PROBES = [
     "dedup_substring_spans",
     "text_domain_filter",
     "join_salted_skew",
+    # r9: DSIR importance selection (bucket-count + per-doc-sum aggs).
+    # dedup_semantic_semdedup is NOT probed by registry name: its scale
+    # form needs k scaled ~ n/target (the declared query's fixed k=16
+    # would make 20x clusters quadratically large by construction);
+    # the dedicated scaled-k probe is recorded in SCALE.md instead.
+    "sample_dsir_importance",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

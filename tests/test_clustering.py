@@ -529,3 +529,32 @@ def test_semdedup_sampled_training_path(spark):
 
     with _pytest.raises(ValueError):
         train_centroids_sampled(corpus.limit(3), k=8, sample_size=256)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR semantics on handwritten docs: a candidate whose bigrams
+    match the target distribution must outweigh one that matches the
+    off-target mass; identical docs get identical weights; a 1-token
+    doc emits no bigrams and no weight row."""
+    from k8e_fetch_spark.operators.text import dsir_importance_weights
+
+    rows = [
+        (1, 1, "alpha beta alpha beta alpha beta"),   # target
+        (2, 1, "alpha beta gamma alpha beta gamma"),  # target
+        (3, 0, "delta epsilon delta epsilon delta"),  # raw bulk
+        (4, 0, "delta epsilon zeta delta epsilon"),   # raw bulk
+        (5, 0, "alpha beta alpha beta"),              # target-like candidate
+        (6, 0, "delta epsilon delta epsilon"),        # off-target candidate
+        (7, 0, "alpha beta alpha beta"),              # twin of 5
+        (8, 0, "solo"),                               # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, is_t int, text string")
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(
+            df, target=F.col("is_t") == 1, n_buckets=64
+        ).collect()
+    }
+    assert 8 not in w
+    assert w[5] == w[7]
+    assert w[5] > w[6], f"target-like {w[5]} must outweigh off-target {w[6]}"
