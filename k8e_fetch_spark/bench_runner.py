@@ -70,6 +70,13 @@ HEADLINE = [
     "dedup_paragraphs",
     "sample_source_temperature",
     "corpus_clean_mix_pipeline",
+    # round-9 flagships
+    "dedup_substring_spans",
+    "text_domain_filter",
+    "join_salted_skew",
+    "dedup_semantic_semdedup",
+    "sample_dsir_importance",
+    "join_bucketed_colocated",
 ]
 
 

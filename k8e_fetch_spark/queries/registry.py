@@ -153,8 +153,10 @@ _PRIORITY = (
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
-    # ext-text-stats + corpus prep (1-2 greens, keep seats)
-    "text_vocabulary",
+    # ext-text-stats + corpus prep (1-2 greens, keep seats).
+    # r9 mid-round swap: text_vocabulary (4 greens, untouched) rotates
+    # OUT for the declared bucketed co-located join (first driver row)
+    "join_bucketed_colocated",
     "text_unigram_logprob",
     "text_repetition_filter",
     "text_sequence_packing",

@@ -843,3 +843,72 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         round_fixed(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    # Bucketing must be answer-invariant: the oracle is the PLAIN
+    # join + aggregate straight off the parquet tables.
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("scale", "bucketing", "co-located-join"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once pattern declared and hash-checked
+    answer-invariant: lineitem and orders are WRITTEN bucketed (and
+    sorted) on the order key via operators/scale.py:write_bucketed,
+    then the fact-fact join reads both bucketed tables and runs as a
+    sort-merge join with NO exchange on either side (the ``merge``
+    hint keeps the demo on the SMJ path the pattern exists for —
+    without it the sf0.01 orders side would broadcast; the
+    zero-Exchange plan invariant is asserted in
+    tests/test_scale.py:test_bucketed_join_has_no_shuffle). The oracle
+    is the plain join + aggregate off the raw parquet: bucketing that
+    changes any row is a wrong bucketing.
+
+    At 100 TB this is THE repeated-fact-join strategy: the bucket
+    write costs one shuffle ONCE, then every subsequent
+    join/aggregation on the bucket key is exchange-free — the q21-class
+    fact-fact joins stop paying their dominant cost on every query.
+    Revenue uses the integer-cent convention (exact bigint sum, float
+    order can't drift)."""
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.operators.scale import write_bucketed
+
+    wh = Path(tempfile.gettempdir()) / "k8e_bucket_demo_wh"
+    wh.mkdir(exist_ok=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS k8e_bucket_demo LOCATION '{wh}'")
+    # self-heal: DROP removes a live table's files; rmtree clears a
+    # stale location left by a previous session (saveAsTable refuses a
+    # managed-table path that exists without catalog metadata)
+    import shutil
+
+    for t in ("li_rev", "od_pri"):
+        spark.sql(f"DROP TABLE IF EXISTS k8e_bucket_demo.{t}")
+        shutil.rmtree(wh / t, ignore_errors=True)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "k8e_bucket_demo.li_rev", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(od, "k8e_bucket_demo.od_pri", ["o_orderkey"], 8, ["o_orderkey"])
+    lib = spark.table("k8e_bucket_demo.li_rev")
+    odb = spark.table("k8e_bucket_demo.od_pri")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        lib.join(odb.hint("merge"), lib.l_orderkey == odb.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).cast("double").alias("revenue"),
+        )
+    )

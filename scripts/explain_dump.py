@@ -51,6 +51,7 @@ SHOWCASE = [
     ("join_salted_skew", "skew-salted fact-dim join (answer-invariant, oracle = plain join): fact key becomes (k, pmod(hash, 8)), the 97-row dim explodes once per salt and still BROADCASTS — the hot key's 70% of the fact spreads over 8 tasks with ZERO extra exchanges vs the unsalted plan"),
     ("dedup_semantic_semdedup", "SemDeDup embedding dedup: Arrow coarse assign (zero shuffle) -> broadcast centroid join -> ONE rank window on the cluster id -> within-cluster pairwise self-join (the paper's O(n^2/k), per-cluster-bounded) with BLAS-batched cosines -> dropped-id left join"),
     ("sample_dsir_importance", "DSIR selection: bigram-bucket features scan-local (md5-prefix bucket), TWO map-side-combined aggregate shuffles (bucket counts, per-doc weight sums), lambda table + totals BROADCAST, top-100 as TakeOrderedAndProject — no global sort exchange"),
+    ("join_bucketed_colocated", "pay-the-shuffle-once: fact-fact SortMergeJoin off bucketed+sorted tables with NO exchange on either side — the ONLY Exchange in the plan is the final 5-key priority aggregate"),
     ("quality_constraint_checks", "data-quality gate in ONE pass per table: FK orphan counts ride the same LEFT join as the temporal check via conditional aggregation — 3 scans, not 8"),
 ]
 

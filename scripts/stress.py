@@ -56,6 +56,10 @@ PROBES = [
     "dedup_substring_spans",
     "text_domain_filter",
     "join_salted_skew",
+    # r9: bucketed co-located join (the bucket WRITE pays the one-time
+    # shuffle; the probe times write + exchange-free join together —
+    # the worst case, a deployment amortizes the write across queries)
+    "join_bucketed_colocated",
     # r9: DSIR importance selection (bucket-count + per-doc-sum aggs).
     # dedup_semantic_semdedup is NOT probed by registry name: its scale
     # form needs k scaled ~ n/target (the declared query's fixed k=16

@@ -278,3 +278,17 @@ def test_bucketed_store_anti_join_shuffles_only_new_side(spark, scale_db):
         assert survivors.count() == expect
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_colocated_query_single_exchange(spark):
+    """The declared join_bucketed_colocated query's executed plan must
+    contain exactly ONE Exchange — the final 5-key priority aggregate.
+    The fact-fact join itself reads the bucketed tables exchange-free
+    (that is the point of the pattern)."""
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["join_bucketed_colocated"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
