@@ -205,7 +205,9 @@ _PRIORITY = (
     # ext-stream-window (real streams at 2 greens keep seats; the new
     # stream-static enrichment takes its first row)
     "stream_dedup_redelivery",
-    "stream_join_attribution",
+    # r9 mid-round swap: stream_join_attribution (5 greens, untouched)
+    # rotates OUT for the new C4 line-cleaning query (first driver row)
+    "text_line_cleaning",
     "stream_enrich_dimension",
     # ext-typed-relational: the 8 structurally hardest TPC-H plans keep
     # seats for a second green (correlated subqueries, fact-fact joins)

@@ -1659,3 +1659,110 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target=F.col("source").isin("src0", "src1"), n_buckets=4096
     ).select("doc_id", round_fixed(F.col("weight"), 6).alias("weight"))
     return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(100).select("doc_id", "weight")
+
+
+_LINE_CLEAN_ORACLE = r"""
+    WITH nxt AS (
+        SELECT doc_id - 1 AS doc_id, text AS text_b FROM documents
+    ),
+    planted AS (
+        SELECT a.doc_id + 100000 AS doc_id,
+               a.text || '.' || chr(10) ||
+               'click here to subscribe now.' || chr(10) ||
+               'lorem ipsum dolor sit amet consectetur.' || chr(10) ||
+               array_to_string((string_split_regex(trim(b.text_b), '\s+'))[1:3], ' ') || '.' || chr(10) ||
+               b.text_b || '!' || chr(10) ||
+               'enable javascript to view this page properly.' AS text
+        FROM documents a JOIN nxt b USING (doc_id)
+        WHERE a.doc_id < 25
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ),
+    lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    kept AS (
+        SELECT doc_id, ls,
+               list_filter(ls, x ->
+                   regexp_matches(x, '[.!?"]$')
+                   AND len(string_split_regex(trim(x), '\s+')) >= 5
+                   AND NOT contains(lower(x), 'lorem ipsum')
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'click here')
+                   AND NOT contains(lower(x), '{')
+               ) AS kl
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_lines,
+           CAST(len(kl) AS INT) AS n_kept,
+           md5(coalesce(array_to_string(kl, chr(10)), '')) AS cleaned_md5
+    FROM kept
+"""
+
+
+@register(
+    "text_line_cleaning",
+    oracle=_LINE_CLEAN_ORACLE,
+    tags=("ext-text-stats", "curation", "c4-line-rules", "planted-oracle"),
+)
+def text_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb LINE-level cleaning (Raffel et al. 2020 §2.2's
+    line rules; RefinedWeb's line-wise correction), hash-checked
+    against SQL ground truth — the curation tier between per-document
+    quality gates and paragraph dedup: a line survives iff it ends in
+    terminal punctuation, carries >= 5 words, and contains no
+    boilerplate marker ('lorem ipsum', 'javascript', 'click here',
+    '{'). The synthetic corpus is single-line and unpunctuated, so
+    multi-line composites are PLANTED (doc_id+100000 for the first 25
+    ids): each carries two keepable sentences interleaved with a
+    subscribe nag, a lorem-ipsum stuffer, a 4-word fragment and a
+    javascript notice — every rule provably fires, and the cleaned
+    text (pinned by md5) must be exactly the two kept sentences.
+    Natural docs come back n_kept=0 (no terminal punctuation), the
+    correct C4 verdict for them.
+
+    Scale: ZERO shuffle — line split, the four predicates, the rebuild
+    and the md5 are all scan-local array expressions inside one
+    projection; nothing leaves the input partition."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    frag = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text_b")), r"\s+"), 1, 3)
+    )
+    planted = (
+        docs.filter(F.col("doc_id") < 25)
+        .join(nxt, on="doc_id")
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.col("text"), F.lit(".")),
+                F.lit("click here to subscribe now."),
+                F.lit("lorem ipsum dolor sit amet consectetur."),
+                F.concat(frag, F.lit(".")),
+                F.concat(F.col("text_b"), F.lit("!")),
+                F.lit("enable javascript to view this page properly."),
+            ).alias("text"),
+        )
+    )
+    corpus = fan_out(docs.unionByName(planted))
+    ls = F.split(F.col("text"), "\n")
+    low = lambda x: F.lower(x)  # noqa: E731
+    keep = lambda x: (  # noqa: E731
+        x.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5)
+        & ~low(x).contains("lorem ipsum")
+        & ~low(x).contains("javascript")
+        & ~low(x).contains("click here")
+        & ~low(x).contains("{")
+    )
+    kl = F.filter(ls, keep)
+    return corpus.select(
+        "doc_id",
+        F.size(ls).cast("int").alias("n_lines"),
+        F.size(kl).cast("int").alias("n_kept"),
+        F.md5(F.concat_ws("\n", kl)).alias("cleaned_md5"),
+    )

@@ -52,6 +52,7 @@ SHOWCASE = [
     ("dedup_semantic_semdedup", "SemDeDup embedding dedup: Arrow coarse assign (zero shuffle) -> broadcast centroid join -> ONE rank window on the cluster id -> within-cluster pairwise self-join (the paper's O(n^2/k), per-cluster-bounded) with BLAS-batched cosines -> dropped-id left join"),
     ("sample_dsir_importance", "DSIR selection: bigram-bucket features scan-local (md5-prefix bucket), TWO map-side-combined aggregate shuffles (bucket counts, per-doc weight sums), lambda table + totals BROADCAST, top-100 as TakeOrderedAndProject — no global sort exchange"),
     ("join_bucketed_colocated", "pay-the-shuffle-once: fact-fact SortMergeJoin off bucketed+sorted tables with NO exchange on either side — the ONLY Exchange in the plan is the final 5-key priority aggregate"),
+    ("text_line_cleaning", "C4 line-level cleaning: line split, four keep predicates, rebuild and md5 — one scan-local projection with ZERO keyed shuffle (the single Exchange is fan_out's width-restoring round-robin on the 1-split parquet; the planted-composite join broadcasts)"),
     ("quality_constraint_checks", "data-quality gate in ONE pass per table: FK orphan counts ride the same LEFT join as the temporal check via conditional aggregation — 3 scans, not 8"),
 ]
 

@@ -66,6 +66,8 @@ PROBES = [
     # would make 20x clusters quadratically large by construction);
     # the dedicated scaled-k probe is recorded in SCALE.md instead.
     "sample_dsir_importance",
+    # r9: C4 line-level cleaning (zero-shuffle scan-local projection)
+    "text_line_cleaning",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -558,3 +558,37 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert 8 not in w
     assert w[5] == w[7]
     assert w[5] > w[6], f"target-like {w[5]} must outweigh off-target {w[6]}"
+
+
+def test_line_cleaning_rules_on_handwritten_lines(spark):
+    """Pin the intended C4 line rules against handwritten expectations
+    (guards the two-sided-wrong loophole: query and oracle share the
+    predicates, so a mistranslated rule would still hash-match)."""
+    cases = [
+        ("this sentence has enough words and ends well.", True),
+        ("this sentence has enough words and ends well", False),   # no punct
+        ("too short ends fine.", False),                           # < 5 words
+        ('a quoted sentence with five words ends here."', True),
+        ("lorem ipsum filler with plenty of words here.", False),  # blocklist
+        ("please enable JavaScript to continue reading this.", False),
+        ("Click here to read the rest of the story.", False),
+        ("function() { return a longer code fragment; }", False),  # brace
+        ("does a question with five words count?", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, line) for i, (line, _) in enumerate(cases)], "doc_id int, text string"
+    )
+    from pyspark.sql import functions as F2
+
+    ls = F2.split(F2.col("text"), "\n")
+    keep = lambda x: (  # noqa: E731 — mirrors text_line_cleaning
+        x.rlike('[.!?"]$')
+        & (F2.size(F2.split(F2.trim(x), r"\s+")) >= 5)
+        & ~F2.lower(x).contains("lorem ipsum")
+        & ~F2.lower(x).contains("javascript")
+        & ~F2.lower(x).contains("click here")
+        & ~F2.lower(x).contains("{")
+    )
+    out = {r["doc_id"]: r["k"] for r in df.select("doc_id", F2.size(F2.filter(ls, keep)).alias("k")).collect()}
+    for i, (line, want) in enumerate(cases):
+        assert out[i] == (1 if want else 0), f"line {i!r}: {line!r} kept={out[i]} want={want}"
