@@ -50,10 +50,17 @@ def persist_scoped(
     (e.g. ``f"minhash.shingles.{run_id}"``)."""
     with _LOCK:
         prev = _LIVE.pop(key, None)
+        # ORDER MATTERS: unpersist the previous frame BEFORE persisting
+        # the new one. CacheManager is plan-keyed — when the same
+        # pipeline re-runs, ``df`` carries the same logical plan as
+        # ``prev``, so persist-then-unpersist would register a no-op
+        # ("already cached") and then UNCACHE the plan, leaving the new
+        # frame silently unpersisted (measured 3x wall on the LSH
+        # pipelines' warm passes).
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # a stopped/replaced context invalidates the handle
         _LIVE[key] = df.persist(level)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # a stopped/replaced context invalidates the handle
     return df

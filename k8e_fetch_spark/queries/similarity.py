@@ -855,7 +855,7 @@ _HYBRID_ORACLE = f"""
     FROM documents d
     JOIN embeddings e ON d.doc_id = e.vec_id
     CROSS JOIN q
-    WHERE d.text LIKE '%broadcast%'
+    WHERE d.text LIKE '%dup%' AND d.text LIKE '%vector%'
     ORDER BY score DESC, d.doc_id
     LIMIT 20
 """
@@ -869,8 +869,16 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding join is key-equality; the single query vector rides a
     broadcast; top-20 by (rounded score, doc_id) so the cutoff set is
     engine-stable. No shuffle touches the full corpus: filter -> join ->
-    score -> TakeOrderedAndProject."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").contains("broadcast"))
+    score -> TakeOrderedAndProject.
+
+    The two-term conjunction is ~3-5% selective on the fixture corpus
+    at every SF (17/20/192 candidates at sf0.001/0.01/0.1) — the
+    filter provably narrows AND the ranked result is non-empty, so the
+    driver's hash compare pins real scores (the r8 window's 0-row
+    green was vacuous: the old keyword matched nothing)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").contains("dup") & F.col("text").contains("vector")
+    )
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     return (

@@ -41,3 +41,26 @@ def test_persist_scoped_returns_same_dataframe(spark):
     assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]
     out.unpersist()
     _LIVE.clear()
+
+
+def test_persist_scoped_same_plan_repersist_stays_cached(spark):
+    """Re-running a pipeline re-persists the SAME logical plan under the
+    same key. CacheManager is plan-keyed, so the eviction of the old
+    frame must happen BEFORE the new persist — the reverse order
+    registers a no-op persist and then uncaches the plan, leaving the
+    new frame silently unpersisted (the r9 warm-bench 3x regression)."""
+    from k8e_fetch_spark.functions.caching import _LIVE, persist_scoped
+
+    def build():
+        return spark.range(100).selectExpr("id", "id % 7 AS x")
+
+    p1 = persist_scoped("test.plan", build())
+    p1.count()
+    p2 = persist_scoped("test.plan", build())  # same logical plan
+    assert p2.storageLevel != StorageLevel.NONE
+    p2.count()
+    # the cached data must actually be live in the cache manager
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.lookupCachedData(p2._jdf).isDefined()
+    p2.unpersist()
+    _LIVE.clear()

@@ -292,3 +292,35 @@ def test_bucketed_colocated_query_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_colocated_reuses_bucket_write(spark):
+    """Repeat invocations must NOT rewrite the bucketed tables: the
+    pattern's contract is pay-the-shuffle-once, and the query keys the
+    write on a source fingerprint (sf_dir + parquet mtime/size). A
+    second call in the same session reuses the files byte-identically
+    and still returns the same answer."""
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    fn = REGISTRY["join_bucketed_colocated"].fn
+    first = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    wh = Path(tempfile.gettempdir()) / "k8e_bucket_demo_wh"
+    before = {
+        p: p.stat().st_mtime_ns
+        for t in ("li_rev", "od_pri")
+        for p in sorted((wh / t).rglob("*"))
+        if p.is_file()
+    }
+    second = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    after = {
+        p: p.stat().st_mtime_ns
+        for t in ("li_rev", "od_pri")
+        for p in sorted((wh / t).rglob("*"))
+        if p.is_file()
+    }
+    assert before == after  # no rewrite happened
+    assert first == second
