@@ -227,3 +227,46 @@ def coarse_assign_arrow(units) -> Column:
 
     _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return pandas_udf(_assign, "int")
+
+
+def l2_assign_arrow(centroid_rows) -> Column:
+    """Arrow-vectorized k-means assignment: argmin of squared L2 over
+    the k centroids, one numpy batch per Arrow batch, returning
+    struct<centroid_id int, d2 double> — the training-loop twin of
+    :func:`coarse_assign_arrow` (which serves cosine/IVF reads).
+
+    ``centroid_rows`` is the driver-state [(centroid_id, vec)] list
+    SORTED by centroid_id, so numpy argmin's first-occurrence tie rule
+    equals the expression twin's array_min (d2, cid) smaller-cid
+    tie-break. Twin discipline, same argument as coarse_assign_arrow:
+    the interpreted fold in operators/clustering.py:_assign sums
+    (x-y)^2 sequentially, numpy in pairwise order — ~1e-16 apart, so
+    assignments agree except on near-exact ties, and exact duplicates
+    produce identical distance ROWS in both forms and tie identically;
+    pinned assignment-identical on the fixtures in
+    tests/test_clustering.py. The d2 VALUE feeds only the inertia
+    telemetry (never an oracle), so its last-bit order difference is
+    out of every checked surface.
+
+    Returns a function of the vector column -> struct column."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([cid for cid, _ in centroid_rows], dtype=np.int64)
+    C = np.asarray([vec for _, vec in centroid_rows], dtype=np.float64)  # (k, dim)
+
+    def _assign(vecs):
+        if len(vecs) == 0:
+            return pd.DataFrame({"centroid_id": pd.Series([], dtype="int32"),
+                                 "d2": pd.Series([], dtype="float64")})
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        j = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "centroid_id": cids[j].astype(np.int32),
+            "d2": d2[np.arange(len(j)), j],
+        })
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_assign, "struct<centroid_id:int,d2:double>")

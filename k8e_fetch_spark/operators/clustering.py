@@ -159,15 +159,25 @@ def kmeans(
     k: int = 8,
     iterations: int = 5,
     return_centroids: bool = False,
+    use_arrow: bool = True,
 ) -> tuple[DataFrame, list[float]] | tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
     """Lloyd's k-means; returns (assignments DataFrame, inertia per
     iteration) — plus the trained centroid rows when
     ``return_centroids`` is set (the IVF training handoff: feed them to
     ``ivf_assign``/probe search). Centroids collect to the driver each
     step (k × dim doubles — bytes, not data); assignment is a
-    zero-shuffle projection (centroids inlined as literals), so the
-    only per-iteration exchange is the k-row map-side-combined stats
-    aggregate. ONE job per iteration (the stats collect)."""
+    zero-shuffle projection, so the only per-iteration exchange is the
+    k-row map-side-combined stats aggregate. ONE job per iteration (the
+    stats collect).
+
+    Default assignment path (r9): Arrow/numpy batch distances
+    (functions/vectors.py:l2_assign_arrow) — the k x dim literal
+    expression twin (``use_arrow=False``, :func:`_assign`) costs
+    ~0.9 s/iteration of driver expr build + analysis + codegen at
+    k=16, dim=64, and grows with k; the Arrow closure is O(1) plan
+    build. Same twin discipline as ivf_assign: assignments pinned
+    identical on the fixtures (tests/test_clustering.py), d2 feeds
+    only inertia telemetry."""
     from k8e_fetch_spark.io import fan_out
 
     # single-split parquet arrives as 1 partition; the assignment
@@ -191,10 +201,31 @@ def kmeans(
     dim = len(init[0][vec_col])  # from the init collect — no extra probe job
     centroid_rows = [(i, list(r[vec_col])) for i, r in enumerate(init)]
 
+    from k8e_fetch_spark.functions.vectors import (
+        l2_assign_arrow,
+        validate_finite_centroids,
+    )
+
+    def _assign_rows(rows: list[tuple[int, list[float]]]) -> DataFrame:
+        if not use_arrow:
+            return _assign(vecs, rows, id_col, vec_col)
+        # same fail-fast as the literal twin: non-finite centroids mean
+        # upstream corruption (empty-cluster average, bad embeddings)
+        validate_finite_centroids(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in rows]
+        )
+        a = l2_assign_arrow(rows)(F.col(vec_col))
+        return vecs.select(
+            F.col(id_col),
+            F.col(vec_col),
+            a["centroid_id"].alias("centroid_id"),
+            a["d2"].alias("d2"),
+        )
+
     inertia_history: list[float] = []
     assigned = None
     for _ in range(iterations):
-        assigned = _assign(vecs, centroid_rows, id_col, vec_col)
+        assigned = _assign_rows(centroid_rows)
         # Narrow stats shape: posexplode to (cid, pos, x) rows, then one
         # map-side-combined aggregate; k x dim result rows collect. Keeps
         # the plan at ~5 expressions instead of 2 x dim projected/agg

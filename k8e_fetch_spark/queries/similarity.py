@@ -603,11 +603,14 @@ def sim_kmeans_assign_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single k-means step from the deterministic init (first k=8 vectors
     by vec_id) IS SQL-expressible — assignment is the argmin of squared
     L2 over k known centroids with the documented (d2, cid) tie-break.
-    The REAL iterative path executes (kmeans with iterations=1: literal-
-    inlined zero-shuffle assign + the stats aggregate); the oracle
+    The REAL iterative path executes (kmeans with iterations=1: the
+    default zero-shuffle Arrow batch-distance assign + the stats
+    aggregate — and the rounded d2 column means the oracle hash pins
+    the Arrow DISTANCES, not just the assignment ids); the oracle
     recomputes the same argmin relationally in DuckDB. This covers the
-    assignment math the rows-only sim_kmeans_assign (3 iterations)
-    exercises at depth."""
+    assignment math the rows-only sim_kmeans_assign (3 iterations,
+    kept on the literal-expression twin for plan display) exercises at
+    depth."""
     from k8e_fetch_spark.operators.clustering import kmeans
 
     emb = load(spark, sf_dir, "embeddings")
@@ -663,11 +666,18 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings (3 iterations,
     deterministic init): the IVF centroid-training path. Non-SQL-
     expressible (iteration); the Lloyd's inertia invariant is asserted
-    in tests/test_clustering.py."""
+    in tests/test_clustering.py.
+
+    This query deliberately runs the LITERAL-EXPRESSION assign twin
+    (``use_arrow=False``) so the zero-shuffle inlined-argmin plan stays
+    driver-visible in EXPLAIN.md — the Arrow batch-distance path is the
+    kmeans() default everywhere else (training, SemDeDup, the oracle
+    variant above) and the two are pinned assignment-identical in
+    tests/test_clustering.py."""
     from k8e_fetch_spark.operators.clustering import kmeans
 
     emb = load(spark, sf_dir, "embeddings")
-    assigned, _history = kmeans(emb, k=8, iterations=3)
+    assigned, _history = kmeans(emb, k=8, iterations=3, use_arrow=False)
     return assigned.select("vec_id", "centroid_id", round_fixed(F.col("d2"), 6).alias("d2"))
 
 

@@ -592,3 +592,33 @@ def test_line_cleaning_rules_on_handwritten_lines(spark):
     out = {r["doc_id"]: r["k"] for r in df.select("doc_id", F2.size(F2.filter(ls, keep)).alias("k")).collect()}
     for i, (line, want) in enumerate(cases):
         assert out[i] == (1 if want else 0), f"line {i!r}: {line!r} kept={out[i]} want={want}"
+
+
+def test_kmeans_arrow_expression_twin_identical(spark):
+    """The Arrow batch-distance assignment (use_arrow=True, default)
+    and the literal-expression fold twin must produce IDENTICAL
+    assignments and trained centroids on the fixture corpus — the same
+    pinning discipline as ivf_assign / pq_encode (distances differ only
+    in float summation order, ~1e-16; an argmin flip needs a
+    near-exact tie the fixture does not contain)."""
+    from k8e_fetch_spark.operators.clustering import kmeans
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a_df, a_hist, a_cents = kmeans(
+        emb, k=8, iterations=3, return_centroids=True, use_arrow=True
+    )
+    a = {r["vec_id"]: r["centroid_id"] for r in a_df.collect()}
+    e_df, e_hist, e_cents = kmeans(
+        emb, k=8, iterations=3, return_centroids=True, use_arrow=False
+    )
+    e = {r["vec_id"]: r["centroid_id"] for r in e_df.collect()}
+    assert a == e
+    # identical memberships -> identical member means (same Spark agg
+    # computes them); pin the trained model bitwise
+    assert a_cents == e_cents
+    # inertia may differ only at float-order noise
+    for x, y in zip(a_hist, e_hist):
+        assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
