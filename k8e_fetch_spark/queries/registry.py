@@ -160,7 +160,10 @@ _PRIORITY = (
     "text_unigram_logprob",
     "text_repetition_filter",
     "text_sequence_packing",
-    "text_shingle_novelty",
+    # r9 late swap: text_shingle_novelty (4 greens, untouched) rotates
+    # OUT for the new BPE tokenizer-training query (first driver row:
+    # 3 learned merges + post-merge symbol inventory, full loop oracle)
+    "text_bpe_learn_merges",
     "dedup_paragraphs",
     # decontamination: the bloom twin takes the shared oracle's seat
     # (first driver row); PII scrub first row

@@ -1766,3 +1766,200 @@ def text_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kl).cast("int").alias("n_kept"),
         F.md5(F.concat_ws("\n", kl)).alias("cleaned_md5"),
     )
+
+
+def _bpe_merge_ctes(i: int) -> str:
+    """One BPE merge iteration as DuckDB CTEs — pair counts over the
+    symbolized vocab v{i-1}, the (count desc, pair asc) argmax, and the
+    greedy merge application as the IDENTICAL list_reduce fold the
+    Spark operator uses (operators/bpe.py:_merge_fold)."""
+    return f"""
+    p{i} AS (
+        SELECT t[j] || ' ' || t[j+1] AS p, freq
+        FROM (SELECT string_split(sym, ' ') AS t, freq FROM v{i - 1}),
+             UNNEST(generate_series(1, len(t) - 1)) AS u(j)
+        WHERE len(t) >= 2
+    ),
+    top{i} AS (
+        SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM p{i} GROUP BY p ORDER BY sum(freq) DESC, p LIMIT 1
+    ),
+    v{i} AS (
+        SELECT list_reduce(string_split(sym, ' '),
+            (acc, x) -> CASE
+                WHEN (acc = sp[1] OR right(acc, length(sp[1]) + 1) = ' ' || sp[1])
+                     AND x = sp[2]
+                THEN acc || x ELSE acc || ' ' || x END) AS sym, freq
+        FROM v{i - 1}, (SELECT string_split(p, ' ') AS sp FROM top{i})
+    )"""
+
+
+_BPE_ORACLE = """
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') AS sym, freq
+        FROM words
+    ),
+    {m1}, {m2}, {m3},
+    syms AS (
+        SELECT t, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(sym, ' ')) AS t, freq FROM v3)
+        GROUP BY t
+    )
+    SELECT CAST(1 AS BIGINT) AS rank, 'merge' AS kind, p AS token, cnt AS freq FROM top1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'merge', p, cnt FROM top2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'merge', p, cnt FROM top3
+    UNION ALL
+    SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rank,
+               'symbol' AS kind, t AS token, cnt AS freq
+        FROM syms ORDER BY cnt DESC, t LIMIT 20
+    )
+""".format(m1=_bpe_merge_ctes(1), m2=_bpe_merge_ctes(2), m3=_bpe_merge_ctes(3))
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=_BPE_ORACLE,
+    tags=("ext-text-stats", "tokenizer", "bpe"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) — the vocabulary-
+    induction modality of the LLM pipeline, hash-checked END TO END:
+    the first 3 learned merges (pair + its frequency at merge time) and
+    the top-20 post-merge symbol inventory. The ENTIRE training loop is
+    recomputed relationally by the oracle — word-frequency vocab, three
+    rounds of (pair count -> argmax -> greedy merge application), and
+    the final symbol counts — with the greedy fold expressed as the
+    byte-identical CASE in both engines, so any deviation anywhere in
+    the loop (tie-break, run-merging, weighting) breaks the hash.
+
+    Scale (100 TB): ONE corpus-wide shuffle total (the word-count
+    aggregate, map-side combined on uniform keys); every merge
+    iteration is vocab-local — pair counts aggregate the bounded
+    vocabulary (Heaps-law sublinear in corpus size), the argmax pair is
+    a one-row collect (O(1) driver state, the k-means-centroid
+    contract), and the merge application is a row-local fold. The
+    symbol-rank window at the end orders the symbol INVENTORY (a few
+    hundred rows after 3 merges) — never corpus- or vocab-sized data.
+    operators/bpe.py holds the construction and the greedy-semantics
+    argument."""
+    from k8e_fetch_spark.operators.bpe import learn_bpe_merges, symbol_counts
+    from pyspark.sql.window import Window
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("text")
+    merges, vocab = learn_bpe_merges(docs, n_merges=3)
+    mdf = spark.createDataFrame(
+        [(r, "merge", p, c) for r, p, c in merges],
+        "rank bigint, kind string, token string, freq bigint",
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    syms = (
+        symbol_counts(vocab)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            F.lit("symbol").alias("kind"),
+            F.col("t").alias("token"),
+            F.col("cnt").cast("bigint").alias("freq"),
+        )
+    )
+    return mdf.unionByName(syms)
+
+
+def _bpe_fold_sql(i: int, inner: str) -> str:
+    """The greedy merge fold as DuckDB SQL, applying learned pair
+    s{i} = [p1, p2] to the space-joined symbol string ``inner`` — the
+    verbatim relational twin of operators/bpe.py:apply_merges_to_word."""
+    return (
+        f"list_reduce(string_split({inner}, ' '), (a{i}, x{i}) -> "
+        f"CASE WHEN (a{i} = s{i}[1] OR right(a{i}, length(s{i}[1]) + 1) = ' ' || s{i}[1]) "
+        f"AND x{i} = s{i}[2] "
+        f"THEN a{i} || x{i} ELSE a{i} || ' ' || x{i} END)"
+    )
+
+
+_BPE_APPLY_ORACLE = """
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') AS sym, freq
+        FROM words
+    ),
+    {m1}, {m2}, {m3},
+    sp AS (
+        SELECT (SELECT string_split(p, ' ') FROM top1) AS s1,
+               (SELECT string_split(p, ' ') FROM top2) AS s2,
+               (SELECT string_split(p, ' ') FROM top3) AS s3
+    ),
+    tok AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   string_split_regex(trim(text), '\\s+'),
+                   w -> CASE WHEN w = '' THEN '' ELSE {fold} END), ' ') AS t
+        FROM documents, sp
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN t = '' THEN 0
+                ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens,
+           md5(t) AS tokens_md5
+    FROM tok
+""".format(
+    m1=_bpe_merge_ctes(1),
+    m2=_bpe_merge_ctes(2),
+    m3=_bpe_merge_ctes(3),
+    fold=_bpe_fold_sql(3, _bpe_fold_sql(2, _bpe_fold_sql(1, "array_to_string(string_split(w, ''), ' ')"))),
+)
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_BPE_APPLY_ORACLE,
+    tags=("ext-text-stats", "tokenizer", "bpe"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization — the INFERENCE half (text_bpe_learn_merges is
+    the training half): learn the 3-merge table from the corpus, then
+    tokenize every document with it. Output per doc: the token count
+    and the md5 of the space-joined token stream (pinning every token
+    and its order). The oracle re-learns the merges AND re-tokenizes
+    relationally, so train and apply are BOTH hash-checked in one row.
+
+    Scale (100 TB): training as in text_bpe_learn_merges (one
+    corpus-wide word count, vocab-local iterations); the apply side is
+    scan-local with ZERO additional shuffle — the Arrow batch
+    tokenizer with a unique-word cache (operators/bpe.py:
+    bpe_tokenize_arrow; Zipf makes the cache hit almost always — the
+    production tokenizer shape), pinned output-identical to the
+    pure-expression fold twin in tests/test_bpe.py. This is the
+    token-count path a training-data pipeline runs before packing:
+    the merge table is driver/closure state, never joined."""
+    from k8e_fetch_spark.operators.bpe import (
+        bpe_tokenize_arrow,
+        learn_bpe_merges,
+    )
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    merges, _vocab = learn_bpe_merges(docs.select("text"), n_merges=3)
+    pairs = [p for _r, p, _c in merges]
+    tok = bpe_tokenize_arrow(pairs)(F.col("text"))
+    return docs.withColumn("_t", tok).select(
+        "doc_id",
+        F.when(F.col("_t") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("_t"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5("_t").alias("tokens_md5"),
+    )

@@ -53,6 +53,7 @@ SHOWCASE = [
     ("sample_dsir_importance", "DSIR selection: bigram-bucket features scan-local (md5-prefix bucket), TWO map-side-combined aggregate shuffles (bucket counts, per-doc weight sums), lambda table + totals BROADCAST, top-100 as TakeOrderedAndProject — no global sort exchange"),
     ("join_bucketed_colocated", "pay-the-shuffle-once: fact-fact SortMergeJoin off bucketed+sorted tables with NO exchange on either side — the ONLY Exchange in the plan is the final 5-key priority aggregate"),
     ("text_line_cleaning", "C4 line-level cleaning: line split, four keep predicates, rebuild and md5 — one scan-local projection with ZERO keyed shuffle (the single Exchange is fan_out's width-restoring round-robin on the 1-split parquet; the planted-composite join broadcasts)"),
+    ("text_bpe_learn_merges", "BPE tokenizer training, final-iteration plan: the displayed frame reads the CACHED post-merge vocab (InMemoryTableScan — the corpus-wide word count ran ONCE, upstream), applies the row-local merge fold, and the only exchanges left are the vocab-local symbol aggregate + the few-hundred-row inventory rank"),
     ("quality_constraint_checks", "data-quality gate in ONE pass per table: FK orphan counts ride the same LEFT join as the temporal check via conditional aggregation — 3 scans, not 8"),
 ]
 

@@ -1,0 +1,137 @@
+"""BPE tokenizer-training kernel: greedy merge semantics, run edges,
+determinism (operators/bpe.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from k8e_fetch_spark.operators.bpe import (
+    learn_bpe_merges,
+    symbol_counts,
+    word_frequency_vocab,
+)
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_word_frequency_vocab_counts(spark):
+    df = _corpus(spark, ["ab ab ba", "  ab  ", ""])
+    got = {(r["w"], r["freq"]) for r in word_frequency_vocab(df).collect()}
+    assert got == {("ab", 3), ("ba", 1)}
+
+
+def test_first_merge_is_most_frequent_pair(spark):
+    # 'ab' appears in 4 words x freq, 'bc' fewer
+    df = _corpus(spark, ["abc abc abd abd abd xy"])
+    merges, vocab = learn_bpe_merges(df, n_merges=1)
+    assert merges == [(1, "a b", 5)]  # 'a b' adjacency in all five ab* words
+    syms = {(r["t"], r["cnt"]) for r in symbol_counts(vocab).collect()}
+    # every ab* word now starts with the merged 'ab' symbol
+    assert ("ab", 5) in syms
+
+
+def test_greedy_run_merges_back_to_back_pairs(spark):
+    """'aaaa' with top pair (a,a) must become [aa, aa] — the case where
+    naive string replace under-merges (the leading space of the second
+    occurrence is consumed by the first replacement)."""
+    df = _corpus(spark, ["aaaa aaaa aaaa b"])
+    merges, vocab = learn_bpe_merges(df, n_merges=1)
+    assert merges[0][1] == "a a"
+    rows = {r["sym"] for r in vocab.collect()}
+    assert "aa aa" in rows
+
+
+def test_merged_symbol_does_not_cascade_within_round(spark):
+    """One round applies ONE merge: 'aaaa' -> [aa, aa], never [aaaa] —
+    the just-created 'aa' symbol must not re-merge as p1='a'."""
+    df = _corpus(spark, ["aaaa"])
+    _, vocab = learn_bpe_merges(df, n_merges=1)
+    assert [r["sym"] for r in vocab.collect()] == ["aa aa"]
+
+
+def test_merge_ranks_and_tie_break_deterministic(spark):
+    # 'a b' and 'c d' both occur twice; tie breaks to 'a b' (pair asc)
+    df = _corpus(spark, ["ab ab cd cd"])
+    merges, _ = learn_bpe_merges(df, n_merges=2)
+    assert [m[1] for m in merges] == ["a b", "c d"]
+    assert [m[0] for m in merges] == [1, 2]
+
+
+def test_stops_when_nothing_left_to_merge(spark):
+    df = _corpus(spark, ["a b a b"])  # single-char words only
+    merges, vocab = learn_bpe_merges(df, n_merges=3)
+    assert merges == []
+    got = {(r["sym"], r["freq"]) for r in vocab.collect()}
+    assert got == {("a", 2), ("b", 2)}
+
+
+def test_declared_query_schema_and_determinism(spark):
+    from k8e_fetch_spark.queries import REGISTRY, queries
+    from tests.conftest import SF_DIR
+
+    queries()
+    fn = REGISTRY["text_bpe_learn_merges"].fn
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert sorted(a) == sorted(b)
+    assert len([r for r in a if r[1] == "merge"]) == 3
+    assert len([r for r in a if r[1] == "symbol"]) == 20
+
+
+def test_apply_merges_tokenizes_with_learned_table(spark):
+    from k8e_fetch_spark.operators.bpe import apply_merges_to_word
+
+    df = spark.createDataFrame([("abab",), ("aabb",), ("",)], "w string")
+    out = {
+        r["w"]: r["t"]
+        for r in df.select(
+            "w", apply_merges_to_word(F.col("w"), ["a b", "ab ab"]).alias("t")
+        ).collect()
+    }
+    # merge1 (a,b): abab -> [ab, ab]; merge2 (ab,ab): -> [abab]
+    assert out["abab"] == "abab"
+    # aabb: merge1 greedy left-to-right: [a, ab, b]; merge2 no-op
+    assert out["aabb"] == "a ab b"
+    assert out[""] == ""
+
+
+def test_arrow_tokenizer_matches_expression_twin(spark):
+    """bpe_tokenize_arrow (word-cached Python batch path) and the
+    per-word expression fold must produce IDENTICAL token strings on
+    the fixture corpus — the repo's standard Arrow/expression twin
+    pinning."""
+    from k8e_fetch_spark.operators.bpe import (
+        apply_merges_to_word,
+        bpe_tokenize_arrow,
+        learn_bpe_merges,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges, _ = learn_bpe_merges(docs.select("text"), n_merges=3)
+    pairs = [p for _r, p, _c in merges]
+    arrow = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", bpe_tokenize_arrow(pairs)(F.col("text")).alias("t")
+        ).collect()
+    }
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    expr_tok = F.concat_ws(
+        " ",
+        F.transform(
+            words,
+            lambda w: F.when(w == "", F.lit("")).otherwise(
+                apply_merges_to_word(w, pairs)
+            ),
+        ),
+    )
+    expr = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", expr_tok.alias("t")).collect()
+    }
+    assert arrow == expr
