@@ -222,7 +222,11 @@ def bpe_tokenize_arrow(merges: list[str]) -> Column:
             cache[w] = r
             return r
 
-        def tok_doc(t: str) -> str:
+        def tok_doc(t: str | None) -> str:
+            # None -> '' matches the expression twin (concat_ws skips
+            # the null transform result)
+            if t is None:
+                return ""
             t = t.strip()
             if not t:
                 return ""

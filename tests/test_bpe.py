@@ -135,3 +135,15 @@ def test_arrow_tokenizer_matches_expression_twin(spark):
         for r in docs.select("doc_id", expr_tok.alias("t")).collect()
     }
     assert arrow == expr
+
+
+def test_arrow_tokenizer_null_and_whitespace_text(spark):
+    from k8e_fetch_spark.operators.bpe import bpe_tokenize_arrow
+
+    df = spark.createDataFrame([(None,), ("   ",), ("ab",)], "text string")
+    got = [
+        r["t"]
+        for r in df.select(bpe_tokenize_arrow(["a b"])(F.col("text")).alias("t"))
+        .collect()
+    ]
+    assert got == ["", "", "ab"]
