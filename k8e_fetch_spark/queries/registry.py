@@ -172,7 +172,10 @@ _PRIORITY = (
     # corpus mixing / retention / sampling (corpus_source_profile and
     # sample_token_budget, 3 greens each, rotated out for the new
     # incremental-minhash and stream-enrichment rows)
-    "corpus_split_assign",
+    # r9 late swap: corpus_split_assign (4 greens, untouched) rotates
+    # OUT for the BPE APPLY query (first driver row — train+tokenize
+    # hash-checked in one row; the training query has its own seat)
+    "text_bpe_apply",
     "sample_source_temperature",
     "corpus_clean_mix_pipeline",
     # dedup family
