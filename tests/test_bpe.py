@@ -147,3 +147,47 @@ def test_arrow_tokenizer_null_and_whitespace_text(spark):
         .collect()
     ]
     assert got == ["", "", "ab"]
+
+
+def test_fold_matches_python_greedy_on_seeded_random_words(spark):
+    """Twin equality beyond the parquet fixtures: seeded random words
+    over a 2-letter alphabet maximize back-to-back runs and overlap
+    chains ('aaaa', 'ababab') — exactly where greedy-merge semantics
+    bite. The Catalyst expression fold must equal the imperative
+    Python greedy (the Arrow tokenizer's kernel) on every word for
+    every pair, including multi-char merged symbols from a second
+    round."""
+    import random
+
+    from k8e_fetch_spark.operators.bpe import apply_merges_to_word
+
+    rng = random.Random(1729)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    merge_tables = [["a a"], ["a b"], ["b b", "bb bb"], ["a b", "ab ab"], ["b a", "ba b"]]
+
+    def py_greedy(w, pairs):
+        syms = list(w)
+        for pair in pairs:
+            p1, p2 = pair.split(" ")
+            out = []
+            for s in syms:
+                if out and out[-1] == p1 and s == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(s)
+            syms = out
+        return " ".join(syms)
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    for pairs in merge_tables:
+        got = {
+            r["w"]: r["t"]
+            for r in df.select(
+                "w", apply_merges_to_word(F.col("w"), pairs).alias("t")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == py_greedy(w, pairs), (w, pairs, got[w])
