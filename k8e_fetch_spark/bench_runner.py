@@ -126,6 +126,14 @@ def main() -> None:
             continue
         runs = []
         try:
+            # collect the previous queries' garbage once per query (NOT
+            # per pass): late HEADLINE rows otherwise inherit ~45 prior
+            # queries of heap pressure — measured 2x+ on the last row
+            # (semdedup 3.6 s in a fresh session vs 7.7 s at position
+            # ~47) while early rows stay flat. One collected heap per
+            # query makes row N's number about row N.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             for _ in range(3):
                 # drop persisted intermediates left by prior queries (the LSH
                 # pipelines cache their band/shingle tables); without this,
