@@ -159,7 +159,7 @@ def kmeans(
     k: int = 8,
     iterations: int = 5,
     return_centroids: bool = False,
-    use_arrow: bool = True,
+    use_arrow: bool | None = None,
 ) -> tuple[DataFrame, list[float]] | tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
     """Lloyd's k-means; returns (assignments DataFrame, inertia per
     iteration) — plus the trained centroid rows when
@@ -170,14 +170,19 @@ def kmeans(
     k-row map-side-combined stats aggregate. ONE job per iteration (the
     stats collect).
 
-    Default assignment path (r9): Arrow/numpy batch distances
-    (functions/vectors.py:l2_assign_arrow) — the k x dim literal
-    expression twin (``use_arrow=False``, :func:`_assign`) costs
-    ~0.9 s/iteration of driver expr build + analysis + codegen at
-    k=16, dim=64, and grows with k; the Arrow closure is O(1) plan
-    build. Same twin discipline as ivf_assign: assignments pinned
-    identical on the fixtures (tests/test_clustering.py), d2 feeds
-    only inertia telemetry."""
+    Assignment path (r9): ``use_arrow=None`` auto-selects by model
+    size — the measured crossover on this host is ~k x dim = 512
+    doubles (k=8, dim=64: literal 2.1 s vs Arrow 2.6 s for the
+    3-iteration pipeline at sf0.1, SAME at 20x — both flat; k=16:
+    Arrow cuts semdedup's declared path 4.5 -> 3.1 s). Below the
+    threshold the k x dim literal expression fold (:func:`_assign`)
+    wins (no Python worker round trip); above it, the Arrow/numpy
+    batch distance (functions/vectors.py:l2_assign_arrow) wins — the
+    literal form costs ~0.9 s/iteration of driver expr build +
+    analysis + codegen at k=16 dim=64 and grows with k, the Arrow
+    closure is O(1) plan build. Same twin discipline as ivf_assign:
+    assignments pinned identical on the fixtures
+    (tests/test_clustering.py), d2 feeds only inertia telemetry."""
     from k8e_fetch_spark.io import fan_out
 
     # single-split parquet arrives as 1 partition; the assignment
@@ -205,6 +210,9 @@ def kmeans(
         l2_assign_arrow,
         validate_finite_centroids,
     )
+
+    if use_arrow is None:
+        use_arrow = k * dim > 512  # measured crossover; see docstring
 
     def _assign_rows(rows: list[tuple[int, list[float]]]) -> DataFrame:
         if not use_arrow:

@@ -603,10 +603,11 @@ def sim_kmeans_assign_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single k-means step from the deterministic init (first k=8 vectors
     by vec_id) IS SQL-expressible — assignment is the argmin of squared
     L2 over k known centroids with the documented (d2, cid) tie-break.
-    The REAL iterative path executes (kmeans with iterations=1: the
-    default zero-shuffle Arrow batch-distance assign + the stats
-    aggregate — and the rounded d2 column means the oracle hash pins
-    the Arrow DISTANCES, not just the assignment ids); the oracle
+    The REAL iterative path executes (kmeans with iterations=1; the
+    zero-shuffle assign auto-selects literal-vs-Arrow by model size —
+    k=8 x dim=64 sits at the crossover and runs the literal fold, and
+    the rounded d2 column means the oracle hash pins the distances
+    either way); the oracle
     recomputes the same argmin relationally in DuckDB. This covers the
     assignment math the rows-only sim_kmeans_assign (3 iterations,
     kept on the literal-expression twin for plan display) exercises at
@@ -668,11 +669,12 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressible (iteration); the Lloyd's inertia invariant is asserted
     in tests/test_clustering.py.
 
-    This query deliberately runs the LITERAL-EXPRESSION assign twin
+    This query deliberately pins the LITERAL-EXPRESSION assign twin
     (``use_arrow=False``) so the zero-shuffle inlined-argmin plan stays
-    driver-visible in EXPLAIN.md — the Arrow batch-distance path is the
-    kmeans() default everywhere else (training, SemDeDup, the oracle
-    variant above) and the two are pinned assignment-identical in
+    driver-visible in EXPLAIN.md — kmeans() otherwise auto-selects the
+    path by model size (literal at k x dim <= 512, Arrow above — the
+    measured crossover; SemDeDup and trained-IVF at k=16 take Arrow)
+    and the two are pinned assignment-identical in
     tests/test_clustering.py."""
     from k8e_fetch_spark.operators.clustering import kmeans
 

@@ -26,7 +26,7 @@ SHOWCASE = [
     ("join_asof_purchase", "as-of join as one window pass, no self-join"),
     ("dedup_exact_documents", "content-keyed dedup: single shuffle, map-side partial aggregation"),
     ("events_session_window", "session windows (merging state) over event time"),
-    ("sim_kmeans_assign", "k-means assignment, LITERAL-EXPRESSION twin kept on display (Arrow batch-distance is the kmeans default elsewhere, pinned assignment-identical): zero-shuffle inlined argmin projection; only the k-row stats aggregate exchanges"),
+    ("sim_kmeans_assign", "k-means assignment, LITERAL-EXPRESSION twin kept on display (kmeans auto-selects literal-vs-Arrow by model size; pinned assignment-identical): zero-shuffle inlined argmin projection; only the k-row stats aggregate exchanges"),
     ("sim_topk_ivf", "IVF search: zero-shuffle Arrow coarse assign — batch matmul-argmax against the closure-shipped unit-centroid matrix (no Exchange on the N-row corpus until the final per-query top-k; the literal-fold twin is pinned assignment-identical and shown in sim_kmeans_assign below)"),
     ("dedup_minhash_lsh", "MinHash LSH: 64-bit hashed shingles on the id-partitioned persisted table -> whole-stage-codegen min-aggregate signatures (no Python) -> bucket window tags (size, anchor) in one band-key shuffle -> buffer-bounded clique (collect_list only under the cap) union row-level star pairs -> exact verify on candidates"),
     ("ingest_zip_decode_repair", "zip ingest: binaryFile scan -> streaming mapInPandas decode -> width-restoring exchange -> JVM-side quote repair + from_csv parse"),
