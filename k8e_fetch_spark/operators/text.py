@@ -134,7 +134,12 @@ def repetition_stats(text_col: Column, n: int = 2) -> Column:
 
 
 def winnowing_fingerprints(
-    df, id_col: str = "doc_id", text_col: str = "text", k: int = 3, window: int = 4
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    hash_mode: str = "xxhash64",
 ):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every k-token gram, keep the minimum hash of each sliding
@@ -158,8 +163,21 @@ def winnowing_fingerprints(
     Windows: the min of every full ``window``-gram sliding window; a
     doc with fewer than ``window`` grams contributes the min over all
     its grams (same semantics as the forms it replaced).
+
+    ``hash_mode``: "xxhash64" (default — the production 64-bit gram
+    hash) or "md5_32" (first 8 hex chars of md5 as a bigint — the
+    cross-engine form both Spark and DuckDB compute identically, the
+    same convention as DSIR's feature hash; 32-bit fingerprints trade
+    collision headroom for oracle checkability, and the winnow/window
+    semantics are identical in both modes).
     """
-    hashes = F.transform(word_grams(F.col(text_col), k), lambda g: F.xxhash64(g))
+    if hash_mode == "md5_32":
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 8), 16, 10
+        ).cast("bigint")
+    else:
+        gram_hash = lambda g: F.xxhash64(g)  # noqa: E731
+    hashes = F.transform(word_grams(F.col(text_col), k), gram_hash)
 
     def winnow(arr: Column) -> Column:
         n_wins = F.size(arr) - window + 1

@@ -105,7 +105,10 @@ _PRIORITY = (
     # ROUND-9 ROTATION (VERDICT r8 next-round #1): the four rows-only
     # seats that returned `err: no_oracle` every round they appeared
     # (dedup_minhash_lsh, text_winnowing_fingerprint,
-    # text_compression_ratio, sim_topk_pq_trained) rotate OUT — their
+    # text_compression_ratio, sim_topk_pq_trained) rotate OUT
+    # (late-r9 update: text_winnowing_fingerprint was PROMOTED to a
+    # full window-min oracle via the md5_32 cross-engine gram hash —
+    # an r10 reseat candidate with first-comparable-row status) — their
     # rows-only evidence lives in pytest (test_oracle_parity rows-only
     # twins + recall/property tests) and cannot improve in the window.
     # Their seats go to the four NEW oracle-bearing r9 queries:

@@ -300,18 +300,50 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "text_winnowing_fingerprint",
-    oracle=None,  # relational winnowing; overlap semantics unit-tested
+    # Promoted from rows-only (r9): with the cross-engine md5_32 gram
+    # hash, the WHOLE winnow — gram extraction, window minima, the
+    # short-doc whole-gram fallback, distinctness — is recomputed
+    # relationally (window-min over gram positions) and hash-checked.
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8)) AS BIGINT) AS h,
+                   greatest(len(t) - 3, 0) + 1 AS m
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(t) - 3, 0) + 1)) AS s(i)
+        ),
+        wins AS (
+            SELECT doc_id, pos, m,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                   min(h) OVER (PARTITION BY doc_id) AS gmin
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, CASE WHEN m >= 4 THEN wmin ELSE gmin END AS fp
+        FROM wins WHERE m < 4 OR pos <= m - 3
+    """,
     tags=("ext-text-stats", "fingerprint", "rolling-hash"),
 )
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (k-gram hash minima per
     sliding window): the edit-tolerant document fingerprint, as
     distinct (doc_id, fp) rows ready for dedup joins. Deterministic;
-    overlap behavior verified in tests/test_text_winnowing.py."""
+    overlap behavior verified in tests/test_clustering.py.
+
+    The declared form uses the md5_32 cross-engine gram hash so the
+    full winnow is oracle-checkable (promoted from rows-only in r9 —
+    the DSIR feature-hash convention); ``hash_mode="xxhash64"`` is the
+    production 64-bit swap with identical winnow semantics, and the
+    Spark plan — zero-shuffle scan-local slice/array_min projection —
+    is the same in both modes."""
     from k8e_fetch_spark.operators.text import winnowing_fingerprints
 
     docs = fan_out(load(spark, sf_dir, "documents"))
-    return winnowing_fingerprints(docs)
+    return winnowing_fingerprints(docs, hash_mode="md5_32")
 
 
 @register(
