@@ -662,12 +662,76 @@ def dedup_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_kmeans_assign", oracle=None, tags=("ext-topk-sim", "kmeans", "iterative"))
+def _lloyd_iter_sql(i: int, dim: int) -> str:
+    """One Lloyd iteration as DuckDB CTEs: L2 argmin with the operator's
+    (d2, cid) tie-break, per-dimension member means, empty clusters
+    keeping the previous centroid (COALESCE) — mirroring
+    operators/clustering.py kmeans() exactly."""
+    return f"""
+    a{i} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(e.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
+            FROM e CROSS JOIN cent{i - 1} c
+        ) WHERE rn = 1
+    ),
+    m{i} AS (
+        SELECT cid, list(m ORDER BY pos) AS mc FROM (
+            SELECT cid, pos, avg(v[pos]) AS m
+            FROM a{i}, UNNEST(generate_series(1, {dim})) AS g(pos)
+            GROUP BY cid, pos
+        ) GROUP BY cid
+    ),
+    cent{i} AS (
+        SELECT p.cid, COALESCE(m{i}.mc, p.c) AS c
+        FROM cent{i - 1} p LEFT JOIN m{i} ON p.cid = m{i}.cid
+    )"""
+
+
+# Promoted from rows-only (late r9): 3 iterations = 2 unrolled Lloyd
+# updates (the _lloyd_iter_sql builder ivf_trained/semdedup already
+# use) + a final L2 argmin against cent2 — the "iteration is not
+# SQL-expressible" caveat only ever applied to UNBOUNDED iteration.
+_KMEANS_3ITER_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    {_lloyd_iter_sql(1, 64)},
+    {_lloyd_iter_sql(2, 64)},
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.v, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM e CROSS JOIN cent2 c
+    ),
+    best AS (
+        SELECT vec_id, cid, d2 FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, {sql_round('d2', 6)} AS d2
+    FROM best
+"""
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=_KMEANS_3ITER_ORACLE,
+    tags=("ext-topk-sim", "kmeans", "iterative"),
+)
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings (3 iterations,
-    deterministic init): the IVF centroid-training path. Non-SQL-
-    expressible (iteration); the Lloyd's inertia invariant is asserted
-    in tests/test_clustering.py.
+    deterministic init): the IVF centroid-training path, hash-checked
+    END TO END — the oracle unrolls both Lloyd centroid updates into
+    CTEs (the same builder the trained-IVF and SemDeDup oracles use)
+    and recomputes the final L2 assignment with its rounded distances,
+    so init, both mean updates, the empty-cluster carry, the (d2, cid)
+    tie-break and the third assignment are all pinned. The Lloyd
+    inertia invariant is additionally asserted in
+    tests/test_clustering.py.
 
     This query deliberately pins the LITERAL-EXPRESSION assign twin
     (``use_arrow=False``) so the zero-shuffle inlined-argmin plan stays
@@ -683,12 +747,57 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "centroid_id", round_fixed(F.col("d2"), 6).alias("d2"))
 
 
-@register("sim_topk_ivf", oracle=None, tags=("ext-topk-sim", "ivf", "ann"))
+# Promoted from rows-only (late r9): the probe restriction is itself
+# deterministic relational logic (argmax cell assignment, 4-nearest
+# probe cells, top-k within the probed union), so the APPROXIMATE
+# result — including which neighbors the probe misses — is exactly
+# recomputable in SQL. "Approximate" never meant "non-deterministic".
+_IVF_FIXED_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {sql_cosine('e.embedding', 'c.c')} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT q_id, q_emb, cid FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'c.c')} DESC, c.cid) AS pr
+            FROM e q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               {sql_round(sql_cosine('p.q_emb', 'a.embedding'), 6)} AS score
+        FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id != p.q_id
+    )
+    SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, score FROM (
+        SELECT q_id, n_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=_IVF_FIXED_ORACLE,
+    tags=("ext-topk-sim", "ivf", "ann"),
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: corpus coarse-quantized against a
     deterministic centroid table (first 16 vectors), queries probe the
     4 nearest cells only. Recall vs the exact top-k is asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Hash-checked end to end (promoted from rows-only in late r9): the
+    oracle recomputes the cell assignment, the 4-nearest probe
+    selection AND the within-probe top-5 relationally, so the probe
+    restriction itself — which neighbors the approximation sees and
+    misses — is pinned, not just the scoring."""
     emb = load(spark, sf_dir, "embeddings")
     centroids = (
         emb.filter(F.col("vec_id") < 16)
@@ -954,33 +1063,6 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
     return keep_best_per_cluster(clusters, quality)
 
-
-def _lloyd_iter_sql(i: int, dim: int) -> str:
-    """One Lloyd iteration as DuckDB CTEs: L2 argmin with the operator's
-    (d2, cid) tie-break, per-dimension member means, empty clusters
-    keeping the previous centroid (COALESCE) — mirroring
-    operators/clustering.py kmeans() exactly."""
-    return f"""
-    a{i} AS (
-        SELECT vec_id, v, cid FROM (
-            SELECT e.vec_id, e.v, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_sum(list_transform(list_zip(e.v, c.c),
-                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rn
-            FROM e CROSS JOIN cent{i - 1} c
-        ) WHERE rn = 1
-    ),
-    m{i} AS (
-        SELECT cid, list(m ORDER BY pos) AS mc FROM (
-            SELECT cid, pos, avg(v[pos]) AS m
-            FROM a{i}, UNNEST(generate_series(1, {dim})) AS g(pos)
-            GROUP BY cid, pos
-        ) GROUP BY cid
-    ),
-    cent{i} AS (
-        SELECT p.cid, COALESCE(m{i}.mc, p.c) AS c
-        FROM cent{i - 1} p LEFT JOIN m{i} ON p.cid = m{i}.cid
-    )"""
 
 
 # Lloyd training is iterative, but TWO iterations from a deterministic
