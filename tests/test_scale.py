@@ -324,3 +324,37 @@ def test_bucketed_colocated_reuses_bucket_write(spark):
     }
     assert before == after  # no rewrite happened
     assert first == second
+
+
+def test_bucketed_colocated_rewrites_on_source_change(spark):
+    """The reuse fingerprint must TRACK the source: pointing the query
+    at a different sf_dir (different parquet mtime/size) rewrites the
+    bucketed tables and updates the marker — stale reuse across
+    corpora would return the wrong corpus' answer (caught by the
+    oracle hash in the driver, but the rewrite trigger deserves its
+    own pin)."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()
+    fn = REGISTRY["join_bucketed_colocated"].fn
+    marker = Path(tempfile.gettempdir()) / "k8e_bucket_demo_wh" / "source_fingerprint.json"
+
+    small = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    fp_small = json.loads(marker.read_text())
+    assert fp_small["sf"] == str(SF_DIR)
+
+    other = "/root/testdata/sf0.01"
+    bigger = {tuple(r) for r in fn(spark, other).collect()}
+    fp_other = json.loads(marker.read_text())
+    assert fp_other["sf"] == other and fp_other != fp_small
+    # different corpus -> different aggregate (row counts differ)
+    assert {r[1] for r in small} != {r[1] for r in bigger}
+
+    # and switching BACK re-fingerprints again (no one-way latch)
+    again = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    assert again == small
+    assert json.loads(marker.read_text()) == fp_small
