@@ -883,20 +883,43 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-parquet oracle. Revenue uses the integer-cent convention
     (exact bigint sum, float order can't drift)."""
     import json
+    import os
     import tempfile
     from pathlib import Path
 
     from k8e_fetch_spark.operators.scale import write_bucketed
 
-    wh = Path(tempfile.gettempdir()) / "k8e_bucket_demo_wh"
-    wh.mkdir(exist_ok=True)
+    # Warehouse is namespaced per-uid (overridable) so two users /
+    # concurrent sessions on a shared host never race on the same
+    # marker + table files mid-rewrite; a real deployment sets the
+    # override to a per-tenant warehouse path.
+    wh = Path(
+        os.environ.get(
+            "K8E_BUCKET_DEMO_WH",
+            os.path.join(
+                tempfile.gettempdir(), f"k8e_bucket_demo_wh_{os.getuid()}"
+            ),
+        )
+    )
+    wh.mkdir(parents=True, exist_ok=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS k8e_bucket_demo LOCATION '{wh}'")
 
-    def _stat(name: str) -> list[float]:
-        st = (Path(sf_dir) / f"{name}.parquet").stat()
+    def _stat(name: str) -> list:
+        # Recursive per-part fingerprint: a parquet "table" may be a
+        # DIRECTORY of part files whose in-place edits can leave the
+        # top-level dir stat unchanged — fingerprint every file's
+        # (relpath, size, mtime) so any part rewrite invalidates reuse.
+        p = Path(sf_dir) / f"{name}.parquet"
+        if p.is_dir():
+            return [
+                [str(f.relative_to(p)), f.stat().st_size, f.stat().st_mtime]
+                for f in sorted(p.rglob("*"))
+                if f.is_file()
+            ]
+        st = p.stat()
         return [st.st_mtime, st.st_size]
 
-    fp = {"sf": str(sf_dir), "li": _stat("lineitem"), "od": _stat("orders"), "v": 1}
+    fp = {"sf": str(sf_dir), "li": _stat("lineitem"), "od": _stat("orders"), "v": 2}
     marker = wh / "source_fingerprint.json"
     reuse = False
     try:
@@ -923,7 +946,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
         write_bucketed(li, "k8e_bucket_demo.li_rev", ["l_orderkey"], 8, ["l_orderkey"])
         write_bucketed(od, "k8e_bucket_demo.od_pri", ["o_orderkey"], 8, ["o_orderkey"])
-        marker.write_text(json.dumps(fp))
+        # atomic publish: a reader never sees a half-written marker
+        tmp = marker.with_name(f".{marker.name}.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(fp))
+        tmp.replace(marker)
     lib = spark.table("k8e_bucket_demo.li_rev")
     odb = spark.table("k8e_bucket_demo.od_pri")
     cents = F.floor(

@@ -216,14 +216,14 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ),
         numbered AS (
-            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                              ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
@@ -382,14 +382,14 @@ def stream_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lag/cumsum session derivation events_session_window declares.
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ),
         numbered AS (
-            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                              ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
