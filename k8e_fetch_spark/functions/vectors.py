@@ -270,3 +270,65 @@ def l2_assign_arrow(centroid_rows) -> Column:
 
     _assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
     return pandas_udf(_assign, "struct<centroid_id:int,d2:double>")
+
+
+def coarse_assign_with_sim_arrow(cent_rows) -> "Column":
+    """Fused IVF coarse assignment + centroid cosine in ONE Arrow
+    projection: struct<centroid_id int, csim double>.
+
+    SemDeDup's declared path previously assigned via
+    :func:`coarse_assign_arrow` and then joined a broadcast centroid
+    table to compute ``cosine_arrow(vec, centroid)`` — at bench SF the
+    centroid createDataFrame/collect and the broadcast exchange are two
+    extra scheduled jobs for k rows of model state already sitting on
+    the driver. The fusion keeps both results scan-local and
+    numerically twinned with the forms it replaces:
+
+    - assignment: argmax of dot(v, c_unit) over centroids unit-
+      normalized with the SAME per-row python math as
+      operators/similarity.py:_ivf_unit_centroids (sorted by cid,
+      numpy first-occurrence argmax == smaller-cid tie-break);
+    - csim: the exact einsum/num/den sequence of :func:`cosine_arrow`
+      applied to the row's assigned RAW centroid — same ops, same
+      float64 order, so values land in the same ulp class the 6-dp
+      oracle rounding already absorbs.
+
+    ``cent_rows`` is the driver-state [(centroid_id, raw_vec)] list.
+    Returns a function of the vector column -> struct column."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(((int(cid), [float(x) for x in vec]) for cid, vec in cent_rows))
+    validate_finite_centroids(rows)
+    cids = np.asarray([cid for cid, _ in rows], dtype=np.int64)
+    Craw = np.asarray([vec for _, vec in rows], dtype=np.float64)  # (k, dim)
+    units = []
+    for _, vec in rows:
+        norm = math.sqrt(sum(x * x for x in vec))
+        units.append([x / norm for x in vec] if norm > 0 else vec)
+    U = np.asarray(units, dtype=np.float64)
+
+    def _assign(vecs):
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {
+                    "centroid_id": pd.Series([], dtype="int32"),
+                    "csim": pd.Series([], dtype="float64"),
+                }
+            )
+        X = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        j = np.argmax(X @ U.T, axis=1)
+        Csel = Craw[j]
+        num = np.einsum("ij,ij->i", X, Csel)
+        den = np.sqrt(np.einsum("ij,ij->i", X, X)) * np.sqrt(
+            np.einsum("ij,ij->i", Csel, Csel)
+        )
+        return pd.DataFrame(
+            {"centroid_id": cids[j].astype(np.int32), "csim": num / den}
+        )
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_assign, "struct<centroid_id:int,csim:double>")

@@ -160,6 +160,7 @@ def kmeans(
     iterations: int = 5,
     return_centroids: bool = False,
     use_arrow: bool | None = None,
+    local_threshold: int = 65536,
 ) -> tuple[DataFrame, list[float]] | tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
     """Lloyd's k-means; returns (assignments DataFrame, inertia per
     iteration) — plus the trained centroid rows when
@@ -185,6 +186,77 @@ def kmeans(
     (tests/test_clustering.py), d2 feeds only inertia telemetry."""
     from k8e_fetch_spark.io import fan_out
 
+    from k8e_fetch_spark.functions.vectors import (
+        l2_assign_arrow,
+        validate_finite_centroids,
+    )
+
+    # Job-count fuse (r10): the Lloyd loop is inherently sequential —
+    # one stats job per iteration — which at small input is pure
+    # scheduling floor (per-job cost dwarfs per-row work). Below
+    # ``local_threshold`` rows the trainer collects the corpus ONCE
+    # (<= threshold x dim doubles) and runs the SAME deterministic
+    # Lloyd math in numpy on the driver: identical init (first k by
+    # id), identical argmin tie rule (first occurrence == smaller
+    # centroid id), identical empty-cluster rule (keep old centroid) —
+    # centroids agree with the distributed loop to float fold order,
+    # the same ulp class the cross-engine oracles already absorb
+    # (pinned equal-assignment in tests/test_clustering.py). The
+    # returned DataFrame is still the distributed zero-shuffle
+    # projection, under the same pre-final-update centroids the
+    # distributed loop returns it under. Above the threshold — always
+    # at real scale — CollectLimit short-circuits after threshold+1
+    # rows and the distributed per-iteration loop runs unchanged
+    # (train_centroids_sampled remains the sampled 100 TB path).
+    probe = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .limit(local_threshold + 1)
+        .collect()
+    )
+    if not probe:
+        raise ValueError("k-means init: input has no rows")
+
+    if len(probe) <= local_threshold:
+        import numpy as np
+
+        rows_sorted = sorted(probe, key=lambda r: r[id_col])
+        X = np.asarray([list(r[vec_col]) for r in rows_sorted], dtype=np.float64)
+        dim = X.shape[1]
+        if use_arrow is None:
+            use_arrow = k * dim > 512  # measured crossover; see docstring
+        C = X[: min(k, len(rows_sorted))].copy()  # init: first k by id
+        inertia_history_local: list[float] = []
+        last_cents = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+        for _ in range(iterations):
+            d2l = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            jl = np.argmin(d2l, axis=1)
+            inertia_history_local.append(float(d2l[np.arange(len(jl)), jl].sum()))
+            last_cents = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+            for cid in range(len(C)):
+                members = X[jl == cid]
+                if len(members):
+                    C[cid] = members.mean(axis=0)
+        centroid_rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+
+        vecs_local = fan_out(
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        )
+        if not use_arrow:
+            assigned_local = _assign(vecs_local, last_cents, id_col, vec_col)
+        else:
+            validate_finite_centroids(last_cents)
+            al = l2_assign_arrow(last_cents)(F.col(vec_col))
+            assigned_local = vecs_local.select(
+                F.col(id_col),
+                F.col(vec_col),
+                al["centroid_id"].alias("centroid_id"),
+                al["d2"].alias("d2"),
+            )
+        result_local = assigned_local.select(id_col, "centroid_id", "d2")
+        if return_centroids:
+            return result_local, inertia_history_local, centroid_rows
+        return result_local, inertia_history_local
+
     # single-split parquet arrives as 1 partition; the assignment
     # projection would serialize on one core. Widen once, cache: every
     # iteration re-reads this exact frame.
@@ -201,15 +273,8 @@ def kmeans(
         .limit(k)
         .collect()
     )
-    if not init:
-        raise ValueError("k-means init: input has no rows")
     dim = len(init[0][vec_col])  # from the init collect — no extra probe job
     centroid_rows = [(i, list(r[vec_col])) for i, r in enumerate(init)]
-
-    from k8e_fetch_spark.functions.vectors import (
-        l2_assign_arrow,
-        validate_finite_centroids,
-    )
 
     if use_arrow is None:
         use_arrow = k * dim > 512  # measured crossover; see docstring
@@ -473,8 +538,10 @@ def semdedup(
     from pyspark.sql import Window
 
     from k8e_fetch_spark.functions.rounding import round_fixed
-    from k8e_fetch_spark.functions.vectors import cosine_arrow
-    from k8e_fetch_spark.operators.similarity import ivf_assign
+    from k8e_fetch_spark.functions.vectors import (
+        coarse_assign_with_sim_arrow,
+        cosine_arrow,
+    )
 
     if train_sample is not None:
         cent_rows = train_centroids_sampled(
@@ -484,15 +551,23 @@ def semdedup(
         _assigned, _hist, cent_rows = kmeans(
             df, id_col, vec_col, k=k, iterations=iterations, return_centroids=True
         )
-    centroids = df.sparkSession.createDataFrame(
-        [(cid, vec) for cid, vec in cent_rows],
-        "centroid_id int, centroid array<double>",
-    )
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
-    withsim = assigned.join(F.broadcast(centroids), on="centroid_id").withColumn(
-        "csim", cosine_arrow(F.col(vec_col), F.col("centroid"))
+    # centroids are driver state (k x dim doubles): assignment and the
+    # centroid cosine fuse into ONE scan-local Arrow projection — no
+    # centroid createDataFrame/collect round trip, no broadcast join
+    # (two scheduled jobs saved; the math twins the ivf_assign +
+    # cosine_arrow forms it replaces, see coarse_assign_with_sim_arrow)
+    a = coarse_assign_with_sim_arrow(cent_rows)(F.col(vec_col))
+    withsim = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        a["centroid_id"].alias("centroid_id"),
+        a["csim"].alias("csim"),
     )
     w = Window.partitionBy("centroid_id").orderBy(F.asc("csim"), F.asc(id_col))
+    # NOTE (r10): ranked feeds both self-join sides and the final
+    # keep/drop join; an explicit persist here measured SLOWER than
+    # letting ReusedExchange deduplicate the window subplan (2.7 s vs
+    # 1.8 s warm at sf0.1) — do not re-add it.
     ranked = withsim.withColumn("rn", F.row_number().over(w)).select(
         "centroid_id", id_col, vec_col, "csim", "rn"
     )

@@ -378,9 +378,12 @@ def dsir_importance_weights(
     production swap, absent from the oracle engine).
 
     Scale: two map-side-combined aggregate shuffles (bucket counts on
-    <= n_buckets keys, per-doc sums on uniform doc ids); the lambda
-    table is n_buckets rows and broadcasts; the totals are a 1-row
-    broadcast crossJoin. State never exceeds O(n_buckets)."""
+    <= n_buckets keys, per-doc sums on uniform doc ids). The lambda
+    model is O(n_buckets) driver state either way: at the default 4096
+    buckets it inlines as a literal array into the scoring projection
+    (two jobs total); above the literal threshold it ships as a
+    broadcast join with a 1-row totals crossJoin. State never exceeds
+    O(n_buckets)."""
     toks = df.select(
         F.col(id_col),
         target.alias("_is_target"),
@@ -414,8 +417,37 @@ def dsir_importance_weights(
         F.count(F.lit(1)).alias("raw_c"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
     )
-    tot = cnt.agg(F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot"))
     b = float(n_buckets)
+    # The bucket model IS driver-sized state (<= n_buckets rows): pull
+    # the counts once, finish the lambda table in ln on the driver, and
+    # inline it as ONE literal double array indexed by bucket id. The
+    # scoring pass becomes groupBy(doc) over element_at(λ, f+1) — no
+    # lambda broadcast join, no 1-row totals crossJoin, so the whole
+    # pipeline is TWO jobs (model collect + scoring) instead of four
+    # (each broadcast build re-ran the bigram explode). Unobserved
+    # buckets hold 0.0 and are unreachable (feat only emits observed
+    # f). math.log vs the JVM's ln differ at <= 0.5 ulp — absorbed by
+    # the 6-dp rounding every consumer applies, the same class as the
+    # engines' own fold-order drift. Above the literal threshold
+    # (production-width models) the broadcast-join form remains.
+    if n_buckets <= 8192:
+        import math
+
+        rows = cnt.collect()
+        r_tot = float(sum(r["raw_c"] for r in rows))
+        t_tot = float(sum(r["tgt_c"] for r in rows))
+        lam_arr = [0.0] * n_buckets
+        for r in rows:
+            lam_arr[int(r["f"])] = math.log(
+                (r["tgt_c"] + 1.0) / (t_tot + b)
+            ) - math.log((r["raw_c"] + 1.0) / (r_tot + b))
+        lam_lit = F.expr(
+            "array(" + ",".join(f"{x!r}D" for x in lam_arr) + ")"
+        )
+        return feat.groupBy(id_col).agg(
+            F.sum(F.element_at(lam_lit, F.col("f").cast("int") + 1)).alias("weight")
+        )
+    tot = cnt.agg(F.sum("raw_c").alias("r_tot"), F.sum("tgt_c").alias("t_tot"))
     lam = cnt.crossJoin(F.broadcast(tot)).select(
         "f",
         (

@@ -17,12 +17,12 @@ WindowGroupLimit pushes the ``<= cap`` limit below the exchange, so a
 10M-document boilerplate domain ships only its first ``cap`` survivors
 per map partition instead of the whole cluster of rows.
 
-Registered-domain note: the last-two-labels rule here is deliberately
-naive (``co.uk``-style public suffixes fold wrong). The production
-form broadcasts the public-suffix list as a map and takes the longest
-matching suffix + 1 label — same plan shape, a lookup join instead of
-a slice. The declared query pins the naive rule on planted hosts where
-the two coincide.
+Registered-domain note: :func:`registered_domain_psl` (r10) is the
+real rule — longest matching PUBLIC SUFFIX + one label, against an
+embedded curated subset of the public-suffix list (publicsuffix.org);
+the declared query pins it on planted ``co.uk``-class hosts where it
+and the naive rule DISAGREE. :func:`registered_domain` (naive last
+two labels) stays for callers that want the cheap approximation.
 
 Reference parity: the k8e-fetch reference has no web stage; this is
 part of the LLM-pipeline extension surface (SURVEY.md §2.6).
@@ -76,4 +76,97 @@ def domain_cap(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
+    )
+
+
+# Curated subset of the PUBLIC SUFFIX LIST (publicsuffix.org) — the
+# multi-label registry suffixes a web crawl hits most. Single-label
+# TLDs need no entry (the fallback rule covers them). The full ~9k-line
+# PSL (including wildcard/exception rules) drops into the same tuples;
+# the expression form below stays scan-local either way, and a
+# broadcast lookup join is the like-for-like swap if the list ever
+# outgrows literal inlining.
+PUBLIC_SUFFIXES_3: tuple[str, ...] = (
+    "city.nagoya.jp",
+    "city.sapporo.jp",
+    "city.yokohama.jp",
+    "k12.ma.us",
+    "nsw.edu.au",
+    "qld.edu.au",
+    "vic.edu.au",
+)
+
+PUBLIC_SUFFIXES_2: tuple[str, ...] = (
+    "ac.cn", "ac.id", "ac.il", "ac.in", "ac.jp", "ac.ke", "ac.kr",
+    "ac.nz", "ac.th", "ac.uk", "ac.za", "ad.jp", "asn.au", "co.id",
+    "co.il", "co.in", "co.jp", "co.ke", "co.kr", "co.nz", "co.th",
+    "co.uk", "co.za", "com.ar", "com.au", "com.br", "com.cn",
+    "com.eg", "com.hk", "com.mx", "com.my", "com.ng", "com.ph",
+    "com.pl", "com.sa", "com.sg", "com.tr", "com.tw", "com.ua",
+    "com.vn", "ed.jp", "edu.au", "edu.br", "edu.cn", "edu.eg",
+    "edu.hk", "edu.in", "edu.mx", "edu.my", "edu.ng", "edu.ph",
+    "edu.pl", "edu.sg", "edu.tr", "edu.tw", "edu.ua", "edu.vn",
+    "firm.in", "gen.in", "go.id", "go.jp", "go.ke", "go.kr",
+    "go.th", "gob.ar", "gob.mx", "gov.au", "gov.br", "gov.cn",
+    "gov.hk", "gov.il", "gov.in", "gov.ng", "gov.ph", "gov.pl",
+    "gov.sg", "gov.tr", "gov.tw", "gov.ua", "gov.uk", "gov.vn",
+    "govt.nz", "gr.jp", "id.au", "in.th", "ind.in", "lg.jp",
+    "ltd.uk", "me.uk", "muni.il", "ne.jp", "ne.kr", "net.ar",
+    "net.au", "net.br", "net.cn", "net.hk", "net.in", "net.mx",
+    "net.my", "net.ng", "net.nz", "net.ph", "net.pl", "net.sg",
+    "net.tr", "net.tw", "net.ua", "net.uk", "net.vn", "net.za",
+    "nhs.uk", "or.id", "or.jp", "or.ke", "or.kr", "or.th",
+    "org.ar", "org.au", "org.br", "org.cn", "org.hk", "org.il",
+    "org.in", "org.mx", "org.my", "org.ng", "org.nz", "org.ph",
+    "org.pl", "org.sg", "org.tr", "org.tw", "org.ua", "org.uk",
+    "org.vn", "org.za", "plc.uk", "police.uk", "re.kr", "res.in",
+    "sch.uk", "school.nz", "waw.pl", "web.id", "web.za",
+)
+
+
+def registered_domain_psl(host: Column) -> Column:
+    """Public-suffix-aware registered domain: longest matching public
+    suffix + one label. ``shop.acme.co.uk`` -> ``acme.co.uk`` (the
+    naive last-two-labels rule folds it to ``co.uk``, merging every
+    UK brand into one "domain" — a real crawl hits this on day one).
+
+    Longest-match order: 3-label suffixes first, then 2-label, then
+    the single-label fallback (plain last-two-labels). Pure scan-local
+    column expression — the suffix set inlines as a literal ``isin``,
+    no join, no shuffle; identical CASE logic is emitted for the
+    DuckDB oracle by :func:`sql_registered_domain_psl`."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    last4 = F.concat_ws(".", F.slice(parts, -4, 4))
+    # a host that IS a bare public suffix has no registrable label —
+    # convention: return the host unchanged (same as single-label hosts)
+    return (
+        F.when(
+            last3.isin(list(PUBLIC_SUFFIXES_3)),
+            F.when(n >= 4, last4).otherwise(host),
+        )
+        .when(
+            last2.isin(list(PUBLIC_SUFFIXES_2)),
+            F.when(n >= 3, last3).otherwise(host),
+        )
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def sql_registered_domain_psl(host_expr: str) -> str:
+    """DuckDB rendering of :func:`registered_domain_psl` — generated
+    from the SAME suffix tuples so the two engines cannot drift."""
+    s3 = ",".join(f"'{s}'" for s in PUBLIC_SUFFIXES_3)
+    s2 = ",".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    parts = f"string_split({host_expr}, '.')"
+    return (
+        f"CASE WHEN array_to_string({parts}[-3:], '.') IN ({s3}) "
+        f"THEN CASE WHEN len({parts}) >= 4 THEN array_to_string({parts}[-4:], '.') ELSE {host_expr} END "
+        f"WHEN array_to_string({parts}[-2:], '.') IN ({s2}) "
+        f"THEN CASE WHEN len({parts}) >= 3 THEN array_to_string({parts}[-3:], '.') ELSE {host_expr} END "
+        f"WHEN len({parts}) >= 2 THEN array_to_string({parts}[-2:], '.') "
+        f"ELSE {host_expr} END"
     )

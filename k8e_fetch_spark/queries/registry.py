@@ -151,8 +151,20 @@ _PRIORITY = (
     # see BASELINE.md round-8 A/B. Rotation comments now carry their
     # round number for exactly this reason.
     #
-    # §2.3/§2.4 projection, repair, compress + the full cfg-driven flow
-    "pipeline_end_to_end",
+    # ROUND-10 ROTATION (VERDICT r9 next-round #2): the three late-r9
+    # oracle promotions — text_winnowing_fingerprint (window-min
+    # winnowing via the md5_32 gram hash), sim_kmeans_assign (3
+    # unrolled Lloyd iterations), sim_topk_ivf (probe-limited IVF
+    # search recomputed exactly) — are the only oracle-bearing queries
+    # with zero driver hash history (their window rows predate the
+    # promotion). They take the seats of pipeline_end_to_end (6
+    # greens) and stream_dedup_redelivery (6 greens) — the two
+    # longest-green rows, both code-unchanged this round — and
+    # dedup_cluster_keep_best (5 greens, untouched). Rotated-out rows
+    # keep recorded history + tests/test_oracle_parity.py parity.
+    "text_winnowing_fingerprint",
+    "sim_kmeans_assign",
+    "sim_topk_ivf",
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
@@ -183,7 +195,6 @@ _PRIORITY = (
     "corpus_clean_mix_pipeline",
     # dedup family
     "dedup_apply_retention",
-    "dedup_cluster_keep_best",
     "dedup_cross_source_overlap",
     "dedup_incremental_snapshot",
     # r8 addition: incremental NEAR-dup (batch vs corpus banding),
@@ -211,9 +222,8 @@ _PRIORITY = (
     # events analytics (funnel keeps seat; retention cohort first row)
     "events_funnel_conversion",
     "events_retention_cohort",
-    # ext-stream-window (real streams at 2 greens keep seats; the new
-    # stream-static enrichment takes its first row)
-    "stream_dedup_redelivery",
+    # ext-stream-window (stream_dedup_redelivery rotated out r10 at 6
+    # greens; the enrichment row keeps its seat)
     # r9 mid-round swap: stream_join_attribution (5 greens, untouched)
     # rotates OUT for the new C4 line-cleaning query (first driver row)
     "text_line_cleaning",

@@ -595,7 +595,9 @@ _Q22_ORACLE = f"""
         SELECT avg(c_acctbal) FROM customer
         WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       )
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY c_nationkey
 """
 
@@ -607,7 +609,10 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the suite's two remaining decorrelation shapes in one
     query: a scalar subquery (above-average account balance, computed
     once and broadcast as a literal predicate) and a NOT EXISTS
-    anti-join against orders."""
+    anti-join against RECENT orders (Q22's "no orders in the window" =
+    lapsed customers; the fixture has every customer ordering at least
+    once overall, so the unwindowed anti side was vacuously empty —
+    caught by the r10 non-vacuous sweep)."""
     nations = [1, 3, 5, 7, 9, 11, 13]
     customer = load(spark, sf_dir, "customer")
     in_set = customer.filter(F.col("c_nationkey").isin(nations))
@@ -615,7 +620,11 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = in_set.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("_avg_bal")
     )
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         in_set.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))

@@ -143,15 +143,21 @@ def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
     """,
     tags=("ext-typed-relational", "anti-join"),
 )
 def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers who never ordered — the
-    same primitive the Compress merge uses (op-insert-ignore)."""
+    """Left-anti join (NOT EXISTS): customers who never placed a big
+    order — the same primitive the Compress merge uses
+    (op-insert-ignore). The big-order threshold keeps the anti side
+    NON-EMPTY at every fixture SF (the r10 non-vacuous sweep caught the
+    unfiltered form returning zero rows at the driver SF — every
+    customer has SOME order, so its green rows proved nothing)."""
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -319,16 +325,20 @@ def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
     """,
     tags=("ext-typed-relational", "scalar-subquery", "anti-join"),
 )
 def scalar_subquery_rich_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: scalar subquery (global average, computed once
-    and broadcast as a 1-row literal join) + anti join. The scalar side
-    never shuffles the big table twice."""
+    and broadcast as a 1-row literal join) + anti join against the
+    big-order subset (non-empty at every fixture SF — the unfiltered
+    anti side was vacuously empty, r10 sweep). The scalar side never
+    shuffles the big table twice."""
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     avg_bal = customer.agg(F.avg("c_acctbal").alias("_avg"))
     return (
         customer.crossJoin(F.broadcast(avg_bal))

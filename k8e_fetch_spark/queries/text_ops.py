@@ -1532,15 +1532,22 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOMAIN_FILTER_ORACLE = """
+def _domain_filter_oracle() -> str:
+    from k8e_fetch_spark.operators.web import sql_registered_domain_psl
+
+    return f"""
     WITH urls AS (
         SELECT doc_id,
                'https://' ||
                CASE WHEN doc_id % 20 < 10 THEN
                         CASE WHEN doc_id % 2 = 0 THEN 'cdn.boilerplate.com'
                              ELSE 'img.boilerplate.com' END
+                    WHEN doc_id % 20 < 13 THEN
+                        CASE WHEN doc_id % 2 = 0 THEN 'shop.acme.co.uk'
+                             ELSE 'blog.acme.co.uk' END
                     WHEN doc_id % 20 < 15 THEN 'news.example.org'
                     WHEN doc_id % 20 = 15 THEN 'tracker.spamlist.net'
+                    WHEN doc_id % 20 = 16 THEN 'www.other.co.uk'
                     ELSE 'www.longtail' || CAST(doc_id % 20 AS VARCHAR) || '.org'
                END || '/doc/' || CAST(doc_id AS VARCHAR) AS url
         FROM documents
@@ -1552,9 +1559,7 @@ _DOMAIN_FILTER_ORACLE = """
     ),
     dom AS (
         SELECT doc_id, host,
-               CASE WHEN len(string_split(host, '.')) >= 2
-                    THEN array_to_string(string_split(host, '.')[-2:], '.')
-                    ELSE host END AS domain
+               {sql_registered_domain_psl("host")} AS domain
         FROM parsed
     ),
     capped AS (
@@ -1566,6 +1571,9 @@ _DOMAIN_FILTER_ORACLE = """
 """
 
 
+_DOMAIN_FILTER_ORACLE = _domain_filter_oracle()
+
+
 @register(
     "text_domain_filter",
     oracle=_DOMAIN_FILTER_ORACLE,
@@ -1574,15 +1582,23 @@ _DOMAIN_FILTER_ORACLE = """
 def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain curation front door (the C4/RefinedWeb first filter),
     hash-checked against SQL ground truth: host extraction from the
-    URL, naive registered-domain fold (last two labels), blocklist
-    drop, and a 40-docs-per-domain cap. URLs are planted
-    deterministically from doc_id with a skewed distribution — one
-    boilerplate domain owns 50% of the corpus across two subdomains
-    (the cap must count them together), one blocklisted tracker
-    domain, and a long tail — so every mechanism provably fires.
+    URL, PUBLIC-SUFFIX-aware registered-domain fold (longest matching
+    suffix + one label — operators/web.py:registered_domain_psl, r10,
+    replacing the naive last-two-labels rule), blocklist drop, and a
+    40-docs-per-domain cap. URLs are planted deterministically from
+    doc_id with a skewed distribution — one boilerplate domain owns
+    50% of the corpus across two subdomains (the cap must count them
+    together), one ``co.uk`` brand across two subdomains (folds to
+    ``acme.co.uk``; the naive rule would fold it to ``co.uk`` and
+    merge it with the OTHER planted UK brand, changing the cap
+    counts, so the hash check distinguishes the rules), one
+    blocklisted tracker domain, and a long tail — every mechanism
+    provably fires.
 
     operators/web.py has the pieces: scan-local regex projection for
-    host/domain, literal isin for the small blocklist (broadcast
+    host/domain, the suffix set inlined as a literal isin (the full
+    PSL drops into the same tuples; broadcast lookup join is the
+    outgrow path), literal isin for the small blocklist (broadcast
     anti-join is the big-list drop-in), and ONE row_number window on
     the domain whose <= cap filter WindowGroupLimit pushes below the
     exchange — a 10M-doc boilerplate domain ships cap survivors per
@@ -1591,7 +1607,7 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_blocklist_filter,
         domain_cap,
         host_of,
-        registered_domain,
+        registered_domain_psl,
     )
 
     docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
@@ -1603,8 +1619,15 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("img.boilerplate.com")
             ),
         )
+        .when(
+            bucket < 13,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("shop.acme.co.uk")).otherwise(
+                F.lit("blog.acme.co.uk")
+            ),
+        )
         .when(bucket < 15, F.lit("news.example.org"))
         .when(bucket == 15, F.lit("tracker.spamlist.net"))
+        .when(bucket == 16, F.lit("www.other.co.uk"))
         .otherwise(F.concat(F.lit("www.longtail"), bucket.cast("string"), F.lit(".org")))
     )
     urls = docs.select(
@@ -1615,7 +1638,7 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = urls.select("doc_id", host_of(F.col("url")).alias("host"))
     dom = parsed.select(
-        "doc_id", "host", registered_domain(F.col("host")).alias("domain")
+        "doc_id", "host", registered_domain_psl(F.col("host")).alias("domain")
     )
     kept = domain_blocklist_filter(dom, "domain", ["spamlist.net"])
     return domain_cap(kept, "domain", "doc_id", 40).select("doc_id", "host", "domain")

@@ -50,3 +50,35 @@ def test_declared_schema_is_driver_hashable(spark, name):
         "list/dict cells) — serialize them with F.to_json, matching "
         "the oracle's string rendering"
     )
+
+
+# The r9 lesson (sim_hybrid_search): a hash-green row over an EMPTY
+# result proves nothing — the oracle and the query can both return zero
+# rows while the operator under test never fires. Generalized here the
+# same way r8 generalized the hashability lesson: every declared query
+# must return at least one row at the driver's correctness SF. A query
+# whose correct output is legitimately empty must opt in explicitly.
+_EMPTY_OK: frozenset[str] = frozenset(
+    {
+        # op-schema-clone IS "CREATE TABLE ... LIMIT 0" (fetcher.bash:157):
+        # zero rows is the operator's entire contract; the schema compare
+        # still runs against the WHERE FALSE oracle.
+        "compress_schema_clone",
+    }
+)
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_declared_result_is_non_vacuous(spark, name):
+    if name in _EMPTY_OK:
+        pytest.skip("legitimately-empty output, allowlisted")
+    from tests.conftest import SF_DIR_MID
+
+    q = REGISTRY[name]
+    n = q.fn(spark, SF_DIR_MID).limit(1).count()
+    assert n > 0, (
+        f"{name}: returns ZERO rows at sf0.01 — a green driver row "
+        "over an empty result is vacuous (the r9 sim_hybrid_search "
+        "lesson); make the fixture/selection produce rows or allowlist "
+        "the query in _EMPTY_OK with a rationale"
+    )

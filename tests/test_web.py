@@ -67,3 +67,43 @@ def test_domain_cap_pushes_group_limit(spark):
     )
     plan = domain_cap(df, "domain", "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_registered_domain_psl_fold(spark):
+    """PSL longest-match: 2-label suffixes, 3-label suffixes, plain
+    TLDs, and the under-length edges — cross-checked against the DuckDB
+    rendering so the two engines cannot drift."""
+    from k8e_fetch_spark.operators.web import (
+        registered_domain_psl,
+        sql_registered_domain_psl,
+    )
+
+    cases = [
+        ("shop.acme.co.uk", "acme.co.uk"),
+        ("blog.acme.co.uk", "acme.co.uk"),
+        ("acme.co.uk", "acme.co.uk"),
+        ("co.uk", "co.uk"),  # a bare public suffix has no registrable label
+        ("cdn.img.boilerplate.com", "boilerplate.com"),
+        ("example.org", "example.org"),
+        ("deep.sub.school.city.nagoya.jp", "school.city.nagoya.jp"),  # 3-label suffix
+        ("city.nagoya.jp", "city.nagoya.jp"),
+        ("www.site.k12.ma.us", "site.k12.ma.us"),
+        ("localhost", "localhost"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    bad = df.select(
+        "want", registered_domain_psl(F.col("host")).alias("got")
+    ).filter(F.col("want") != F.col("got"))
+    assert bad.count() == 0, bad.collect()
+
+    import duckdb
+
+    con = duckdb.connect()
+    expr = sql_registered_domain_psl("host")
+    for host, want in cases:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS host)", [host]
+        ).fetchone()[0]
+        assert got == want, (host, got, want)
+    con.close()
