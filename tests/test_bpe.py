@@ -191,3 +191,47 @@ def test_fold_matches_python_greedy_on_seeded_random_words(spark):
         }
         for w in words:
             assert got[w] == py_greedy(w, pairs), (w, pairs, got[w])
+
+
+def test_local_trainer_matches_distributed_loop(spark):
+    """The r10 local trainer (one vocab collect, all merges on the
+    driver) must match the distributed per-iteration loop EXACTLY —
+    same merge list (pairs, ranks, counts) and same final symbolized
+    vocab — on the real fixture corpus. local_vocab_threshold=0 forces
+    the distributed twin."""
+    from k8e_fetch_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "text"
+    )
+    m_local, v_local = learn_bpe_merges(docs, n_merges=6)
+    m_dist, v_dist = learn_bpe_merges(docs, n_merges=6, local_vocab_threshold=0)
+    assert m_local == m_dist
+    rows_local = sorted(map(tuple, v_local.collect()))
+    rows_dist = sorted(map(tuple, v_dist.collect()))
+    assert rows_local == rows_dist
+
+
+def test_local_trainer_deep_merges_bounded_jobs(spark):
+    """merges >> 3 with a job count independent of n_merges: 128
+    merges must run exactly the probe-collect + (lazy) createDataFrame
+    — no per-merge Spark jobs (the distributed loop costs ~3/merge)."""
+    from k8e_fetch_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "text"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-deep", "bpe-deep")
+    merges, _vocab = learn_bpe_merges(docs, n_merges=64)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-deep")
+    sc.setJobGroup(None, None)
+    # (the sf0.001 corpus exhausts at ~89 merges — 64 stays below that)
+    assert len(merges) == 64
+    assert len(merges) == len({p for _, p, _ in merges})
+    # ranks strictly ordered, counts positive and non-increasing is NOT
+    # guaranteed (later merges can create new frequent pairs), but every
+    # count must be >= 1 and ranks must be 1..n
+    assert [r for r, _, _ in merges] == list(range(1, 65))
+    assert all(c >= 1 for _, _, c in merges)
+    assert len(jobs or []) <= 2, f"expected <=2 jobs, got {len(jobs)}"
