@@ -62,7 +62,15 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
 
 
-def hashed_shingles(text: Column, k: int = 3) -> Column:
+def md5_32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint — the cross-engine hash
+    convention (DuckDB: ``CAST(('0x' || substr(md5(x),1,8)) AS
+    BIGINT)`` computes the identical value; same rule as DSIR's
+    feature hash and the winnowing fingerprint)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hashed_shingles(text: Column, k: int = 3, hash_mode: str = "xxhash64") -> Column:
     """Distinct k-word shingles as 64-bit identities — the set-identity
     form the pair pipelines store and intersect.
 
@@ -78,10 +86,30 @@ def hashed_shingles(text: Column, k: int = 3) -> Column:
     ~S^2/2^65 (< 1e-7 at 10^6 shingles), and the outcome is
     DETERMINISTIC per dataset — the same guarantee MinHash itself
     already rests on. Callers that need literal string sets (the text
-    analysis ops) keep using :func:`shingles`."""
+    analysis ops) keep using :func:`shingles`.
+
+    ``hash_mode``: "xxhash64" (default — the production 64-bit
+    identities above) or "md5_32" (:func:`md5_32` of the space-joined
+    gram string — the cross-engine form a DuckDB oracle recomputes
+    identically; 32-bit identities trade collision headroom S^2/2^33
+    for oracle checkability, and any collision is DETERMINISTIC and
+    shared by both engines, so parity is unaffected). The short-doc
+    whole-text fallback cannot cross-collide with grams in either
+    mode: multi-arg xxhash64 seeds per field, and a <k-token trimmed
+    text never string-equals a k-token space-joined gram."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)
+    if hash_mode == "md5_32":
+        grams = F.transform(
+            idx,
+            lambda i: md5_32(
+                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+            ),
+        )
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(
+            F.array(md5_32(F.trim(text)))
+        )
     grams = F.transform(idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(k)]))
     # short docs: single whole-text shingle, hashed in the same domain
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array(F.xxhash64(F.trim(text))))
@@ -187,21 +215,34 @@ def minhash_signature_arrow(num_hashes: int = 32):
     return pandas_udf(_sig, "array<bigint>")
 
 
-def lsh_bands(sig_col: Column, num_bands: int = 8, num_hashes: int = 32) -> Column:
+def lsh_bands(
+    sig_col: Column,
+    num_bands: int = 8,
+    num_hashes: int = 32,
+    band_key: str = "xxhash64",
+) -> Column:
     """Split the signature into bands; each band hashes to a bucket key.
-    Docs sharing any (band_idx, band_hash) become candidate pairs."""
+    Docs sharing any (band_idx, band_hash) become candidate pairs.
+
+    ``band_key``: "xxhash64" folds the band's values to one 8-byte key
+    (the production form — fixed-width shuffle keys); "concat" keeps
+    the comma-joined value string as the key — the cross-engine form a
+    SQL oracle reproduces verbatim (identical band membership either
+    way: equal value tuples iff equal keys; the hash adds only a
+    2^-64 collision that the concat form doesn't have)."""
     if num_hashes % num_bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by num_bands={num_bands}")
     rows_per_band = num_hashes // num_bands
     band_structs = []
     for bi in range(num_bands):
         band = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
+        joined = F.concat_ws(",", *[band[i] for i in range(rows_per_band)])
         band_structs.append(
             F.struct(
                 F.lit(bi).alias("band_idx"),
-                F.xxhash64(
-                    F.concat_ws(",", *[band[i] for i in range(rows_per_band)])
-                ).alias("band_hash"),
+                (F.xxhash64(joined) if band_key == "xxhash64" else joined).alias(
+                    "band_hash"
+                ),
             )
         )
     return F.array(*band_structs)
@@ -214,6 +255,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     max_bucket: int = 1024,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join: candidate pairs with
     exact Jaccard verification over the distinct shingle sets
@@ -279,17 +321,26 @@ def minhash_candidate_pairs(
     except Exception:  # Spark Connect: no sparkContext
         width = 32
     sh = df.repartition(width, F.col(id_col)).select(
-        F.col(id_col).alias("doc"), hashed_shingles(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("doc"),
+        hashed_shingles(F.col(text_col), hash_mode=hash_mode).alias("sh"),
     )
     from k8e_fetch_spark.functions.caching import persist_scoped
 
-    sh = persist_scoped("minhash.shingles", sh)
+    sh = persist_scoped(f"minhash.shingles.{hash_mode}", sh)
     # MinHash signature as a whole-stage-codegen aggregation over the
     # id-partitioned table (no exchange, no Python worker round-trip —
     # see minhash_signature_agg for the arithmetic-parity contract).
     sig = minhash_signature_agg(sh, num_hashes=num_hashes)
     bands = sig.select(
-        "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
+        "doc",
+        F.explode(
+            lsh_bands(
+                F.col("sig"),
+                num_bands,
+                num_hashes,
+                band_key="concat" if hash_mode == "md5_32" else "xxhash64",
+            )
+        ).alias("b"),
     )
     # Buffer-bounded pair generation on the band key. A window over the
     # bucket tags every row with (bucket size m, min-doc anchor): ONE
@@ -356,7 +407,7 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, hash_mode: str = "xxhash64") -> Column:
     """64-bit SimHash of whitespace tokens: bit b is set when the
     majority of token hashes have bit b set. Pure projection — computed
     per row with zero shuffles.
@@ -365,15 +416,43 @@ def simhash64(text: Column) -> Column:
     a struct; 64 separate ``size(filter(...))`` expressions would make
     projection collapse re-tokenize + re-hash the text 64x per row (see
     minhash_signature for the same pathology, measured at sf0.1).
-    """
-    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
+
+    ``hash_mode``: "xxhash64" (default — one 64-bit token hash) or
+    "md5_32x2" (the cross-engine form: the token's 64 projection bits
+    come from TWO md5-derived 32-bit halves — bits 0..31 from hex
+    chars 9..16, bits 32..63 from hex chars 1..8 — which a DuckDB
+    oracle recomputes identically; the bit SOURCE differs but the
+    SimHash semantics — fixed pseudo-random projection per token —
+    are the same)."""
+    if hash_mode == "md5_32x2":
+        hashes = F.transform(
+            F.split(F.trim(text), r"\s+"),
+            lambda t: F.struct(
+                md5_32(t).alias("hi"),
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+                .cast("bigint")
+                .alias("lo"),
+            ),
+        )
+    else:
+        hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
     init = F.struct(
         F.array(*[F.lit(0).cast("long") for _ in range(64)]).alias("c"),
         F.lit(0).cast("long").alias("n"),
     )
 
     def step(acc: Column, h: Column) -> Column:
-        bits = F.array(*[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(64)])
+        if hash_mode == "md5_32x2":
+            bits = F.array(
+                *[
+                    F.shiftright(h["lo"] if b < 32 else h["hi"], b % 32).bitwiseAND(
+                        F.lit(1)
+                    )
+                    for b in range(64)
+                ]
+            )
+        else:
+            bits = F.array(*[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(64)])
         return F.struct(
             F.zip_with(acc["c"], bits, lambda x, y: x + y).alias("c"),
             (acc["n"] + 1).alias("n"),
@@ -406,6 +485,7 @@ def simhash_candidate_pairs(
     text_col: str,
     max_hamming: int = 8,
     max_group: int = 256,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: signatures (zero-shuffle projection),
     candidates blocked on the high 16 signature bits, kept when
@@ -432,8 +512,11 @@ def simhash_candidate_pairs(
     # rather than OOMs — same contract as the MinHash shingle persist.
     from k8e_fetch_spark.functions.caching import persist_scoped
 
-    sigs = fan_out(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sig"))
-    sigs = persist_scoped("simhash.sigs", sigs)
+    sigs = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        simhash64(F.col(text_col), hash_mode=hash_mode).alias("sig"),
+    )
+    sigs = persist_scoped(f"simhash.sigs.{hash_mode}", sigs)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     m = F.size("ds")
     # members entering the block join: whole group if small, anchor only if mega

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.io import load
-from k8e_fetch_spark.operators.multimodal import decode_media, frame_sample, resize_media
+from k8e_fetch_spark.operators.multimodal import decode_media, frame_sample
 from k8e_fetch_spark.queries.registry import register
 
 
@@ -37,17 +37,11 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_resize_thumbnail", oracle=None, tags=("ext-multimodal", "resize-stub"))
-def mm_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-hop media pipeline: binary payload -> resize/thumbnail stage
-    (second Arrow mapInPandas hop, stubbed resample). Deterministic;
-    returns fixed 32x32 dims + thumbnail byte length per doc."""
-    docs = load(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    resized = resize_media(with_payload)
-    return resized.select(
-        "doc_id", "out_width", "out_height", F.length("thumbnail").alias("thumb_bytes")
-    )
+# (r10) mm_resize_thumbnail retired: it was the registry's last
+# stub-backed declared query, fully superseded by mm_resize_real (the
+# REAL decode -> box-filter resample -> re-encode two-hop pipeline,
+# oracle-checked). The stub operator resize_media stays as the
+# plumbing-shape unit-test fixture (tests/test_multimodal.py).
 
 
 # Full oracle for the decode pipeline INCLUDING the byte-histogram

@@ -165,6 +165,14 @@ _PRIORITY = (
     "text_winnowing_fingerprint",
     "sim_kmeans_assign",
     "sim_topk_ivf",
+    # r10 promotions (VERDICT r9 #7): the natural-corpus MinHash-LSH
+    # and SimHash pipelines gained FULL cross-engine oracles this
+    # round (md5_32 gram/band + md5_32x2 projection-bit hashes — the
+    # winnowing pattern); both take first-oracle-row seats on changed
+    # code. Out: text_unigram_logprob, text_repetition_filter (5
+    # greens each, untouched).
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
@@ -172,8 +180,6 @@ _PRIORITY = (
     # r9 mid-round swap: text_vocabulary (4 greens, untouched) rotates
     # OUT for the declared bucketed co-located join (first driver row)
     "join_bucketed_colocated",
-    "text_unigram_logprob",
-    "text_repetition_filter",
     "text_sequence_packing",
     # r9 late swap: text_shingle_novelty (4 greens, untouched) rotates
     # OUT for the new BPE tokenizer-training query (first driver row:

@@ -202,14 +202,97 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("ext-minhash-dedup", "lsh"))
+def _minhash_lsh_full_oracle() -> str:
+    """DuckDB recomputation of the ENTIRE natural-corpus MinHash+LSH
+    pipeline — shingle md5_32 identities, the 32 affine (a*h+b) mod p
+    signature minima (coefficients inlined from the SAME
+    _coefficients() the Spark side uses), 8 concat-key bands, the band
+    equality candidate join, and the exact Jaccard verify. Everything
+    is integer arithmetic until the final division of identical ints,
+    so the match is exact, not statistical."""
+    from k8e_fetch_spark.operators.similarity import MERSENNE_P, _coefficients
+
+    coeffs = _coefficients(32)
+    sig_cols = ",\n               ".join(
+        f"min((h * {a} + {b}) % {MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, {key} AS key FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"CAST(s{bi * 4 + j} AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for bi in range(8)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)) AS BIGINT) AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+        WHERE len(t) >= 3
+        UNION
+        SELECT doc_id, CAST(('0x' || substr(md5(trim(text)), 1, 8)) AS BIGINT) AS h
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) < 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM grams GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.doc_a
+        JOIN grams gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {sql_round('inter * 1.0 / (sa.n + sb.n - inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) > 0.1
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_full_oracle(),
+    tags=("ext-minhash-dedup", "lsh", "full-oracle"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (32 hashes, 8 bands), exact
-    Jaccard verified on candidates only. Rows-only check here; recall
-    against the exact shingle-join is asserted in
+    """MinHash+LSH near-dup candidates on the NATURAL corpus (32
+    hashes, 8 bands), exact Jaccard verified on candidates only —
+    hash-checked END TO END against a DuckDB recomputation of the
+    same pipeline (r10 promotion, the winnowing pattern: switch the
+    gram/band hashes to the cross-engine md5_32 + concat forms and the
+    whole probabilistic pipeline becomes exactly recomputable —
+    signature minima, band membership, candidate set, verified
+    Jaccard; production swaps back to 64-bit xxhash64 identities and
+    hashed band keys, hash_mode='xxhash64', identical plan). LSH
+    recall against the exact shingle-join is additionally asserted in
     tests/test_similarity.py."""
     docs = load(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", hash_mode="md5_32")
+    return pairs.filter(F.col("jaccard") > 0.1).select(
+        "doc_a", "doc_b", round_fixed(F.col("jaccard"), 6).alias("jaccard")
+    )
 
 
 _LSH_PLANTED_ORACLE = """
@@ -412,17 +495,76 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, tags=("ext-minhash-dedup", "simhash"))
+def _simhash_full_oracle() -> str:
+    """DuckDB recomputation of the ENTIRE natural-corpus SimHash
+    pipeline: per-token md5-derived 64 projection bits (two 32-bit
+    halves — the exact ints Spark's md5_32x2 mode computes), per-bit
+    weighted majority, two's-complement signature assembly (bit 63 =
+    Long.MIN_VALUE, matching the JVM), 16-bit prefix blocking via the
+    same arithmetic >> 48, and XOR-popcount Hamming <= 8. All integer
+    arithmetic — the match is exact."""
+    bit_sums = ",\n               ".join(
+        f"sum(({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) AS c{b}"
+        for b in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(63)
+    )
+    sig_expr = (
+        f"({sig_terms})"
+        f" + (CASE WHEN c63 * 2 > n THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, count(*) AS n,
+               {bit_sums}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig_expr} AS sig FROM cnt),
+    blocks AS (SELECT doc_id, sig, sig >> 48 AS blk FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_full_oracle(),
+    tags=("ext-minhash-dedup", "simhash", "full-oracle"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures (zero-shuffle
-    projection), candidates blocked on the high 16 signature bits,
-    kept when Hamming distance <= 8. Identical-signature mega groups
+    """SimHash near-dup pairs on the NATURAL corpus: 64-bit signatures
+    (zero-shuffle projection), candidates blocked on the high 16
+    signature bits, kept when Hamming distance <= 8 — hash-checked END
+    TO END against a DuckDB recomputation (r10 promotion, the same
+    cross-engine-hash pattern as dedup_minhash_lsh: per-token bits
+    from two md5-derived 32-bit halves instead of xxhash64, identical
+    majority/blocking/Hamming pipeline; production keeps
+    hash_mode='xxhash64'). Identical-signature mega groups
     (boilerplate clusters) collapse to anchor + Hamming-0 stars above
-    the operator's group cap — see simhash_candidate_pairs."""
+    the operator's group cap — see simhash_candidate_pairs; the cap
+    never triggers on the fixtures (largest natural group: 3), so the
+    oracle's plain block join is the exact answer."""
     from k8e_fetch_spark.operators.similarity import simhash_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_candidate_pairs(
+        docs, "doc_id", "text", max_hamming=8, hash_mode="md5_32x2"
+    ).select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 _SIMHASH_PLANTED_ORACLE = """
