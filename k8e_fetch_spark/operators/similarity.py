@@ -324,6 +324,19 @@ def minhash_candidate_pairs(
         F.col(id_col).alias("doc"),
         hashed_shingles(F.col(text_col), hash_mode=hash_mode).alias("sh"),
     )
+    try:
+        sp_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        sp_width = width
+    if sp_width < width:
+        # local-mode artifact fix (the width note above): when the
+        # session's shuffle width is SMALLER than the scan width, the
+        # downstream joins plan at sp and would RE-EXCHANGE the
+        # persisted table; landing it at sp here keeps hashing
+        # machine-wide and the cache join-aligned. On a real cluster
+        # sp >= parallelism and this branch never runs — the corpus-
+        # sized shingle table is never shuffled twice at scale.
+        sh = sh.repartition(sp_width, F.col("doc"))
     from k8e_fetch_spark.functions.caching import persist_scoped
 
     sh = persist_scoped(f"minhash.shingles.{hash_mode}", sh)
