@@ -903,16 +903,32 @@ def minhash_incremental_pairs(
         )
     except Exception:  # Spark Connect: no sparkContext
         width = 32
+    try:
+        sp_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        sp_width = width
+
+    def _land(frame):
+        # same local-mode artifact fix as minhash_candidate_pairs:
+        # align the persisted table with the downstream join width so
+        # small sessions don't re-exchange it per branch; a no-op on
+        # real clusters (sp >= parallelism).
+        return frame.repartition(sp_width, frame.columns[0]) if sp_width < width else frame
+
     sh_old = persist_scoped(
         "minhash_inc.shingles_old",
-        existing.repartition(width, F.col(id_col)).select(
-            F.col(id_col).alias("old_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+        _land(
+            existing.repartition(width, F.col(id_col)).select(
+                F.col(id_col).alias("old_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+            )
         ),
     )
     sh_new = persist_scoped(
         "minhash_inc.shingles_new",
-        new.repartition(width, F.col(id_col)).select(
-            F.col(id_col).alias("new_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+        _land(
+            new.repartition(width, F.col(id_col)).select(
+                F.col(id_col).alias("new_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+            )
         ),
     )
     bands_old = (
