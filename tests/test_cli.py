@@ -26,7 +26,9 @@ def test_cli_list(capsys):
     assert cli.main(["list"]) == 0
     out = capsys.readouterr().out
     assert "* tpch_q1_pricing_summary" in out
-    assert "  dedup_minhash_lsh" in out  # rows-only: no star
+    # rows-only: no star (dedup_minhash_lsh was promoted to a full
+    # oracle in r10; sim_cosine_lsh remains the rows-only LSH twin)
+    assert "  sim_cosine_lsh" in out
 
 
 def test_cli_query_runs(no_stop, capsys):
