@@ -65,6 +65,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iterations: int = 20,
     return_rounds: bool = False,
+    local_threshold: int = 1 << 20,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Connected components over an edge list — the step that turns
     near-duplicate PAIRS into dedup CLUSTERS (keep one doc per
@@ -109,6 +110,55 @@ def connected_components(
         .select("e.src", "e.dst")
         .distinct()
     )
+    # Job-count fuse (r10, the kmeans/BPE pattern): an edge list below
+    # ``local_threshold`` collects ONCE (bounded probe — CollectLimit
+    # short-circuits on a big graph) and the components come from
+    # driver-side union-find with min-id relabeling — the SAME
+    # converged answer the propagation loop reaches (both compute
+    # component = min node id), without 2-3 jobs per round. Above the
+    # threshold — any real near-dup graph; always at 100 TB — the
+    # distributed loop below runs unchanged off the probe-materialized
+    # lineage.
+    probe = edges.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        rows_out = sorted((n, comp_min[find(n)]) for n in parent)
+        from pyspark.sql import types as T
+
+        node_type = edges.schema["src"].dataType  # callers use long OR string ids
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("component", node_type),
+            ]
+        )
+        out = pairs.sparkSession.createDataFrame(rows_out, schema)
+        # union-find converges in one pass — report 1 round for parity
+        # with the loop's contract (rounds < max_iterations == converged)
+        return (out, 1) if return_rounds else out
+
     # cut the (possibly expensive) pair-generation lineage ONCE: the
     # edge list is re-joined every round and would otherwise re-run the
     # whole upstream pipeline per iteration (measured 6x slower when the

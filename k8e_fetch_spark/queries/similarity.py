@@ -202,14 +202,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_full_oracle() -> str:
-    """DuckDB recomputation of the ENTIRE natural-corpus MinHash+LSH
-    pipeline — shingle md5_32 identities, the 32 affine (a*h+b) mod p
-    signature minima (coefficients inlined from the SAME
-    _coefficients() the Spark side uses), 8 concat-key bands, the band
-    equality candidate join, and the exact Jaccard verify. Everything
-    is integer arithmetic until the final division of identical ints,
-    so the match is exact, not statistical."""
+def _minhash_pairs_cte() -> str:
+    """Shared CTE chain: the natural-corpus MinHash+LSH pipeline
+    recomputed in DuckDB with the cross-engine md5_32 hashes — shingle
+    identities, the 32 affine (a*h+b) mod p signature minima
+    (coefficients inlined from the SAME _coefficients() the Spark side
+    uses), 8 concat-key bands, the band-equality candidate join, and
+    the exact Jaccard verify (> 0.1). Ends with ``jpairs(doc_a, doc_b,
+    j)``; composed by the dedup_minhash_lsh oracle (pair output) and
+    the dedup_clusters_minhash oracle (recursive connected
+    components). All integer arithmetic until the final division of
+    identical ints — exact, not statistical."""
     from k8e_fetch_spark.operators.similarity import MERSENNE_P, _coefficients
 
     coeffs = _coefficients(32)
@@ -227,7 +230,7 @@ def _minhash_lsh_full_oracle() -> str:
         for bi in range(8)
     )
     return f"""
-    WITH toks AS (
+    toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
     grams AS (
@@ -261,13 +264,24 @@ def _minhash_lsh_full_oracle() -> str:
         JOIN grams ga ON ga.doc_id = c.doc_a
         JOIN grams gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               inter * 1.0 / (sa.n + sb.n - inter) AS j
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) > 0.1
     )
-    SELECT doc_a, doc_b,
-           {sql_round('inter * 1.0 / (sa.n + sb.n - inter)', 6)} AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE inter * 1.0 / (sa.n + sb.n - inter) > 0.1
+"""
+
+
+def _minhash_lsh_full_oracle() -> str:
+    """See :func:`_minhash_pairs_cte` — this oracle is its pair
+    output with the 6-dp output rounding."""
+    return f"""
+    WITH {_minhash_pairs_cte()}
+    SELECT doc_a, doc_b, {sql_round('j', 6)} AS jaccard FROM jpairs
 """
 
 
@@ -479,17 +493,52 @@ def sim_cosine_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_minhash", oracle=None, tags=("ext-minhash-dedup", "connected-components", "iterative"))
+def _clusters_minhash_oracle() -> str:
+    """Connected components over the md5_32 LSH pair set, recomputed in
+    DuckDB with a RECURSIVE reachability CTE: a node's component is the
+    MIN doc id among everything it can reach — exactly the fixpoint the
+    Spark side's min-label propagation converges to (the iterative loop
+    verifies changed == 0 before returning, so 'iterative' is a
+    strategy, not a semantics: the converged answer is deterministic
+    and SQL-expressible)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    ),
+    cc AS (
+        SELECT src AS node, src AS reach FROM edges
+        UNION
+        SELECT e.src AS node, c.reach
+        FROM edges e JOIN cc c ON e.dst = c.node
+    )
+    SELECT node AS doc_id, min(reach) AS cluster_id FROM cc GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters_minhash",
+    oracle=_clusters_minhash_oracle(),
+    tags=("ext-minhash-dedup", "connected-components", "full-oracle"),
+)
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup dedup flow: MinHash candidate pairs ->
-    connected components (iterative min-label propagation) -> cluster
-    assignment (component = keeper doc id). Iterative, so rows-only;
-    component correctness is asserted on known graphs in
-    tests/test_clustering.py."""
+    connected components (iterative min-label propagation run to a
+    VERIFIED fixpoint) -> cluster assignment (component = min doc id).
+    Promoted to a full oracle in r10: with the md5_32 cross-engine pair
+    set (dedup_minhash_lsh's) the converged component labels are
+    exactly recomputable in DuckDB via a recursive reachability CTE —
+    iterative execution, deterministic answer. Component correctness on
+    known graphs (paths, cycles, stars, isolates) stays pinned in
+    tests/test_clustering.py; production keeps hash_mode='xxhash64'."""
     from k8e_fetch_spark.operators.clustering import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(F.col("jaccard") > 0.1)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", hash_mode="md5_32").filter(
+        F.col("jaccard") > 0.1
+    )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

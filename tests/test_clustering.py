@@ -208,7 +208,12 @@ def test_connected_components_long_chain_diameter(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    labels, rounds = connected_components(pairs, max_iterations=n + 3, return_rounds=True)
+    # local_threshold=0 forces the DISTRIBUTED propagation loop — this
+    # test pins ITS convergence bound (the r10 local union-find path
+    # would short-circuit the property under test)
+    labels, rounds = connected_components(
+        pairs, max_iterations=n + 3, return_rounds=True, local_threshold=0
+    )
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     # diameter hops + 1 detection round; > 3 proves this fixture really
@@ -622,3 +627,24 @@ def test_kmeans_arrow_expression_twin_identical(spark):
     # inertia may differ only at float-order noise
     for x, y in zip(a_hist, e_hist):
         assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
+
+
+def test_connected_components_local_matches_distributed(spark):
+    """The r10 local union-find path must produce the SAME labels as
+    the distributed propagation loop (both: component = min node id)
+    on a graph with a cycle, a path, and an isolate-pair."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["node"], r["component"]) for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20),
+    }
