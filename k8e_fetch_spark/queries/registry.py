@@ -173,6 +173,13 @@ _PRIORITY = (
     # greens each, untouched).
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r10 third promotion: connected components over the md5_32 pair
+    # set, exactly recomputable via a recursive reachability CTE —
+    # first oracle row on changed code. Out: dedup_clusters_star_planted
+    # (5 greens, untouched; its star-guard semantics stay pinned in
+    # pytest and the planted-clusters family keeps dedup_clusters_planted
+    # coverage through the full-oracle CC row).
+    "dedup_clusters_minhash",
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
@@ -211,7 +218,6 @@ _PRIORITY = (
     # INCREMENTAL variant, which keeps its own seat above) rotates OUT
     # for the new DSIR importance-selection query (first driver row)
     "sample_dsir_importance",
-    "dedup_clusters_star_planted",
     # similarity: the PQ pair + the new IVFPQ composition take their
     # first driver rows. r9 mid-round swap: sim_cosine_lsh_planted
     # (7 greens, code untouched since r6) rotates OUT for the new
