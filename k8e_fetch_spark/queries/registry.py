@@ -180,6 +180,10 @@ _PRIORITY = (
     # pytest and the planted-clusters family keeps dedup_clusters_planted
     # coverage through the full-oracle CC row).
     "dedup_clusters_minhash",
+    # r10 fourth promotion: the auto-sized hyperplane LSH recomputed
+    # relationally (planes + geometry from count(*)). Out:
+    # events_funnel_conversion (5 greens, untouched).
+    "sim_cosine_lsh",
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
@@ -231,8 +235,7 @@ _PRIORITY = (
     "sim_hybrid_search",
     # data-quality constraint gate (first driver row)
     "quality_constraint_checks",
-    # events analytics (funnel keeps seat; retention cohort first row)
-    "events_funnel_conversion",
+    # events analytics (funnel rotated out r10 at 5 greens)
     "events_retention_cohort",
     # ext-stream-window (stream_dedup_redelivery rotated out r10 at 6
     # greens; the enrichment row keeps its seat)

@@ -740,12 +740,85 @@ def sim_topk_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_lsh", oracle=None, tags=("ext-topk-sim", "lsh", "near-dup"))
+def _cosine_lsh_full_oracle(dim: int = 64, n_bands: int = 4, seed: int = 42) -> str:
+    """DuckDB recomputation of the ENTIRE natural-corpus hyperplane-LSH
+    pipeline, auto-sized geometry included: the per-band Rademacher
+    planes are inlined FULL-WIDTH (62 bits x 64 dims per band, encoded
+    as +/- strings from the SAME _rademacher_planes LCG — its rows are
+    generated sequentially, so the first ``bits`` rows of the 62-bit
+    table ARE the bits-bit table), the band width is computed from
+    count(*) with the operator's own clamp rule, sign bits pack
+    little-endian into band keys, buckets self-join into candidate
+    cliques (the >4096 star guard cannot trigger on a <=4096-row
+    fixture), and candidates are exact-cosine-verified at > 0.3.
+
+    Float caveat, stated: the sign of dot(v, plane) is computed in
+    different summation orders (numpy matmul vs SQL sum) — a flip needs
+    |dot| within ~1e-12 of zero, and the fixtures are fixed data, so
+    the outcome is deterministic per dataset (same argument as the
+    hashed-shingle collision note)."""
+    from k8e_fetch_spark.operators.similarity import _rademacher_planes
+
+    rows = []
+    for band in range(n_bands):
+        planes = _rademacher_planes(dim, 62, seed=seed + band * 1000003)
+        for bit, prow in enumerate(planes):
+            s = "".join("+" if x > 0 else "-" for x in prow)
+            rows.append(f"({band}, {bit}, '{s}')")
+    values = ",\n        ".join(rows)
+    return f"""
+    WITH geom AS (
+        SELECT CAST(LEAST(62, GREATEST(4,
+                   CEIL(LOG2(GREATEST(count(*), 2) / 16.0)))) AS INT) AS bits
+        FROM embeddings
+    ),
+    planes_raw(band, bit, s) AS (VALUES
+        {values}
+    ),
+    planes AS (
+        SELECT band, bit, d.i AS dimi,
+               CASE substr(s, CAST(d.i AS INT), 1) WHEN '+' THEN 1.0 ELSE -1.0 END AS sgn
+        FROM planes_raw, UNNEST(generate_series(1, {dim})) AS d(i)
+        WHERE bit < (SELECT bits FROM geom)
+    ),
+    dots AS (
+        SELECT e.vec_id, p.band, p.bit,
+               sum(CAST(e.embedding[p.dimi] AS DOUBLE) * p.sgn) AS dot
+        FROM embeddings e, planes p
+        GROUP BY 1, 2, 3
+    ),
+    keys AS (
+        SELECT vec_id, band,
+               sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS key
+        FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keys a
+        JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           {sql_round(sql_cosine('va.embedding', 'vb.embedding'), 6)} AS score
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE {sql_cosine('va.embedding', 'vb.embedding')} > 0.3
+"""
+
+
+@register(
+    "sim_cosine_lsh",
+    oracle=_cosine_lsh_full_oracle(),
+    tags=("ext-topk-sim", "lsh", "near-dup", "full-oracle"),
+)
 def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH (16-bit
-    signatures, 2 bands): candidates from band-bucket collisions, exact
-    cosine verified on candidates only. Recall vs the exhaustive pair
-    scan is asserted in tests/test_similarity.py.
+    """Embedding-cosine near-dup via random-hyperplane LSH on the
+    NATURAL corpus: candidates from band-bucket collisions, exact
+    cosine verified on candidates only — hash-checked END TO END
+    against a DuckDB recomputation (r10 promotion; the planes are the
+    same deterministic LCG on both sides, so even the AUTO-SIZED band
+    geometry is recomputed relationally from count(*)). Recall vs the
+    exhaustive pair scan stays asserted in tests/test_similarity.py.
 
     Band width auto-sizes with the corpus row count, read from the
     parquet footer metadata (driver-side file stats, no Spark job) —
@@ -761,7 +834,12 @@ def sim_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
     except Exception:  # multi-file layout or missing footer: operator sizes itself
         n_rows = None
-    return cosine_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3, n_rows=n_rows)
+    pairs = cosine_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.3, n_rows=n_rows
+    )
+    return pairs.select(
+        "id_a", "id_b", round_fixed(F.col("score"), 6).alias("score")
+    )
 
 
 _KMEANS_ASSIGN_ORACLE = f"""
