@@ -334,6 +334,7 @@ def test_bucketed_colocated_rewrites_on_source_change(spark):
     oracle hash in the driver, but the rewrite trigger deserves its
     own pin)."""
     import json
+    import os
     import tempfile
     from pathlib import Path
 
@@ -341,7 +342,15 @@ def test_bucketed_colocated_rewrites_on_source_change(spark):
 
     queries()
     fn = REGISTRY["join_bucketed_colocated"].fn
-    marker = Path(tempfile.gettempdir()) / "k8e_bucket_demo_wh" / "source_fingerprint.json"
+    # r10: the demo warehouse is namespaced per-uid (env-overridable) so
+    # concurrent sessions on a shared host cannot race on the marker
+    wh = Path(
+        os.environ.get(
+            "K8E_BUCKET_DEMO_WH",
+            os.path.join(tempfile.gettempdir(), f"k8e_bucket_demo_wh_{os.getuid()}"),
+        )
+    )
+    marker = wh / "source_fingerprint.json"
 
     small = {tuple(r) for r in fn(spark, SF_DIR).collect()}
     fp_small = json.loads(marker.read_text())
