@@ -26,9 +26,10 @@ def test_cli_list(capsys):
     assert cli.main(["list"]) == 0
     out = capsys.readouterr().out
     assert "* tpch_q1_pricing_summary" in out
-    # rows-only: no star (dedup_minhash_lsh was promoted to a full
-    # oracle in r10; sim_cosine_lsh remains the rows-only LSH twin)
-    assert "  sim_cosine_lsh" in out
+    # rows-only: no star. Use a PERMANENTLY rows-only query — real-zlib
+    # compression cannot be recomputed by DuckDB in principle (the LSH
+    # twins this assertion used to point at kept getting promoted)
+    assert "  text_compression_ratio" in out
 
 
 def test_cli_query_runs(no_stop, capsys):
