@@ -1610,7 +1610,12 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain_psl,
     )
 
-    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    # no fan_out: the per-row work here is one regex + a CASE — too
+    # cheap to justify a widening exchange ahead of the cap window's
+    # own shuffle (a real crawl has thousands of natural input
+    # partitions; the widen-the-scan helper exists for CPU-heavy
+    # stages over few-file bench fixtures)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     bucket = F.col("doc_id") % 20
     host_planted = (
         F.when(
