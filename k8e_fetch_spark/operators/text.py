@@ -460,3 +460,110 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(F.sum("lam").alias("weight"))
     )
+
+
+def bigram_lm_scores(
+    df,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """CCNet-style LM quality scoring, bigram flavor (Wenzek et al.
+    2020 filter KenLM perplexity against a Wikipedia-trained model;
+    this is the same shape with an interpolated bigram model trained on
+    the TARGET subset): per document, the mean log10 of
+
+        P(w2 | w1) = lam * c2(w1,w2)/c1(w1)  +  (1-lam) * (c1(w2)+1)/(N+V)
+
+    where c1/c2 are target-subset unigram/bigram counts, N the target
+    token total, V the target vocabulary size (+1 smoothing keeps the
+    backoff term positive for unseen words, so P > 0 always; an unseen
+    w1 zeroes the first term via the guarded division). Returns
+    (id_col, n_bigrams, avg_logprob double UNROUNDED) — one row per doc
+    with at least one bigram. Higher = more target-like; callers
+    threshold on it.
+
+    Scale (100 TB): both model tables are Heaps-law-bounded aggregates
+    of the TARGET subset (map-side combined; (token,count) /
+    (bigram,count) rows only) and BROADCAST onto the corpus bigram
+    stream — the corpus-sized stream itself never shuffles for the
+    joins; the only corpus-sized shuffle is the per-doc mean on doc
+    ids. N and V collect as two scalars off the persisted unigram
+    table (the k-bytes-to-driver contract). A web-scale bigram table
+    outgrowing broadcast swaps to a shuffled join on the same column —
+    documented trade, not a plan rewrite. Token/bigram enumeration is
+    the DSIR convention (lower/trim, \\s+ split, guarded sequence), so
+    the DuckDB oracle reproduces it verbatim."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def bigram_rows(frame):
+        t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        nn = F.size(t)
+        ii = F.when(nn >= 2, F.sequence(F.lit(1), nn - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    ii,
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select(id_col, "bg.w1", "bg.w2")
+
+    tgt = df.filter(target)
+    tgt_uni = persist_scoped(
+        "bigram_lm.uni",
+        tgt.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1")),
+    )
+    row = tgt_uni.agg(
+        F.sum("c1").alias("n_tot"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tot, v = float(row["n_tot"] or 1), float(row["v"] or 1)
+    tgt_big = bigram_rows(tgt).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+
+    corpus_bg = bigram_rows(df)
+    scored = (
+        corpus_bg.join(F.broadcast(tgt_big), on=["w1", "w2"], how="left")
+        .join(
+            F.broadcast(tgt_uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))),
+            on="w1",
+            how="left",
+        )
+        .join(
+            F.broadcast(tgt_uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))),
+            on="w2",
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.log10(
+                F.lit(lam)
+                * F.when(
+                    F.col("c1_w1").isNotNull() & F.col("c2").isNotNull(),
+                    F.col("c2") / F.col("c1_w1"),
+                ).otherwise(F.lit(0.0))
+                + F.lit(1.0 - lam)
+                * ((F.coalesce(F.col("c1_w2"), F.lit(0)) + F.lit(1.0)) / F.lit(n_tot + v))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logprob"),
+    )

@@ -191,7 +191,9 @@ _PRIORITY = (
     # r9 mid-round swap: text_vocabulary (4 greens, untouched) rotates
     # OUT for the declared bucketed co-located join (first driver row)
     "join_bucketed_colocated",
-    "text_sequence_packing",
+    # r10: new CCNet-style bigram-LM perplexity gate takes a first
+    # driver row (out: text_sequence_packing, 5 greens, untouched)
+    "text_lm_perplexity_filter",
     # r9 late swap: text_shingle_novelty (4 greens, untouched) rotates
     # OUT for the new BPE tokenizer-training query (first driver row:
     # 3 learned merges + post-merge symbol inventory, full loop oracle)

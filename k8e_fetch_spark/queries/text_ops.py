@@ -2023,3 +2023,122 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.md5("_t").alias("tokens_md5"),
     )
+
+
+_LM_PERPLEXITY_ORACLE = f"""
+    WITH planted AS (
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(list_transform(range(1, 13),
+                   j -> 'zq' || CAST(doc_id * 7 + j AS VARCHAR)), ' ') AS text
+        FROM documents WHERE doc_id < 25
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ),
+    tgt AS (SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')),
+    tgt_toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM tgt
+    ),
+    uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM tgt_toks) GROUP BY w
+    ),
+    consts AS (SELECT sum(c1) AS n_tot, count(*) AS v FROM uni),
+    tgt_big AS (
+        SELECT w1, w2, count(*) AS c2 FROM (
+            SELECT t[i] AS w1, t[i+1] AS w2
+            FROM tgt_toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+        ) GROUP BY 1, 2
+    ),
+    corpus_toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM corpus
+    ),
+    corpus_big AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM corpus_toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+    ),
+    scored AS (
+        SELECT cb.doc_id,
+               log10(
+                   0.7 * (CASE WHEN u1.c1 IS NOT NULL AND b.c2 IS NOT NULL
+                               THEN b.c2 / u1.c1 ELSE 0.0 END)
+                   + 0.3 * ((COALESCE(u2.c1, 0) + 1.0) / (k.n_tot + k.v))
+               ) AS lp
+        FROM corpus_big cb
+        LEFT JOIN tgt_big b ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        LEFT JOIN uni u1 ON cb.w1 = u1.w
+        LEFT JOIN uni u2 ON cb.w2 = u2.w
+        CROSS JOIN consts k
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               {sql_round('avg(lp)', 6)} AS avg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           CAST(CASE WHEN avg_logprob >= -2.0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM agg
+"""
+
+
+@register(
+    "text_lm_perplexity_filter",
+    oracle=_LM_PERPLEXITY_ORACLE,
+    tags=("ext-text-stats", "lm-quality", "ccnet", "planted-oracle"),
+)
+def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate, bigram flavor (Wenzek et al. 2020:
+    filter a crawl by perplexity under a model trained on a trusted
+    reference; here the src0/src1 sources stand in for the reference,
+    and the model is an interpolated bigram LM — the upgrade over
+    text_unigram_logprob's context-free scorer). Every document is
+    scored by mean log10 P(w2|w1) with lam=0.7 interpolation against a
+    +1-smoothed unigram backoff; kept iff the ROUNDED score clears
+    -2.0. Planted out-of-vocabulary token-soup docs (doc_id+100000 for
+    the first 25 ids — 'zq<id*7+j>' tokens that cannot occur in the
+    natural vocabulary) score ~-5.5 (pure smoothed backoff on every
+    transition) and MUST come back kept=0, while every natural doc
+    clears the gate — both filter outcomes provably fire, and the
+    ENTIRE train->score->threshold pipeline is hash-checked against
+    SQL ground truth (integer counts; identical interpolation term
+    order; the per-doc log-sum's fold-order drift sits ~7 orders below
+    the 6-dp rounding).
+
+    Scale: operators/text.py:bigram_lm_scores — both model tables are
+    Heaps-bounded TARGET aggregates that broadcast onto the corpus
+    bigram stream (the corpus never shuffles for the joins); the only
+    corpus-sized shuffle is the per-doc mean. N/V collect as two
+    scalars (the k-bytes-to-driver contract). A production run swaps
+    the bigram table for a KenLM binary on each executor — the plan
+    shape (broadcast model, scan-side scoring, per-doc mean) is
+    identical."""
+    from k8e_fetch_spark.operators.text import bigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("planted").alias("source"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda j: F.concat(
+                    F.lit("zq"), ((F.col("doc_id") * 7) + j).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    scored = bigram_lm_scores(
+        corpus, target=F.col("source").isin("src0", "src1"), lam=0.7
+    )
+    out = scored.select(
+        "doc_id",
+        "n_bigrams",
+        round_fixed(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )
+    return out.withColumn(
+        "kept",
+        F.when(F.col("avg_logprob") >= -2.0, 1).otherwise(0).cast("bigint"),
+    )
