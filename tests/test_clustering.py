@@ -648,3 +648,36 @@ def test_connected_components_local_matches_distributed(spark):
     assert local == {
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20),
     }
+
+
+def test_bigram_lm_scores_semantics(spark):
+    """Hand-computed bigram LM scores: seen transitions beat unseen,
+    <2-token docs are excluded, and the smoothed backoff keeps every
+    probability positive (log is always finite)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, "ref", "a b a b"),   # target: bigrams ab, ba, ab
+        (2, "ref", "a b"),       # target: ab
+        (3, "raw", "a b"),       # seen transition
+        (4, "raw", "z z"),       # fully unseen
+        (5, "raw", "a"),         # single token: NO output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, target=F.col("source") == "ref").collect()
+    }
+    assert 5 not in got
+    # model: tokens a:3+1? -> target docs 1,2: tokens a b a b a b =>
+    # c1: a=3, b=3; N=6, V=2; c2: (a,b)=3, (b,a)=1
+    p_ab = 0.7 * (3 / 3) + 0.3 * ((3 + 1) / 8)
+    p_zz = 0.3 * ((0 + 1) / 8)
+    assert got[3]["n_bigrams"] == 1
+    assert abs(got[3]["avg_logprob"] - math.log10(p_ab)) < 1e-9
+    assert abs(got[4]["avg_logprob"] - math.log10(p_zz)) < 1e-9
+    assert got[3]["avg_logprob"] > got[4]["avg_logprob"]
