@@ -119,7 +119,12 @@ def connected_components(
     # threshold — any real near-dup graph; always at 100 TB — the
     # distributed loop below runs unchanged off the probe-materialized
     # lineage.
-    probe = edges.limit(local_threshold + 1).collect()
+    # Arrow probe (toPandas, not collect): above-threshold graphs pay
+    # only a columnar pull of threshold+1 narrow rows before falling
+    # back to the distributed loop — the row-based collect() built a
+    # million Python Row objects on exactly the graphs that then didn't
+    # use them (measured ~15 s of pure waste at the 20x stress scale)
+    probe = edges.limit(local_threshold + 1).toPandas()
     if len(probe) <= local_threshold:
         parent: dict = {}
 
@@ -131,8 +136,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in probe:
-            a, b = row["src"], row["dst"]
+        for a, b in zip(probe["src"].to_list(), probe["dst"].to_list()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

@@ -71,6 +71,10 @@ PROBES = [
     # r10: CCNet-style bigram-LM perplexity gate (broadcast model onto
     # the corpus bigram stream; one corpus-sized per-doc-mean shuffle)
     "text_lm_perplexity_filter",
+    # r10: full near-dup flow (md5 LSH pairs -> connected components);
+    # the local union-find path hands off to the propagation loop above
+    # 1M edges
+    "dedup_clusters_minhash",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
