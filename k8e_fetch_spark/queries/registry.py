@@ -184,6 +184,11 @@ _PRIORITY = (
     # relationally (planes + geometry from count(*)). Out:
     # events_funnel_conversion (5 greens, untouched).
     "sim_cosine_lsh",
+    # r10 sixth promotion: 8-iteration sampled PQ training unrolled
+    # into materialized SQL CTEs (subspace = data dimension). Out:
+    # tpch_q10_returned_items (5 greens, untouched; 7 TPC-H family
+    # rows keep seats).
+    "sim_topk_pq_trained",
     # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
     # 4 greens, rotated out for the new IVFPQ row below)
     "mm_decode_real",
@@ -247,7 +252,6 @@ _PRIORITY = (
     "stream_enrich_dimension",
     # ext-typed-relational: the 8 structurally hardest TPC-H plans keep
     # seats for a second green (correlated subqueries, fact-fact joins)
-    "tpch_q10_returned_items",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",

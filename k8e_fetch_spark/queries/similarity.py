@@ -1695,12 +1695,95 @@ def _pq_adc_topk(spark, emb, codebook, M, K, D):
     )
 
 
+def _pq_lloyd_iter_sql(i: int) -> str:
+    """One PQ-training Lloyd iteration across ALL 8 subspaces at once —
+    the subspace index m is a data column, not unrolled code: assign =
+    per-(m, vec) L2 argmin with the (d2, j) tie-break, update =
+    per-(m, j, pos) member means, empty clusters keep the previous
+    centroid. Mirrors the numpy loop in sim_topk_pq_trained exactly."""
+    return f"""
+    pa{i} AS MATERIALIZED (
+        SELECT vec_id, m, v, j FROM (
+            SELECT s.vec_id, s.m, s.v, c.j,
+                   row_number() OVER (PARTITION BY s.m, s.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(s.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))), c.j) AS rn
+            FROM sv s JOIN pcent{i - 1} c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    pm{i} AS MATERIALIZED (
+        SELECT m, j, list(mv ORDER BY pos) AS mc FROM (
+            SELECT m, j, pos, avg(v[pos]) AS mv
+            FROM pa{i}, UNNEST(generate_series(1, 8)) AS g(pos)
+            GROUP BY m, j, pos
+        ) GROUP BY m, j
+    ),
+    pcent{i} AS MATERIALIZED (
+        SELECT p.m, p.j, COALESCE(pm{i}.mc, p.c) AS c
+        FROM pcent{i - 1} p LEFT JOIN pm{i} ON p.m = pm{i}.m AND p.j = pm{i}.j
+    )"""
+
+
+def _pq_trained_oracle() -> str:
+    """The _PQ_ORACLE pipeline with TRAINED codebooks: 8 Lloyd
+    iterations per subspace unrolled into CTEs (subspace = data
+    dimension, so one chain trains all 8 codebooks), then the identical
+    encode / ADC / rounded-rank tail. Training sample and init mirror
+    the Spark side bit-for-bit in structure: first-1024-by-id sample,
+    first-16-by-id slices as init, numpy-vs-SQL mean drift absorbed by
+    the 6-dp score rounding and the rounded-rank tie-break."""
+    iters = ",".join(_pq_lloyd_iter_sql(i) for i in range(1, 9))
+    return f"""
+    WITH sample AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 1024
+    ),
+    sv AS MATERIALIZED (
+        SELECT vec_id, m, e[m*8+1 : m*8+8] AS v
+        FROM sample, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    pcent0 AS MATERIALIZED (
+        SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j, v AS c
+        FROM sv
+        QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 16
+    ),
+    {iters},
+    subv AS (
+        SELECT vec_id, m, (embedding::DOUBLE[])[m*8+1 : m*8+8] AS v
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS g(m)
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_sum(list_transform(list_zip(s.v, c.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM subv s JOIN pcent8 c ON s.m = c.m
+    ),
+    codes AS (
+        SELECT vec_id, m, j FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+    ),
+    scores AS (
+        SELECT ql.vec_id AS q_id, c.vec_id AS n_id, sum(ql.d2) AS score
+        FROM codes c
+        JOIN d ql ON ql.m = c.m AND ql.j = c.j AND ql.vec_id < 8
+        WHERE ql.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, n_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT q_id, n_id, {sql_round("score", 6)} AS score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {sql_round("score", 6)}, n_id) AS rank
+        FROM scores
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "sim_topk_pq_trained",
-    oracle=None,  # iterative codebook training: rows-only, like
-    # sim_topk_ivf_trained; determinism + recall pinned in
-    # tests/test_similarity.py
-    tags=("ext-topk-sim", "pq", "ann", "quantization", "train+search"),
+    # r10 promotion: the 8-iteration sampled training unrolls into SQL
+    # the same way the 2-3-iteration IVF/kmeans oracles did — bounded
+    # iteration was never "not SQL-expressible", just bigger
+    oracle=_pq_trained_oracle(),
+    tags=("ext-topk-sim", "pq", "ann", "quantization", "train+search", "full-oracle"),
 )
 def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ path: per-subspace codebooks TRAINED with
