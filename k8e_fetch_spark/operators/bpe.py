@@ -141,6 +141,14 @@ def _learn_merges_local(
                 stats[old] -= f
                 if stats[old] <= 0:
                     del stats[old]
+                else:
+                    # DECREASED counts need a fresh heap entry too: the
+                    # only existing entries carry the higher count and
+                    # the lazy pop would discard them as stale, making
+                    # the pair unselectable forever (a merge removes its
+                    # neighbors' adjacencies, so decreases are routine —
+                    # the classic lazy-heap decrease bug)
+                    heapq.heappush(heap, (-stats[old], old))
                 s = where.get(old)
                 if s is not None:
                     s.discard(idx)

@@ -204,6 +204,11 @@ def test_local_trainer_matches_distributed_loop(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "text"
     )
+    # depth 6: the distributed twin nests one fold expression per
+    # merge and OOMs the analyzer past ~20 (its documented demo-depth
+    # limit — production depth is the LOCAL trainer's job); the deep
+    # heap semantics are pinned against the brute-force recount
+    # reference below instead
     m_local, v_local = learn_bpe_merges(docs, n_merges=6)
     m_dist, v_dist = learn_bpe_merges(docs, n_merges=6, local_vocab_threshold=0)
     assert m_local == m_dist
@@ -235,3 +240,55 @@ def test_local_trainer_deep_merges_bounded_jobs(spark):
     assert [r for r, _, _ in merges] == list(range(1, 65))
     assert all(c >= 1 for _, _, c in merges)
     assert len(jobs or []) <= 2, f"expected <=2 jobs, got {len(jobs)}"
+
+
+def test_local_trainer_matches_bruteforce_recount_deep():
+    """The lazy-heap trainer vs a brute-force full-recount reference at
+    depth 60 on seeded random corpora — specifically covering DECREASED
+    pair counts (merging (p1,p2) removes its neighbors' adjacencies; a
+    stale-topped heap that never re-pushes decreases silently makes
+    such pairs unselectable — the r10 self-review catch). Pure driver
+    code: no Spark session needed."""
+    import random
+
+    from k8e_fetch_spark.operators.bpe import _learn_merges_local
+
+    def brute(word_freqs, n_merges):
+        words = [list(w) for w, _ in word_freqs]
+        freqs = [int(f) for _, f in word_freqs]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            stats: dict = {}
+            for syms, f in zip(words, freqs):
+                for i in range(len(syms) - 1):
+                    k = syms[i] + " " + syms[i + 1]
+                    stats[k] = stats.get(k, 0) + f
+            if not stats:
+                break
+            # argmax (count desc, pair asc) — identical tie-break
+            p, cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            p1, p2 = p.split(" ")
+            merges.append((rank, p, cnt))
+            for wi, syms in enumerate(words):
+                out = []
+                for s in syms:
+                    if out and out[-1] == p1 and s == p2:
+                        out[-1] = p1 + p2
+                    else:
+                        out.append(s)
+                words[wi] = out
+        return merges, [(" ".join(s), f) for s, f in zip(words, freqs)]
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        vocab = sorted(
+            {
+                "".join(rng.choice("abcx") for _ in range(rng.randint(2, 9)))
+                for _ in range(150)
+            }
+        )
+        word_freqs = [(w, rng.randint(1, 9)) for w in vocab]
+        got = _learn_merges_local(list(word_freqs), 60)
+        want = brute(list(word_freqs), 60)
+        assert got[0] == want[0], (trial, got[0][:5], want[0][:5])
+        assert sorted(got[1]) == sorted(want[1]), trial
