@@ -281,3 +281,103 @@ def catalog_sync_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(synced, on="key", how="left_anti")
         .distinct()
     )
+
+
+@register(
+    "catalog_flatten_tree",
+    oracle="""
+        SELECT source,
+               CAST(CAST(floor(doc_id / 20.0) AS BIGINT) % 2 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    tags=("op-flatten", "recursive-scan", "path-provenance"),
+)
+def catalog_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-flatten, made concrete (it was the inventory's one
+    N/A-by-design row): the reference symlinks its nested sync tree
+    into one flat directory so downstream iteration is a single
+    ``for i in "$fbdir"/*`` (/root/reference/bin/fetcher.bash:76-79,
+    current_cycle.bash:72-81). The Spark-idiomatic equivalent this
+    query declares and hash-checks: ONE recursive scan over the whole
+    nested tree (``recursiveFileLookup`` — no per-directory iteration,
+    no symlinks) with the identity the path encoded recovered as
+    COLUMNS via ``input_file_name()`` regex — the flat relational view
+    of an arbitrarily nested layout.
+
+    Fixture tree: the documents table written as a REAL nested
+    source=<s>/shard=<n> CSV tree (fully distributed partitioned
+    write, fingerprint-keyed reuse like the bucketed-join demo, per-uid
+    so concurrent sessions cannot race). The declared output re-derives
+    per-(source, shard) counts and id sums purely from the path-mapped
+    recursive scan; the oracle computes the same straight off the
+    table, so a row lost or mis-mapped anywhere in write -> nested
+    layout -> recursive scan -> path regex fails the hash. Scale: a
+    recursive scan is one distributed file listing + ordinary parquet/
+    CSV splits — exactly how a 100 TB nested crawl layout is read
+    (file-listing parallelism replaces the reference's symlink pass);
+    the provenance regex is a scan-local projection."""
+    import json
+    import os
+    import tempfile
+    from pathlib import Path
+
+    wh = Path(
+        os.environ.get(
+            "K8E_FLATTEN_TREE_DIR",
+            os.path.join(tempfile.gettempdir(), f"k8e_flatten_tree_{os.getuid()}"),
+        )
+    )
+    wh.mkdir(parents=True, exist_ok=True)
+    docs_path = Path(sf_dir) / "documents.parquet"
+    st = docs_path.stat()
+    fp = {"sf": str(sf_dir), "doc": [st.st_mtime, st.st_size], "v": 2}
+    marker = wh / "source_fingerprint.json"
+    tree = wh / "tree"
+    reuse = False
+    try:
+        reuse = json.loads(marker.read_text()) == fp and tree.exists()
+    except Exception:
+        reuse = False
+    if not reuse:
+        import shutil
+
+        marker.unlink(missing_ok=True)
+        shutil.rmtree(tree, ignore_errors=True)
+        # shard must VARY within a source: the fixture assigns
+        # source = src{doc_id % 20}, so doc_id % 2 is constant per
+        # source; doc_id // 20 alternates per consecutive member
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            (F.floor(F.col("doc_id") / 20.0).cast("bigint") % 2).alias("shard"),
+        )
+        (
+            docs.write.partitionBy("source", "shard")
+            .mode("overwrite")
+            .option("header", "false")
+            .csv(str(tree))
+        )
+        tmp = marker.with_name(f".{marker.name}.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(fp))
+        tmp.replace(marker)
+    flat = (
+        spark.read.schema("doc_id long")
+        .option("recursiveFileLookup", "true")
+        .csv(str(tree))
+        .select(
+            "doc_id",
+            F.regexp_extract(F.input_file_name(), r"/source=([^/]+)/", 1).alias(
+                "source"
+            ),
+            F.regexp_extract(F.input_file_name(), r"/shard=([0-9]+)/", 1)
+            .cast("bigint")
+            .alias("shard"),
+        )
+    )
+    return flat.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )

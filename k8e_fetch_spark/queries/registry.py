@@ -173,6 +173,11 @@ _PRIORITY = (
     # greens each, untouched).
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r10: op-flatten made concrete (the inventory's one N/A row —
+    # recursive nested-tree scan + path-derived provenance, full
+    # oracle); first driver row. Out: dedup_paragraphs (5 greens,
+    # untouched).
+    "catalog_flatten_tree",
     # r10 third promotion: connected components over the md5_32 pair
     # set, exactly recomputable via a recursive reachability CTE —
     # first oracle row on changed code. Out: dedup_clusters_star_planted
@@ -203,7 +208,6 @@ _PRIORITY = (
     # OUT for the new BPE tokenizer-training query (first driver row:
     # 3 learned merges + post-merge symbol inventory, full loop oracle)
     "text_bpe_learn_merges",
-    "dedup_paragraphs",
     # decontamination: the bloom twin takes the shared oracle's seat
     # (first driver row); PII scrub first row
     "text_decontaminate_bloom",
