@@ -33,6 +33,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def source_fingerprint(sf_dir: str, name: str) -> list:
+    """Recursive per-part fingerprint of a source table.
+
+    A parquet "table" may be a DIRECTORY of part files whose in-place
+    edits can leave the top-level dir stat unchanged — fingerprint every
+    file's (relpath, size, mtime) so any part rewrite invalidates a
+    fixture-reuse marker keyed on this value. Single files fingerprint
+    as (mtime, size)."""
+    from pathlib import Path
+
+    p = Path(table_path(sf_dir, name))
+    if p.is_dir():
+        return [
+            [str(f.relative_to(p)), f.stat().st_size, f.stat().st_mtime]
+            for f in sorted(p.rglob("*"))
+            if f.is_file()
+        ]
+    st = p.stat()
+    return [st.st_mtime, st.st_size]
+
+
 # (applicationId, sf_dir, table) -> DataFrame. A DataFrame is an
 # immutable logical plan, so handing the same one to every caller is
 # safe — and spark.read.parquet costs ~130 ms of driver time per call

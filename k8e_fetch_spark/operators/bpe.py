@@ -99,6 +99,15 @@ def _learn_merges_local(
     the merged pair — per merge O(affected words x word length), not
     O(vocab).
 
+    Symbolization parity note (ADVICE r10): ``list(w)`` yields Python
+    code points. That matches the distributed twin because Spark's
+    ``split(w, '')`` runs on UTF8String and ALSO yields whole code
+    points outside the BMP (probed: 'a😀b' -> 3 units on this Spark
+    version, not 4 UTF-16 code units), and tie-breaks agree because
+    UTF-8 byte order (JVM string compare) equals code-point order
+    (Python compare). Pinned end to end on a non-BMP corpus in
+    tests/test_bpe.py::test_local_trainer_matches_distributed_on_non_bmp.
+
     Returns (merges, symbolized vocab as [(space-joined sym, freq)])."""
     import heapq
 

@@ -159,9 +159,11 @@ def connected_components(
             ]
         )
         out = pairs.sparkSession.createDataFrame(rows_out, schema)
-        # union-find converges in one pass — report 1 round for parity
-        # with the loop's contract (rounds < max_iterations == converged)
-        return (out, 1) if return_rounds else out
+        # union-find is EXACT in one pass — report rounds=0 so the
+        # documented convergence check (rounds < max_iterations) reads
+        # converged for every max_iterations >= 1. (ADVICE r10: the old
+        # rounds=1 misread as unconverged when max_iterations == 1.)
+        return (out, 0) if return_rounds else out
 
     # cut the (possibly expensive) pair-generation lineage ONCE: the
     # edge list is re-joined every round and would otherwise re-run the

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from k8e_fetch_spark.io import load
+from k8e_fetch_spark.io import load, source_fingerprint
 from k8e_fetch_spark.queries.registry import register
 
 # --- deterministic synthetic manifest, identical in Spark and DuckDB ---
@@ -331,9 +331,10 @@ def catalog_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wh.mkdir(parents=True, exist_ok=True)
-    docs_path = Path(sf_dir) / "documents.parquet"
-    st = docs_path.stat()
-    fp = {"sf": str(sf_dir), "doc": [st.st_mtime, st.st_size], "v": 2}
+    # Recursive per-part fingerprint (ADVICE r10): a directory-shaped
+    # parquet table can have parts rewritten in place without changing
+    # the top-level stat — the same hazard join_bucketed_colocated fixed.
+    fp = {"sf": str(sf_dir), "doc": source_fingerprint(sf_dir, "documents"), "v": 3}
     marker = wh / "source_fingerprint.json"
     tree = wh / "tree"
     reuse = False

@@ -914,22 +914,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.mkdir(parents=True, exist_ok=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS k8e_bucket_demo LOCATION '{wh}'")
 
-    def _stat(name: str) -> list:
-        # Recursive per-part fingerprint: a parquet "table" may be a
-        # DIRECTORY of part files whose in-place edits can leave the
-        # top-level dir stat unchanged — fingerprint every file's
-        # (relpath, size, mtime) so any part rewrite invalidates reuse.
-        p = Path(sf_dir) / f"{name}.parquet"
-        if p.is_dir():
-            return [
-                [str(f.relative_to(p)), f.stat().st_size, f.stat().st_mtime]
-                for f in sorted(p.rglob("*"))
-                if f.is_file()
-            ]
-        st = p.stat()
-        return [st.st_mtime, st.st_size]
+    from k8e_fetch_spark.io import source_fingerprint as _stat_fp
 
-    fp = {"sf": str(sf_dir), "li": _stat("lineitem"), "od": _stat("orders"), "v": 2}
+    fp = {
+        "sf": str(sf_dir),
+        "li": _stat_fp(sf_dir, "lineitem"),
+        "od": _stat_fp(sf_dir, "orders"),
+        "v": 2,
+    }
     marker = wh / "source_fingerprint.json"
     reuse = False
     try:

@@ -1806,7 +1806,19 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     train->encode->search plumbing end to end (the same reason
     sim_topk_ivf_trained exists beside sim_topk_ivf); on clustered
     real-world embeddings training is where PQ recall comes from.
-    Both floors pinned in tests/test_similarity.py."""
+    Both floors pinned in tests/test_similarity.py.
+
+    Oracle fragility note (ADVICE r10): the SQL twin recomputes the
+    8-iteration Lloyd unroll with DuckDB ``list_sum`` (a sequential
+    fold), while this side sums with numpy (pairwise summation). The
+    final 6-dp score rounding absorbs fold-order drift in the OUTPUT,
+    but each training iteration's argmin is DISCRETE: a d2 near-tie
+    that flips an assignment diverges the codebooks outright, which
+    rounding cannot repair. The current fixtures land no training
+    assignment within float ulp of a tie (verified by the green hash),
+    but REGENERATED fixtures could spuriously fail this oracle with
+    both sides individually correct — if that happens, suspect a
+    training-time tie before suspecting either engine."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")

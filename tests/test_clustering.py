@@ -195,6 +195,25 @@ def test_repetition_stats_known_counts(spark):
     assert rows[4] == (3, 2, 2)
 
 
+def test_connected_components_local_path_reads_converged(spark):
+    """The local union-find path is EXACT, so its reported rounds must
+    satisfy the documented convergence check (rounds < max_iterations)
+    even at max_iterations=1 — the ADVICE r10 contract fix. A caller
+    applying the documented check to the exact answer must never
+    misread it as unconverged."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(
+        pairs, max_iterations=1, return_rounds=True
+    )
+    assert rounds < 1  # converged by the documented check
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
 def test_connected_components_long_chain_diameter(spark):
     """The documented convergence bound, pinned: a planted path graph
     0-1-2-...-11 forces the min label to travel one hop per round, so
