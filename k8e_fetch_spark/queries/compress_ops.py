@@ -199,3 +199,88 @@ def repair_header_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     pathological = docs.toDF("Doc Id", "LANG", "N Chars")
     return normalize_headers(pathological)
+
+
+@register(
+    "compress_insert_ignore_tx",
+    # The oracle is the PLAIN relational answer — two overlapping batch
+    # definitions merged with set semantics. The declared side computes
+    # it through the full transactional machinery (two snapshot merges,
+    # a torn third write, a vacuum); equality proves readers resolved
+    # the published pointer and never the orphan (whose poison rows
+    # would hash-fail loudly).
+    oracle="""
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        UNION
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+    tags=("op-insert-ignore", "op-table-sink", "transactional"),
+)
+def compress_insert_ignore_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-insert-ignore, TRANSACTIONAL form (VERDICT r10 #4): the
+    reference's one transactional behavior — ``INSERT OR IGNORE`` into
+    SQLite, which is atomic per statement (fetcher.bash:157-159) —
+    re-expressed with the snapshot-pointer table (plans/snapshots.py):
+    every merge writes a complete new snapshot and atomically flips a
+    ``_CURRENT`` pointer; a crash mid-write leaves an orphan directory,
+    never a torn table.
+
+    The declared scenario runs the whole lifecycle against a fresh
+    ephemeral table dir (mkdtemp + atexit cleanup — the same pattern
+    the real-stream queries use for their sinks; nothing persists
+    across sessions):
+
+    1. merge batch A (orders o_orderkey%4 in {0,1} -> distinct
+       (cust_key, status)) -> snap-000001 published;
+    2. merge overlapping batch B (%4 in {1,2}) -> snap-000002
+       published (the left-anti keeps A∪B set semantics);
+    3. SIMULATED TORN WRITE: a snap-000003 directory appears with
+       fully-written POISON rows (status='TORN', cust_key=-1..-5) but
+       the writer "crashes" BEFORE the pointer flip;
+    4. ``vacuum(keep=1)`` removes both the superseded snap-000001 and
+       the higher-numbered orphan (the keep window is anchored at the
+       LIVE snapshot, not the lexical max — the crash-orphan hazard
+       its docstring records);
+    5. the declared output is ``read_table`` — resolved through the
+       pointer.
+
+    The oracle is plain ``SELECT DISTINCT … UNION …``: if any reader
+    step had observed the orphan, five TORN rows would appear and the
+    driver hash would fail. Scale: each merge is one keyed left-anti
+    shuffle + a full rewrite of a dimension-sized component table —
+    the snapshot pattern's documented cost, with Delta/Iceberg as the
+    manifest-based drop-in once tables outgrow it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    orders = load(spark, sf_dir, "orders")
+
+    def batch(mods):
+        return (
+            orders.filter((F.col("o_orderkey") % 4).isin(*mods))
+            .select(
+                F.col("o_custkey").alias("cust_key"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .distinct()
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="k8e_tx_table_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    snap.merge_insert_ignore(spark, table_dir, batch([0, 1]))
+    live = snap.merge_insert_ignore(spark, table_dir, batch([1, 2]))
+    # torn write: a complete-looking snapshot directory whose writer
+    # died before _publish — the pointer still names `live`
+    poison = spark.createDataFrame(
+        [(-i, "TORN") for i in range(1, 6)], "cust_key bigint, status string"
+    )
+    poison.write.mode("overwrite").parquet(f"{table_dir}/snap-000003")
+    assert snap.current_snapshot(table_dir) == live  # crash != publish
+    removed = snap.vacuum(table_dir, keep=1)
+    assert "snap-000003" in removed and "snap-000001" in removed
+    return snap.read_table(spark, table_dir)

@@ -727,3 +727,36 @@ def test_bigram_lm_arrow_matches_relational_twin(spark):
     a = rounded(bigram_lm_scores(docs, target=tgt, use_arrow=True))
     b = rounded(bigram_lm_scores(docs, target=tgt, use_arrow=False))
     assert a == b
+
+
+def test_bigram_lm_vector_scorer_bit_identical_to_loop(spark):
+    """The r11 vectorized scorer (searchsorted bigram gathers +
+    np.add.reduceat) must match the per-token loop twin BIT FOR BIT —
+    not just at the declared rounding — on the real fixture corpus:
+    per-bigram probabilities use the identical flop sequence and
+    reduceat sums left-to-right exactly like the loop's +=. Unrounded
+    equality is the strongest pin available and catches any silent
+    reordering (e.g. a pairwise np.sum sneaking in — the r8 ulp class
+    of bug)."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.text import bigram_lm_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    tgt = F.col("source").isin("src0", "src1")
+
+    def exact(frame):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["avg_logprob"]) for r in frame.collect()
+        }
+
+    vec = exact(
+        bigram_lm_scores(docs, target=tgt, use_arrow=True, arrow_impl="vector")
+    )
+    loop = exact(
+        bigram_lm_scores(docs, target=tgt, use_arrow=True, arrow_impl="loop")
+    )
+    assert vec == loop
+    assert len(vec) > 100  # non-vacuous: the fixture scores real docs
