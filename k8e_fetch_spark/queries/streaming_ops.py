@@ -434,3 +434,89 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_fixed(F.col("total_value"), 2).alias("total_value"),
     )
+
+@register(
+    "stream_session_window_append",
+    # Oracle = the batch session derivation RESTRICTED to sessions the
+    # final watermark provably closed. The emission rule is pinned
+    # empirically (see docstring): wm = floor_ms(max event ts) - delay,
+    # emit iff session_end <= wm (boundary INCLUSIVE — probed with a
+    # planted session ending exactly at wm).
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events,
+                   floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+            FROM numbered
+            GROUP BY user_id, session_id
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes' AS w
+            FROM events
+        )
+        SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.total_value
+        FROM sessions s, wm WHERE s.session_end <= wm.w
+    """,
+    tags=("ext-stream-window", "session", "real-stream", "append"),
+)
+def stream_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a WATERMARKED APPEND-mode stream — the
+    100 TB form (VERDICT r10 #3). The complete-mode twin
+    (stream_session_window) re-emits the full session history every
+    micro-batch and its state holds every session ever closed; this
+    form emits each session ONCE, when the watermark passes its end,
+    and the state store holds only sessions the watermark has not yet
+    closed — bounded by (delay + gap) of event time per key, the
+    eviction property an unbounded production stream needs.
+
+    Emission semantics pinned by probe (r11, planted boundary
+    sessions), not assumed:
+
+    - availableNow runs a final NO-DATA micro-batch after the data
+      drains, so the watermark advances to its terminal value and
+      flushes every session it closed (without it the single-batch
+      drain would emit nothing — watermark was 0 during the only data
+      batch);
+    - the terminal watermark is floor_to_MILLISECONDS(max event ts)
+      minus the delay — Spark tracks event-time stats in ms, so a
+      sub-ms max timestamp floors (probed: a session ending 600 us
+      past the floored watermark is HELD);
+    - the boundary is INCLUSIVE: session_end == watermark emits.
+
+    Sessions still open at end-of-stream (ending within the last
+    delay+gap of event time) stay in state, exactly as they would
+    mid-stream on a live pipeline — the oracle mirrors the cut. The
+    withheld tail is nonempty at every SF (events are dense through
+    max ts), so this row also proves the append form emits a PROPER
+    subset — a complete-mode regression would hash-fail on the extra
+    tail sessions."""
+    from k8e_fetch_spark.streaming import windows as sw
+
+    out = _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.sessionized(ev, gap="30 minutes", watermark="30 minutes"),
+        output_mode="append",
+        prefix="k8e_session_append_",
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        round_fixed(F.col("total_value"), 2).alias("total_value"),
+    )

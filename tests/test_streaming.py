@@ -316,3 +316,42 @@ def test_parquet_drain_empty_stream(spark, tmp_path):
     )
     assert out.count() == 0
     assert "event_type" in out.columns
+
+
+def test_session_append_emission_semantics(spark, tmp_path):
+    """Pins the empirical append-mode session emission rule the
+    stream_session_window_append oracle encodes (r11 probes):
+
+    - availableNow runs a final NO-DATA batch that advances the
+      watermark to floor_ms(max ts) - delay and flushes what it closed;
+    - the boundary is INCLUSIVE (session_end == wm emits);
+    - the watermark FLOORS to milliseconds (a session ending 600 us
+      past the floored wm is held, even though it precedes the
+      unfloored max-ts-minus-delay).
+
+    gap = delay = 10 minutes; max ts 12:00:00.000999 floors to
+    12:00:00.000, so wm = 11:50:00.000.
+    """
+    rows = [
+        (1, "2024-01-01 11:40:00.000", 1.0),   # end 11:50:00.000 == wm -> emit
+        (2, "2024-01-01 11:39:59.999", 1.0),   # end < wm -> emit
+        (3, "2024-01-01 12:00:00.000999", 1.0),  # the tail itself -> held
+        (4, "2024-01-01 11:40:00.000600", 1.0),  # end 600us past wm -> held
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+        F.lit(1).alias("event_id"),
+        F.lit("click").alias("event_type"),
+    )
+    src = tmp_path / "events"
+    df.coalesce(1).write.parquet(str(src))
+    stream = sw.sessionized(
+        sw.stream_events(spark, str(src)), gap="10 minutes", watermark="10 minutes"
+    )
+    out = sw.run_available_now_to_dir(
+        stream, str(tmp_path / "ck"), str(tmp_path / "out"), output_mode="append"
+    )
+    emitted = sorted(r["user_id"] for r in out.collect())
+    assert emitted == [1, 2], emitted
