@@ -208,3 +208,48 @@ def test_copy_roundtrip_typed_frame(spark, pg, tmp_path):
     assert _psql_value(psql_args, 'SELECT sum(k)::bigint FROM "typed_roundtrip"') == "1225"
     assert _psql_value(psql_args, 'SELECT sum(score) FROM "typed_roundtrip"') == "3062.5"
     assert int(_psql_value(psql_args, 'SELECT count(*) FROM "typed_roundtrip" WHERE flag')) == 17
+
+
+def test_copy_n_way_concurrent_load(spark, pg, tmp_path):
+    """The r11 worker-pool COPY (VERDICT r10 #6): a 16-part load
+    through 4 concurrent psql \\copy streams must land every row
+    exactly once (each COPY is its own transaction; Postgres takes
+    concurrent COPYs into one table without table locks), and the
+    concurrent form must not lose to the sequential one. Wall-clock is
+    asserted only loosely (<= 1.5x sequential) — the point is
+    correctness under concurrency plus a sanity bound, not a benchmark
+    on a shared host; the measured numbers are printed for SCALE.md."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    psql_args = pg["psql_args"]
+    df = (
+        spark.range(40_000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("value-"), F.col("id").cast("string")).alias("v"),
+        )
+        .repartition(16)
+    )
+
+    t0 = time.perf_counter()
+    n_seq = copy_into_postgres(
+        df, "nway_seq", psql_args, str(tmp_path / "seq"), parallelism=1
+    )
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_par = copy_into_postgres(
+        df, "nway_par", psql_args, str(tmp_path / "par"), parallelism=4
+    )
+    t_par = time.perf_counter() - t0
+
+    assert n_seq == n_par == 16
+    assert _psql_value(psql_args, 'SELECT count(*) FROM "nway_par"') == "40000"
+    assert _psql_value(psql_args, 'SELECT count(DISTINCT k) FROM "nway_par"') == "40000"
+    assert (
+        _psql_value(psql_args, 'SELECT count(*) FROM "nway_par" p JOIN "nway_seq" s USING (k) WHERE p.v = s.v')
+        == "40000"
+    )
+    print(f"COPY 16 parts: sequential {t_seq:.2f}s, 4-way {t_par:.2f}s")
+    assert t_par <= t_seq * 1.5, (t_par, t_seq)
