@@ -151,135 +151,111 @@ _PRIORITY = (
     # see BASELINE.md round-8 A/B. Rotation comments now carry their
     # round number for exactly this reason.
     #
-    # ROUND-10 ROTATION (VERDICT r9 next-round #2): the three late-r9
-    # oracle promotions — text_winnowing_fingerprint (window-min
-    # winnowing via the md5_32 gram hash), sim_kmeans_assign (3
-    # unrolled Lloyd iterations), sim_topk_ivf (probe-limited IVF
-    # search recomputed exactly) — are the only oracle-bearing queries
-    # with zero driver hash history (their window rows predate the
-    # promotion). They take the seats of pipeline_end_to_end (6
-    # greens) and stream_dedup_redelivery (6 greens) — the two
-    # longest-green rows, both code-unchanged this round — and
-    # dedup_cluster_keep_best (5 greens, untouched). Rotated-out rows
-    # keep recorded history + tests/test_oracle_parity.py parity.
+    # ROUND-10 ROTATION (VERDICT r9 next-round #2): three late-r9
+    # oracle promotions (winnowing, kmeans_assign, topk_ivf) plus the
+    # r10 natural-corpus LSH promotions, op-flatten, the CC full
+    # oracle, trained-PQ, the bigram-LM gate and the BPE rows took
+    # first-evidence seats; the full per-row rationale lives in git
+    # history (this block was rewritten for r11 — see below).
+    #
+    # ROUND-11 ROTATION (VERDICT r10 next-round #1/#7). Three groups:
+    #
+    # KEEP (20): the ten r10 first-evidence rows hold their seats for
+    # a SECOND green on unchanged oracle forms (winnowing, kmeans,
+    # ivf, minhash, simhash, flatten, clusters, cosine-lsh,
+    # trained-pq, lm-gate); seven rows whose code changed in r10/r11
+    # hold seats under the changed-code-needs-fresh-evidence policy
+    # (bucketed join + flatten share the r11 fingerprint fix; the LM
+    # gate got the r11 vectorized scorer; semdedup/dsir/bpe-train/
+    # bpe-apply/domain-filter/session-window all changed in r10);
+    # two NEW r11 queries (transactional snapshot merge, append-mode
+    # session window) take first rows; mm_decode_video_real stays as
+    # the codec-family representative (its x3 is the family's lowest).
+    #
+    # OUT (30): every remaining row has 2-6 greens on unchanged code
+    # (all seven mm codec rows but video, the 7 hardest TPC-H, the
+    # retention/overlap/snapshot dedup trio, mixing/pipeline rows,
+    # PQ/IVFPQ/hybrid/ivf-trained, bloom/PII, line-cleaning,
+    # enrichment, salted-skew, substring-spans). All keep recorded
+    # history + per-session pytest parity.
+    #
+    # IN (30): the longest-unseen rows — the 19 relational rows whose
+    # only driver green is ROUND 1 (nine rounds unseen; among them
+    # join_anti_customers and scalar_subquery_rich_idle, whose r10
+    # non-vacuity fixes changed their oracle forms and so have ZERO
+    # greens on current form) and the 11 TPC-H rows whose only green
+    # is round 6 (q22 also r10-fixed, zero greens on current form).
+    # After a green r11 window, EVERY oracle-bearing query in the
+    # registry has >=2 driver greens — the first full second-pass.
+    #
+    # SEAT COMPACTION (VERDICT r10 #7): the six planted twins whose
+    # natural-corpus counterparts are now FULL cross-engine oracles
+    # (dedup_minhash_lsh_planted x7, sim_cosine_lsh_planted x7,
+    # dedup_simhash_planted x3, sim_topk_ivf_planted x3,
+    # dedup_clusters_planted x3, dedup_clusters_star_planted x5) plus
+    # text_decontaminate_ngram (x4; its bloom twin carries the SAME
+    # oracle) are declared NEVER-RESEAT: they stay registered (still
+    # pytest-parity-checked every session, still driver-recorded
+    # history) but no longer claim rotation seats — their semantics
+    # are subsumed by seated full-oracle rows. Rotating surface drops
+    # from 157 to 150, putting a full sweep back under 3 rounds.
+    #
+    # -- keeps: ten r10 first-evidence rows --
     "text_winnowing_fingerprint",
     "sim_kmeans_assign",
     "sim_topk_ivf",
-    # r10 promotions (VERDICT r9 #7): the natural-corpus MinHash-LSH
-    # and SimHash pipelines gained FULL cross-engine oracles this
-    # round (md5_32 gram/band + md5_32x2 projection-bit hashes — the
-    # winnowing pattern); both take first-oracle-row seats on changed
-    # code. Out: text_unigram_logprob, text_repetition_filter (5
-    # greens each, untouched).
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # r10: op-flatten made concrete (the inventory's one N/A row —
-    # recursive nested-tree scan + path-derived provenance, full
-    # oracle); first driver row. Out: dedup_paragraphs (5 greens,
-    # untouched).
     "catalog_flatten_tree",
-    # r10 third promotion: connected components over the md5_32 pair
-    # set, exactly recomputable via a recursive reachability CTE —
-    # first oracle row on changed code. Out: dedup_clusters_star_planted
-    # (5 greens, untouched; its star-guard semantics stay pinned in
-    # pytest and the planted-clusters family keeps dedup_clusters_planted
-    # coverage through the full-oracle CC row).
     "dedup_clusters_minhash",
-    # r10 fourth promotion: the auto-sized hyperplane LSH recomputed
-    # relationally (planes + geometry from count(*)). Out:
-    # events_funnel_conversion (5 greens, untouched).
     "sim_cosine_lsh",
-    # r10 sixth promotion: 8-iteration sampled PQ training unrolled
-    # into materialized SQL CTEs (subspace = data dimension). Out:
-    # tpch_q10_returned_items (5 greens, untouched; 7 TPC-H family
-    # rows keep seats).
     "sim_topk_pq_trained",
-    # ext-multimodal REAL PNG decode keeps a seat (mm_decode_features,
-    # 4 greens, rotated out for the new IVFPQ row below)
-    "mm_decode_real",
-    # ext-text-stats + corpus prep (1-2 greens, keep seats).
-    # r9 mid-round swap: text_vocabulary (4 greens, untouched) rotates
-    # OUT for the declared bucketed co-located join (first driver row)
-    "join_bucketed_colocated",
-    # r10: new CCNet-style bigram-LM perplexity gate takes a first
-    # driver row (out: text_sequence_packing, 5 greens, untouched)
     "text_lm_perplexity_filter",
-    # r9 late swap: text_shingle_novelty (4 greens, untouched) rotates
-    # OUT for the new BPE tokenizer-training query (first driver row:
-    # 3 learned merges + post-merge symbol inventory, full loop oracle)
-    "text_bpe_learn_merges",
-    # decontamination: the bloom twin takes the shared oracle's seat
-    # (first driver row); PII scrub first row
-    "text_decontaminate_bloom",
-    "text_pii_scrub",
-    # corpus mixing / retention / sampling (corpus_source_profile and
-    # sample_token_budget, 3 greens each, rotated out for the new
-    # incremental-minhash and stream-enrichment rows)
-    # r9 late swap: corpus_split_assign (4 greens, untouched) rotates
-    # OUT for the BPE APPLY query (first driver row — train+tokenize
-    # hash-checked in one row; the training query has its own seat)
-    "text_bpe_apply",
-    "sample_source_temperature",
-    "corpus_clean_mix_pipeline",
-    # dedup family
-    "dedup_apply_retention",
-    "dedup_cross_source_overlap",
-    "dedup_incremental_snapshot",
-    # r8 addition: incremental NEAR-dup (batch vs corpus banding),
-    # first driver row
-    "dedup_incremental_minhash",
-    # r9 mid-round swap: dedup_minhash_lsh_planted (7 greens, pair
-    # generator untouched this round — the r9 verify fix is in the
-    # INCREMENTAL variant, which keeps its own seat above) rotates OUT
-    # for the new DSIR importance-selection query (first driver row)
-    "sample_dsir_importance",
-    # similarity: the PQ pair + the new IVFPQ composition take their
-    # first driver rows. r9 mid-round swap: sim_cosine_lsh_planted
-    # (7 greens, code untouched since r6) rotates OUT for the new
-    # SemDeDup embedding-space dedup (Abbas et al. 2023) — trained
-    # k-means + within-cluster eps-drop, full unrolled-Lloyd oracle,
-    # first driver row
+    # -- keeps: changed-code rows (r10/r11 changes need fresh greens) --
+    "join_bucketed_colocated",
     "dedup_semantic_semdedup",
-    "sim_topk_pq_adc",
-    "dedup_substring_spans",
-    "sim_topk_ivfpq_adc",
-    "sim_hybrid_search",
-    # data-quality constraint gate (first driver row)
-    "quality_constraint_checks",
-    # events analytics (funnel rotated out r10 at 5 greens)
-    "events_retention_cohort",
-    # ext-stream-window (stream_dedup_redelivery rotated out r10 at 6
-    # greens; the enrichment row keeps its seat)
-    # r9 mid-round swap: stream_join_attribution (5 greens, untouched)
-    # rotates OUT for the new C4 line-cleaning query (first driver row)
-    "text_line_cleaning",
-    "stream_enrich_dimension",
-    # ext-typed-relational: the 8 structurally hardest TPC-H plans keep
-    # seats for a second green (correlated subqueries, fact-fact joins)
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q20_potential_promotion",
-    # ext-multimodal: second green for the r7 first-green codec rows
-    # (on the r7-reworked GIF/JPEG decode); video row is the FIRST
-    # comparable one — its r7 row failed on schema hashability
-    "mm_decode_jpeg_real",
-    "mm_decode_png_variants",
-    "mm_decode_gif_real",
-    "mm_gif_frame_stats",
-    "mm_resize_real",
-    "mm_decode_audio_real",
-    "mm_decode_video_real",
-    # r9 first-row seats: URL/domain curation, the real-stream session
-    # window, and the answer-invariant salted skew join; ivf_trained
-    # keeps its seat (oracle-bearing as of r8, one green)
     "text_domain_filter",
     "stream_session_window",
-    "join_salted_skew",
-    "sim_topk_ivf_trained",
+    "text_bpe_learn_merges",
+    "text_bpe_apply",
+    "sample_dsir_importance",
+    # -- new r11 queries: first driver rows --
+    "compress_insert_ignore_tx",
+    "stream_session_window_append",
+    # -- codec-family representative --
+    "mm_decode_video_real",
+    # -- backfill: the 19 round-1-only relational rows --
+    "top_customers_by_revenue",
+    "set_ops_customers",
+    "agg_statistics",
+    "events_json_extract",
+    "join_semi_customers",
+    "join_anti_customers",
+    "agg_percentiles",
+    "pivot_event_types",
+    "orders_by_month",
+    "string_funcs_parts",
+    "having_big_orders",
+    "scalar_subquery_rich_idle",
+    "correlated_min_supplier",
+    "disjunctive_part_filter",
+    "exists_late_shipments",
+    "profile_customer_table",
+    "bag_set_ops_orders",
+    "null_semantics_customer",
+    "date_arithmetic_orders",
+    # -- backfill: the 11 round-6-only TPC-H rows --
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
 )
 
 
