@@ -1382,12 +1382,22 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is domain-salted ('mix:') so the split assignment on the raw
     doc_id hash stays independent — without the salt every sampled doc
     lands in 'train' (see sample_source_temperature)."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.dedup import segment_dedup_keep_first
     from k8e_fetch_spark.operators.text import source_temperature_rates
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     cleaned = segment_dedup_keep_first(_word_segments(docs))
-    scored = (
+    # persist the post-floor frame: it is consumed TWICE — the rate
+    # computation and the final mix join — and without the pin each
+    # consumer re-executes the whole segmentation -> dedup -> rescore
+    # chain from the scan (this was the one bench row >2x its oracle in
+    # both r10 draws; solo best-of-6 min 1.64 -> 1.41 s with the pin,
+    # and at real scale the saving is a full extra pass over the
+    # corpus). The frame is doc-count-sized (4 narrow columns, no
+    # text), so the cache cost is bounded.
+    scored = persist_scoped(
+        "clean_mix.scored",
         cleaned.join(docs.select("doc_id", "source"), on="doc_id")
         .select(
             "doc_id",
@@ -1395,9 +1405,27 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             round_fixed(quality_score(F.col("cleaned_text")), 6).alias("quality"),
         )
-        .filter(F.col("quality") >= 0.5)
+        .filter(F.col("quality") >= 0.5),
     )
-    rates = source_temperature_rates(scored, target_frac=0.5)
+    # rates collect as O(#sources) driver state and join back as a
+    # LITERAL frame (the DSIR lambda-inline lever): the rates broadcast
+    # then has no upstream plan for a future to re-run. Same values as
+    # the in-plan form (identical expression, 6-dp rounded).
+    #
+    # Deliberately NOT serialized behind a foreground materialization:
+    # concurrent consumers can still race through partitions the cache
+    # has not finished (Spark dedupes finished cache partitions, not
+    # in-flight ones), but A/B'd r11, forcing a scored.count() first
+    # made wall WORSE (solo best-of-6 min 1.41 -> 2.29 s) — at bench
+    # scale the racing duplicates overlap on otherwise-idle cores while
+    # the count lengthens the critical path. On a saturated cluster the
+    # cache absorbs the duplicates anyway (consumers start after the
+    # first job finishes minutes apart, not milliseconds).
+    rate_rows = source_temperature_rates(scored, target_frac=0.5).collect()
+    rates = spark.createDataFrame(
+        [(r["source"], float(r["rate"])) for r in rate_rows],
+        "source string, rate double",
+    )
     return (
         scored.join(F.broadcast(rates), on="source")
         .filter(_mix_frac_col() < F.col("rate"))
