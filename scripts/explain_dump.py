@@ -44,7 +44,7 @@ SHOWCASE = [
     ("tpch_q2_min_cost_supplier", "correlated-min decorrelated: (part,supplier) unit-cost aggregate + per-part min as a window over it (ONE lineitem scan; the join-back form re-executed the fact chain twice); every dimension broadcast"),
     ("tpch_q21_waiting_supplier", "exists/not-exists via ONE lateness aggregate + window stats — single fact scan (the aggregate-join form scanned it twice; verified on the executed plan)"),
     ("dedup_paragraphs", "paragraph dedup keep-first: scan-local segmentation -> one groupBy-min on segment text -> per-doc bounded reassembly"),
-    ("corpus_clean_mix_pipeline", "the composed curation flow: dedup -> re-score -> floor -> temperature mix -> split as ONE plan; rates broadcast, sampling/split scan-local"),
+    ("corpus_clean_mix_pipeline", "the composed curation flow: dedup -> re-score -> floor -> temperature mix -> split; the post-floor frame is persisted (r11: it feeds BOTH the rate computation and the mix join — unpinned, broadcast futures raced the whole segment chain ~5x) and rates join back as a LITERAL frame (collected O(#sources) rows, no upstream plan), so the displayed mix join reads InMemoryTableScan + a literal broadcast"),
     ("events_retention_cohort", "retention matrix in ONE fact scan: cohort week as a window-min over distinct active weeks (min commutes with date_trunc) instead of an aggregate joined back"),
     ("dedup_substring_spans", "ExactSubstr duplicated-span removal (Lee et al. 2022 re-expressed): gram-hash dup detection is ONE map-side-combined aggregate on 8-byte xxhash64 keys, coverage merge is a row-local interval fold (no explode of covered positions), reassembly one per-doc shuffle — three keyed exchanges total, nothing quadratic, no Python"),
     ("text_domain_filter", "URL/domain curation front door: host + registered-domain are scan-local regex projections, blocklist a literal isin filter, the per-domain cap ONE row_number window whose <= filter becomes WindowGroupLimit BELOW the exchange — a boilerplate mega-domain ships only cap survivors per map partition"),
