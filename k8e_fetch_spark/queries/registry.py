@@ -259,6 +259,26 @@ _PRIORITY = (
 )
 
 
+# Seat-compaction contract (r11, VERDICT r10 #7): these rows stay
+# REGISTERED (pytest parity every session, recorded driver history) but
+# never claim correctness-window seats again — each one's semantics are
+# subsumed by a seated natural-corpus FULL-oracle row (the planted
+# twins by their natural promotions; the ngram decontamination variant
+# by its bloom twin, which carries the identical oracle). Enforced by
+# tests/test_registry_invariants.py.
+NEVER_RESEAT: frozenset[str] = frozenset(
+    {
+        "dedup_minhash_lsh_planted",  # subsumed by dedup_minhash_lsh
+        "sim_cosine_lsh_planted",  # subsumed by sim_cosine_lsh
+        "dedup_simhash_planted",  # subsumed by dedup_simhash
+        "sim_topk_ivf_planted",  # subsumed by sim_topk_ivf
+        "dedup_clusters_planted",  # subsumed by dedup_clusters_minhash
+        "dedup_clusters_star_planted",  # subsumed by dedup_clusters_minhash
+        "text_decontaminate_ngram",  # same oracle as text_decontaminate_bloom
+    }
+)
+
+
 def _ordered() -> list[Query]:
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     names = list(REGISTRY)

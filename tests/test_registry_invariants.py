@@ -82,3 +82,32 @@ def test_declared_result_is_non_vacuous(spark, name):
         "lesson); make the fixture/selection produce rows or allowlist "
         "the query in _EMPTY_OK with a rationale"
     )
+
+
+def test_never_reseat_rows_hold_no_seats():
+    """The r11 seat-compaction contract: rows whose semantics are
+    subsumed by a seated natural-corpus full-oracle row must stay
+    registered (parity coverage above) but never occupy a
+    correctness-window seat, and every subsuming row must itself be
+    registered with a full oracle."""
+    from k8e_fetch_spark.queries.registry import (
+        NEVER_RESEAT,
+        REGISTRY,
+        _PRIORITY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    assert not (NEVER_RESEAT & set(_PRIORITY)), NEVER_RESEAT & set(_PRIORITY)
+    # still registered, still checkable
+    for n in NEVER_RESEAT:
+        assert n in REGISTRY, n
+    for subsumer in (
+        "dedup_minhash_lsh",
+        "sim_cosine_lsh",
+        "dedup_simhash",
+        "sim_topk_ivf",
+        "dedup_clusters_minhash",
+        "text_decontaminate_bloom",
+    ):
+        assert REGISTRY[subsumer].oracle is not None, subsumer
