@@ -142,3 +142,51 @@ def write_range_sorted(
     cols = [F.col(c) for c in sort_cols]
     ranged = df.repartitionByRange(*([n_files] if n_files else []), *cols)
     ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 << 20,
+    rebalance: bool = False,
+) -> tuple[int, int]:
+    """op-table-sink, maintenance form: rewrite a parquet directory of
+    many small files into ~``target_bytes`` files — the small-files
+    compaction every long-running ingest needs (each micro-batch /
+    task appends its own part file; a 100 TB table accreted from
+    10k-row appends drowns the driver in file listings and the scan in
+    per-file open cost; the metastore/S3 LIST bill grows per file).
+
+    Sizing reads the SOURCE's real on-disk bytes (the same listing the
+    scan itself performs): n_out = ceil(total_bytes / target_bytes),
+    floored at 1. The rewrite uses ``coalesce`` by default — a
+    NARROW dependency that merges input splits into n_out tasks with
+    ZERO shuffle (verified on the plan in tests/test_scale.py); with
+    heavily skewed input file sizes pass ``rebalance=True`` to pay one
+    round-robin exchange for evenly-sized output files instead. At
+    cluster scale this runs per partition-directory (compose with
+    write_partitioned), so the unit of work stays one directory.
+
+    Compaction is a pure LAYOUT change: content identity is the
+    correctness contract (row-for-row equality pinned in
+    tests/test_scale.py and by the declared query's oracle). Returns
+    (n_files_before, n_files_after).
+    """
+    import math
+    from pathlib import Path
+
+    def _parts(d: str) -> list:
+        return [
+            p
+            for p in Path(d).rglob("*.parquet")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        ]
+
+    before = _parts(src_dir)
+    total = sum(p.stat().st_size for p in before)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    out = df.repartition(n_out) if rebalance else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return len(before), len(_parts(dst_dir))

@@ -382,3 +382,74 @@ def catalog_flatten_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
     )
+
+
+@register(
+    "maintenance_compact_small_files",
+    # Compaction is a pure LAYOUT change — the oracle is the straight
+    # per-source profile of the table; reading it through fragment ->
+    # compact -> scan proves no row was lost, duplicated, or mangled by
+    # the rewrite (count, an exact integer sum, and an id checksum all
+    # participate in the hash).
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("op-table-sink", "maintenance", "compaction"),
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction declared end to end (r11): the maintenance
+    op every accreting 100 TB table needs — micro-batch appends leave
+    one part file per task per trigger, and both the scan (per-file
+    open cost) and the object store (LIST per file) degrade as the
+    file count grows. The reference never hits this only because its
+    corpus is one sqlite file per group (fetcher.bash:84-88); any
+    parquet-on-object-store deployment of the same pipeline does.
+
+    Scenario against an ephemeral table dir (mkdtemp + atexit — the
+    real-stream queries' pattern): the documents table is deliberately
+    FRAGMENTED into 32 part files (a round-robin repartition write —
+    the worst-case accretion shape), then compacted with
+    ``compact_small_files`` sized off the fragmented directory's real
+    bytes (target = max(4 MB, total/8), so the output width is 1-8
+    files at every SF — always strictly fewer than 32, asserted
+    in-query). The compaction path is ``coalesce`` — a narrow,
+    ZERO-shuffle merge of input splits (plan-pinned in
+    tests/test_scale.py). The declared output profiles the COMPACTED
+    table per source; hash-equality with the oracle's profile of the
+    ORIGINAL table proves the rewrite is content-identical."""
+    import atexit
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.operators.scale import compact_small_files
+
+    work = tempfile.mkdtemp(prefix="k8e_compact_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, dst = f"{work}/fragmented", f"{work}/compacted"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.repartition(32).write.parquet(src)
+    total = sum(
+        p.stat().st_size
+        for p in Path(src).rglob("*.parquet")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    )
+    n_before, n_after = compact_small_files(
+        spark, src, dst, target_bytes=max(4 << 20, math.ceil(total / 8))
+    )
+    assert n_after < n_before, (n_before, n_after)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -224,6 +224,10 @@ _PRIORITY = (
     "stream_session_window_append",
     # -- codec-family representative --
     "mm_decode_video_real",
+    # (r11-late addition, NOT seated this round: the small-file
+    # compaction query `maintenance_compact_small_files` registered
+    # after this window was composed — it is the natural first reseat
+    # for r12, alongside the r11-late oracle greens it will join.)
     # -- backfill: the 19 round-1-only relational rows --
     "top_customers_by_revenue",
     "set_ops_customers",

@@ -367,3 +367,51 @@ def test_bucketed_colocated_rewrites_on_source_change(spark):
     again = {tuple(r) for r in fn(spark, SF_DIR).collect()}
     assert again == small
     assert json.loads(marker.read_text()) == fp_small
+
+
+def test_compact_small_files_zero_shuffle_and_identity(spark, tmp_path):
+    """Small-file compaction (r11): sizing off the source's real bytes,
+    coalesce (NARROW — no Exchange in the plan) by default, exact
+    content identity, and the rebalance escape hatch paying exactly one
+    round-robin exchange."""
+    from k8e_fetch_spark.operators.scale import compact_small_files
+
+    src = str(tmp_path / "frag")
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(24).write.parquet(src)
+
+    # default path: coalesce — the read->write plan must carry NO
+    # exchange (narrow merge of input splits)
+    dst = str(tmp_path / "compact")
+    n_before, n_after = compact_small_files(
+        spark, src, dst, target_bytes=1 << 30
+    )
+    assert n_before == 24
+    assert n_after == 1
+    plan = spark.read.parquet(src).coalesce(1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Coalesce" in plan, plan
+
+    got = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+    # target smaller than total -> multiple output files, still fewer
+    total = sum(
+        p.stat().st_size for p in (tmp_path / "frag").rglob("*.parquet")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    )
+    dst2 = str(tmp_path / "compact4")
+    _, n4 = compact_small_files(spark, src, dst2, target_bytes=max(1, total // 4))
+    assert 2 <= n4 <= 8, n4
+
+    # rebalance path: exactly one round-robin exchange
+    plan_rb = spark.read.parquet(src).repartition(2)._jdf.queryExecution().executedPlan().toString()
+    assert plan_rb.count("Exchange") == 1, plan_rb
+    dst3 = str(tmp_path / "compact_rb")
+    _, n3 = compact_small_files(spark, src, dst3, target_bytes=1 << 30, rebalance=True)
+    assert n3 == 1
+    got3 = sorted(tuple(r) for r in spark.read.parquet(dst3).collect())
+    assert got3 == want
