@@ -253,3 +253,63 @@ def test_copy_n_way_concurrent_load(spark, pg, tmp_path):
     )
     print(f"COPY 16 parts: sequential {t_seq:.2f}s, 4-way {t_par:.2f}s")
     assert t_par <= t_seq * 1.5, (t_par, t_seq)
+
+
+def test_copy_from_executors_matches_landed_csv_path(spark, pg, tmp_path):
+    """The executor-resident COPY (r11): foreachPartition streaming
+    COPY FROM STDIN must land byte-identical content to the pinned
+    landed-CSV path on the full hostile-strings fixture (NULL vs empty,
+    literal \\N, embedded/doubled quotes, commas, newlines), plus a
+    multi-partition typed load with exactly-once row landing."""
+    from k8e_fetch_spark.plans.postgres import copy_from_executors
+
+    psql_args = pg["psql_args"]
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "\\N"),
+        (4, 'JOHN "JACK"'),
+        (5, 'JOHN ""JACK""'),
+        (6, 'O"BRIEN'),
+        (7, "a,b"),
+        (8, 'tricky\\"mix'),
+        (9, "line1\nline2"),
+        (10, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v string").repartition(3)
+    copy_into_postgres(df, "exec_ref", psql_args, str(tmp_path))
+    copy_from_executors(df, "exec_copy", psql_args)
+    assert (
+        _psql_value(
+            psql_args,
+            'SELECT count(*) FROM "exec_copy" c JOIN "exec_ref" r USING (k) '
+            "WHERE c.v IS NOT DISTINCT FROM r.v",
+        )
+        == "10"
+    )
+
+    typed = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.5).alias("score"),
+        (F.col("id") % 3 == 0).alias("flag"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("n"), F.col("id")))
+        .alias("tag"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    ).repartition(8)
+    copy_from_executors(typed, "exec_typed", psql_args)
+    assert _psql_value(psql_args, 'SELECT count(*) FROM "exec_typed"') == "10000"
+    assert _psql_value(psql_args, 'SELECT count(DISTINCT k) FROM "exec_typed"') == "10000"
+    assert _psql_value(psql_args, 'SELECT sum(k)::bigint FROM "exec_typed"') == str(
+        (9999 * 10000) // 2
+    )
+    assert _psql_value(
+        psql_args, 'SELECT count(*) FROM "exec_typed" WHERE tag IS NULL'
+    ) == str(len([i for i in range(10_000) if i % 7 == 0]))
+    assert (
+        _psql_value(
+            psql_args,
+            "SELECT count(DISTINCT ts) FROM \"exec_typed\"",
+        )
+        == "1"
+    )
