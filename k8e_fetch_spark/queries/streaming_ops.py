@@ -47,8 +47,24 @@ def _drain_events_stream(
     workdir = tempfile.mkdtemp(prefix=prefix)
     src = os.path.join(workdir, "events")
     os.makedirs(src)
+    # the source table may be a single parquet FILE (the shipped
+    # testdata) or a DIRECTORY of part files (any Spark-written table,
+    # e.g. the 20x stress harness's replicated corpus) — stage either
+    # shape as a flat file set the streaming source can discover
+    src_tbl = f"{sf_dir}/events.parquet"
     for i in range(n_copies):
-        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, f"part-{i:03d}.parquet"))
+        if os.path.isdir(src_tbl):
+            from pathlib import Path
+
+            parts = [
+                p
+                for p in sorted(Path(src_tbl).rglob("*.parquet"))
+                if p.is_file() and not p.name.startswith((".", "_"))
+            ]
+            for j, f in enumerate(parts):
+                shutil.copy(f, os.path.join(src, f"part-{i:03d}-{j:05d}.parquet"))
+        else:
+            shutil.copy(src_tbl, os.path.join(src, f"part-{i:03d}.parquet"))
     stream = build_stream(
         sw.stream_events(spark, src, max_files_per_trigger=max_files_per_trigger)
     )

@@ -75,6 +75,10 @@ PROBES = [
     # the local union-find path hands off to the propagation loop above
     # 1M edges
     "dedup_clusters_minhash",
+    # r11: watermarked APPEND-mode sessions — the probe measures the
+    # full availableNow drain (stream state = only watermark-open
+    # sessions per key; the emitted set is watermark-closed sessions)
+    "stream_session_window_append",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -355,3 +355,41 @@ def test_session_append_emission_semantics(spark, tmp_path):
     )
     emitted = sorted(r["user_id"] for r in out.collect())
     assert emitted == [1, 2], emitted
+
+
+def test_drain_stages_directory_shaped_tables(spark, tmp_path):
+    """_drain_events_stream must accept BOTH source shapes: the shipped
+    single-file events.parquet AND a Spark-written DIRECTORY of part
+    files (any real deployment; caught r11 by the 20x stress harness,
+    whose replicated corpus is directory-shaped)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from k8e_fetch_spark.queries.streaming_ops import _drain_events_stream
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": [dt.datetime(2024, 1, 1, 0, m) for m in range(8)],
+            "user_id": [1, 1, 2, 2, 1, 2, 1, 2],
+            "event_type": ["click"] * 8,
+            "value": [1.0] * 8,
+        }
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    # directory-shaped: a 3-part Spark write at exactly the path the
+    # drain resolves
+    spark.createDataFrame(rows).repartition(3).write.parquet(
+        str(sf_dir / "events.parquet")
+    )
+    out = _drain_events_stream(
+        spark,
+        str(sf_dir),
+        lambda ev: sw.tumbling(ev, width="15 minutes", watermark="0 seconds"),
+        output_mode="complete",
+        prefix="k8e_dirshape_test_",
+    )
+    got = {(r["window_start"].minute, r["n_events"]) for r in out.collect()}
+    assert got == {(0, 8)}, got
