@@ -202,9 +202,14 @@ def connected_components(
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("component") != F.col("_old")).count()
         labels = new_labels.select("node", "component")
-        rounds += 1
         if changed == 0:
+            # the zero-change (fixpoint-detection) round is not counted:
+            # a converged run must satisfy the documented check
+            # rounds < max_iterations even when detection lands exactly
+            # on the last allowed round (ADVICE r11 — the r10 contract
+            # fix had only reached the union-find path's rounds=0).
             break
+        rounds += 1
     return (labels, rounds) if return_rounds else labels
 
 
@@ -499,13 +504,16 @@ def connected_components_star(
             .agg(F.max("in_new").alias("in_new"), F.max("in_old").alias("in_old"))
             .localCheckpoint(eager=True)
         )
-        rounds += 1
         changed = (
             merged.filter(F.col("in_new") != F.col("in_old")).limit(1).count()
         )
         edges = merged.filter(F.col("in_new") == 1).select("u", "v")
         if changed == 0:
+            # zero-change round not counted — same convergence-check
+            # contract as the min-label loop (rounds < max_iterations
+            # must hold for every converged run, ADVICE r11)
             break
+        rounds += 1
 
     # converged: edges are (member -> root) stars; roots label themselves
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))

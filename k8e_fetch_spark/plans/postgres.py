@@ -30,6 +30,7 @@ container needed) in tests/test_postgres.py.
 from __future__ import annotations
 
 import subprocess
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -178,6 +179,7 @@ def copy_from_executors(
     table: str,
     psql_args: list[str],
     create: bool = True,
+    exactly_once: bool = False,
 ) -> None:
     """Executor-resident COPY — the 100 TB shape, executed (r11): each
     partition's task streams its rows straight into ``psql`` running
@@ -189,6 +191,31 @@ def copy_from_executors(
     binary as the COPY client since this environment ships no Python
     pg driver (each COPY is still one server-side transaction per
     partition).
+
+    Delivery semantics (ADVICE r11). The default direct mode is
+    **at-least-once**: each partition's COPY commits independently
+    inside a Spark task, so a task retry after a committed COPY
+    (``spark.task.maxFailures`` re-runs on transient post-commit
+    failure) or a speculative duplicate attempt inserts that
+    partition's rows twice. Run direct mode only with
+    ``spark.speculation=false`` and an idempotent/append-tolerant
+    target, or dedup downstream.
+
+    ``exactly_once=True`` is the production shape for targets that
+    cannot tolerate duplicates: the classic two-phase staged load. Each
+    task COPYs into its OWN staging table keyed by (partitionId,
+    taskAttemptId) — retried or speculative attempts land in distinct
+    staging tables, never the target. After ``foreachPartition``
+    returns (Spark guarantees every partition then has >=1 successful
+    attempt), the driver promotes exactly ONE attempt per partition
+    into the target inside a single transaction and drops all staging
+    tables (losing attempts included) — duplicates are structurally
+    impossible, and a mid-promote failure rolls back to a clean target.
+    Cost: one extra server-side rewrite of the data (staging -> target
+    is ``INSERT ... SELECT``, server-local, no client round-trip) — the
+    same trade pg_restore's staged mode and Spark's own DBIO commit
+    protocol make. On job failure the staging tables for this load id
+    are dropped before the error propagates.
 
     Row encoding reproduces the load-bearing CSV dialect contract of
     :func:`copy_into_postgres` byte for byte (see its docstring): NULL
@@ -204,8 +231,7 @@ def copy_from_executors(
     if create:
         _psql(psql_args, postgres_ddl(df, table))
     cols = ", ".join(f'"{f.name.lower()}"' for f in df.schema.fields)
-    copy_sql = f"\\copy \"{table}\" ({cols}) from pstdin with (format csv, null '')"
-    argv = ["psql", "-v", "ON_ERROR_STOP=1", *psql_args, "-c", copy_sql]
+    load_id = uuid.uuid4().hex[:12] if exactly_once else None
 
     def _enc(v) -> str:
         if v is None:
@@ -225,6 +251,7 @@ def copy_from_executors(
         return s
 
     def _load_partition(rows) -> None:
+        import itertools
         import subprocess
 
         it = iter(rows)
@@ -232,6 +259,38 @@ def copy_from_executors(
             first = next(it)
         except StopIteration:
             return  # empty partition: no connection, no empty COPY
+
+        if load_id is None:
+            target = table
+        else:
+            # exactly-once: this attempt's private staging table. The
+            # (partitionId, taskAttemptId) key makes retried/speculative
+            # attempts collide-free; only the driver-side promote ever
+            # touches the real target. taskAttemptId is globally unique
+            # per app, so re-runs of the same partition never clash.
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            target = f"{table}__stg{load_id}_p{ctx.partitionId()}_a{ctx.taskAttemptId()}"
+            mk = subprocess.run(
+                [
+                    "psql",
+                    "-v",
+                    "ON_ERROR_STOP=1",
+                    *psql_args,
+                    "-c",
+                    f'CREATE TABLE "{target}" (LIKE "{table}")',
+                ],
+                capture_output=True,
+                text=True,
+            )
+            if mk.returncode != 0:
+                raise RuntimeError(
+                    f"staging CREATE failed ({mk.returncode}): {mk.stderr.strip()}"
+                )
+
+        copy_sql = f"\\copy \"{target}\" ({cols}) from pstdin with (format csv, null '')"
+        argv = ["psql", "-v", "ON_ERROR_STOP=1", *psql_args, "-c", copy_sql]
         proc = subprocess.Popen(
             argv,
             stdin=subprocess.PIPE,
@@ -239,12 +298,22 @@ def copy_from_executors(
             stderr=subprocess.PIPE,
         )
         try:
-            import itertools
-
-            for row in itertools.chain([first], it):
-                line = ",".join(_enc(v) for v in row) + "\n"
-                proc.stdin.write(line.encode("utf-8"))
-            proc.stdin.close()
+            try:
+                for row in itertools.chain([first], it):
+                    line = ",".join(_enc(v) for v in row) + "\n"
+                    proc.stdin.write(line.encode("utf-8"))
+                proc.stdin.close()
+            except BrokenPipeError:
+                # psql aborted the COPY mid-stream (bad row, server
+                # error): the pipe write fails BEFORE the normal
+                # stderr-reporting branch runs. Recover the server's
+                # actual diagnostic instead of dying on the opaque
+                # EPIPE (ADVICE r11).
+                proc.wait()
+                err = proc.stderr.read().decode("utf-8", "replace")
+                raise RuntimeError(
+                    f"psql COPY aborted mid-stream ({proc.returncode}): {err.strip()}"
+                ) from None
             if proc.wait() != 0:
                 err = proc.stderr.read().decode("utf-8", "replace")
                 raise RuntimeError(f"psql COPY failed ({proc.returncode}): {err.strip()}")
@@ -252,4 +321,65 @@ def copy_from_executors(
             if proc.poll() is None:
                 proc.kill()
 
-    df.foreachPartition(_load_partition)
+    if load_id is None:
+        df.foreachPartition(_load_partition)
+        return
+    try:
+        df.foreachPartition(_load_partition)
+    except Exception:
+        _drop_staged(table, psql_args, load_id)
+        raise
+    _promote_staged(table, psql_args, load_id, cols)
+
+
+def _staged_tables(table: str, psql_args: list[str], load_id: str) -> list[str]:
+    out = _psql(
+        psql_args,
+        "SELECT tablename FROM pg_tables WHERE tablename LIKE "
+        f"'{table}__stg{load_id}\\_%' ESCAPE '\\'",
+    )
+    # psql -c table output: header, ruler, rows, "(N rows)" footer
+    names = []
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith(f"{table}__stg{load_id}_"):
+            names.append(line)
+    return names
+
+
+def _drop_staged(table: str, psql_args: list[str], load_id: str) -> None:
+    staged = _staged_tables(table, psql_args, load_id)
+    if staged:
+        drops = "; ".join(f'DROP TABLE IF EXISTS "{t}"' for t in staged)
+        _psql(psql_args, drops)
+
+
+def _promote_staged(table: str, psql_args: list[str], load_id: str, cols: str) -> None:
+    """Second phase of the exactly-once COPY: pick ONE attempt per
+    partition (highest taskAttemptId — any would do, attempts of one
+    partition are identical by Spark's deterministic-partition
+    contract; highest is simply a stable choice), then INSERT the
+    winners into the target and DROP every staging table — winners and
+    losing speculative/retried attempts alike — in a SINGLE
+    transaction. Readers of the target never observe a partial load,
+    and a promote failure leaves the target untouched.
+
+    Factored out of :func:`copy_from_executors` so the
+    duplicate-attempt path is directly testable without forcing a real
+    Spark speculative re-execution (tests/test_postgres.py plants two
+    staging tables for one partition and asserts single delivery).
+    """
+    staged = _staged_tables(table, psql_args, load_id)
+    best: dict[int, tuple[int, str]] = {}
+    prefix = f"{table}__stg{load_id}_p"
+    for name in staged:
+        pid_s, att_s = name[len(prefix):].split("_a")
+        pid, att = int(pid_s), int(att_s)
+        if pid not in best or att > best[pid][0]:
+            best[pid] = (att, name)
+    winners = [name for _, name in sorted(best.values(), key=lambda t: t[1])]
+    stmts = ["BEGIN"]
+    stmts += [f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM "{w}"' for w in winners]
+    stmts += [f'DROP TABLE "{t}"' for t in staged]
+    stmts += ["COMMIT"]
+    _psql(psql_args, "; ".join(stmts))

@@ -217,10 +217,11 @@ def test_connected_components_local_path_reads_converged(spark):
 def test_connected_components_long_chain_diameter(spark):
     """The documented convergence bound, pinned: a planted path graph
     0-1-2-...-11 forces the min label to travel one hop per round, so
-    min-label propagation needs diameter (=11) rounds plus one
-    fixpoint-detection round — far beyond the 2-3 rounds shallow
-    near-dup clusters take. Asserts full convergence AND the round
-    count, so a silent change to the propagation step can't hide."""
+    min-label propagation needs diameter (=11) productive rounds (the
+    final zero-change fixpoint-detection round is uncounted by the r12
+    contract) — far beyond the 2-3 rounds shallow near-dup clusters
+    take. Asserts full convergence AND the round count, so a silent
+    change to the propagation step can't hide."""
     from k8e_fetch_spark.operators.clustering import connected_components
 
     n = 12
@@ -235,9 +236,45 @@ def test_connected_components_long_chain_diameter(spark):
     )
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
-    # diameter hops + 1 detection round; > 3 proves this fixture really
-    # exercises the deep-propagation path
+    # diameter hops of productive propagation; > 3 proves this fixture
+    # really exercises the deep-propagation path
     assert 3 < rounds <= n, rounds
+
+
+def test_connected_components_distributed_boundary_convergence(spark):
+    """ADVICE r11 contract fix, distributed path: when the zero-change
+    fixpoint-detection round lands EXACTLY on the last allowed round,
+    the run is still converged and must read so under the documented
+    check (rounds < max_iterations). A 0-1-2 chain needs 2 productive
+    min-label rounds + 1 detection round; max_iterations=3 previously
+    returned rounds==3 (misread unconverged), now 2."""
+    from k8e_fetch_spark.operators.clustering import connected_components
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    labels, rounds = connected_components(
+        pairs, max_iterations=3, return_rounds=True, local_threshold=0
+    )
+    assert rounds == 2  # productive rounds only
+    assert rounds < 3  # the documented convergence check
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_star_components_boundary_convergence(spark):
+    """Same contract on the star-contraction path: a converged run
+    never reports rounds == max_iterations. A single edge converges in
+    one productive contraction; with max_iterations exactly at the
+    detection round the check must still read converged."""
+    from k8e_fetch_spark.operators.clustering import connected_components_star
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (7, 8)], "doc_a long, doc_b long")
+    max_it = 8
+    labels, rounds = connected_components_star(
+        pairs, max_iterations=max_it, return_rounds=True
+    )
+    assert rounds < max_it
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 7: 7, 8: 7}
 
 
 def test_kmeans_assign_rejects_nonfinite_centroids(spark):
@@ -730,14 +767,16 @@ def test_bigram_lm_arrow_matches_relational_twin(spark):
 
 
 def test_bigram_lm_vector_scorer_bit_identical_to_loop(spark):
-    """The r11 vectorized scorer (searchsorted bigram gathers +
-    np.add.reduceat) must match the per-token loop twin BIT FOR BIT —
-    not just at the declared rounding — on the real fixture corpus:
-    per-bigram probabilities use the identical flop sequence and
-    reduceat sums left-to-right exactly like the loop's +=. Unrounded
-    equality is the strongest pin available and catches any silent
-    reordering (e.g. a pairwise np.sum sneaking in — the r8 ulp class
-    of bug)."""
+    """The r11 vectorized scorer (searchsorted bigram gathers + a
+    sequential builtin-sum fold over per-doc .tolist() slices) must
+    match the per-token loop twin BIT FOR BIT — not just at the
+    declared rounding — on the real fixture corpus: per-bigram
+    probabilities use the identical flop sequence, and builtin sum()
+    folds strictly left-to-right exactly like the loop's += (the
+    implementation deliberately avoids np.add.reduceat/np.sum, which
+    switch to pairwise summation above ~8 elements and drift by ulps —
+    see operators/text.py). Unrounded equality is the strongest pin
+    available and catches any silent reordering."""
     from pyspark.sql import functions as F
 
     from k8e_fetch_spark.operators.text import bigram_lm_scores

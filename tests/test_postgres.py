@@ -215,10 +215,12 @@ def test_copy_n_way_concurrent_load(spark, pg, tmp_path):
     through 4 concurrent psql \\copy streams must land every row
     exactly once (each COPY is its own transaction; Postgres takes
     concurrent COPYs into one table without table locks), and the
-    concurrent form must not lose to the sequential one. Wall-clock is
-    asserted only loosely (<= 1.5x sequential) — the point is
-    correctness under concurrency plus a sanity bound, not a benchmark
-    on a shared host; the measured numbers are printed for SCALE.md."""
+    timings are printed for SCALE.md but NOT asserted by default —
+    4-way concurrent COPY into one table on a shared/loaded single-disk
+    host can legitimately exceed sequential wall-clock (ADVICE r11), so
+    the ratio check is opt-in via K8E_ASSERT_COPY_TIMING=1 for quiet
+    dedicated hosts. The load-bearing assertions are row count /
+    content exactness under concurrency."""
     import time
 
     from pyspark.sql import functions as F
@@ -252,7 +254,8 @@ def test_copy_n_way_concurrent_load(spark, pg, tmp_path):
         == "40000"
     )
     print(f"COPY 16 parts: sequential {t_seq:.2f}s, 4-way {t_par:.2f}s")
-    assert t_par <= t_seq * 1.5, (t_par, t_seq)
+    if os.environ.get("K8E_ASSERT_COPY_TIMING") == "1":
+        assert t_par <= t_seq * 1.5, (t_par, t_seq)
 
 
 def test_copy_from_executors_matches_landed_csv_path(spark, pg, tmp_path):
@@ -313,3 +316,94 @@ def test_copy_from_executors_matches_landed_csv_path(spark, pg, tmp_path):
         )
         == "1"
     )
+
+
+def test_copy_from_executors_exactly_once_two_phase(spark, pg, tmp_path):
+    """The r12 exactly-once mode (ADVICE r11 medium): the staged
+    two-phase load must land identical content to direct mode, leave
+    ZERO staging tables behind, and deliver hostile strings through the
+    same pinned dialect."""
+    from k8e_fetch_spark.plans.postgres import copy_from_executors
+
+    psql_args = pg["psql_args"]
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit('v,"q"\n'), F.col("id").cast("string")))
+        .alias("v"),
+    ).repartition(6)
+    copy_from_executors(df, "exonce_ref", psql_args)  # direct (at-least-once)
+    copy_from_executors(df, "exonce", psql_args, exactly_once=True)
+    assert _psql_value(psql_args, 'SELECT count(*) FROM "exonce"') == "5000"
+    assert (
+        _psql_value(
+            psql_args,
+            'SELECT count(*) FROM "exonce" c JOIN "exonce_ref" r USING (k) '
+            "WHERE c.v IS NOT DISTINCT FROM r.v",
+        )
+        == "5000"
+    )
+    # no staging residue for ANY load id of this table
+    assert (
+        _psql_value(
+            psql_args,
+            "SELECT count(*) FROM pg_tables WHERE tablename LIKE 'exonce\\_\\_stg%' ESCAPE '\\'",
+        )
+        == "0"
+    )
+
+
+def test_promote_staged_dedups_speculative_duplicate(spark, pg):
+    """The failure mode the exactly-once mode exists for, simulated
+    directly: TWO committed staging tables for the SAME partition
+    (a speculative duplicate / post-commit retry — identical content,
+    different taskAttemptId) plus one normal partition. The promote
+    must insert each partition's rows exactly ONCE, prefer any single
+    attempt, and drop every staging table including the loser."""
+    from k8e_fetch_spark.plans.postgres import _promote_staged, _psql
+
+    psql_args = pg["psql_args"]
+    _psql(psql_args, 'CREATE TABLE "spectgt" (k int, v text)')
+    lid = "deadbeef0012"
+    # partition 0: two attempts (the duplicate), identical rows
+    for att in (3, 9):
+        _psql(
+            psql_args,
+            f'CREATE TABLE "spectgt__stg{lid}_p0_a{att}" (LIKE "spectgt"); '
+            f"INSERT INTO \"spectgt__stg{lid}_p0_a{att}\" VALUES (1, 'one'), (2, 'two')",
+        )
+    # partition 1: single attempt
+    _psql(
+        psql_args,
+        f'CREATE TABLE "spectgt__stg{lid}_p1_a5" (LIKE "spectgt"); '
+        f"INSERT INTO \"spectgt__stg{lid}_p1_a5\" VALUES (3, 'three')",
+    )
+    _promote_staged("spectgt", psql_args, lid, '"k", "v"')
+    assert _psql_value(psql_args, 'SELECT count(*) FROM "spectgt"') == "3"
+    assert _psql_value(psql_args, 'SELECT count(DISTINCT k) FROM "spectgt"') == "3"
+    assert (
+        _psql_value(
+            psql_args,
+            "SELECT count(*) FROM pg_tables WHERE tablename LIKE 'spectgt\\_\\_stg%' ESCAPE '\\'",
+        )
+        == "0"
+    )
+
+
+def test_copy_from_executors_broken_pipe_surfaces_server_error(spark, pg):
+    """ADVICE r11 low: when the server aborts a COPY mid-stream the
+    task must fail with the server's diagnostic, not an opaque
+    BrokenPipeError. Force the abort with a NOT NULL target column and
+    a NULL row; assert the psql message is carried."""
+    from k8e_fetch_spark.plans.postgres import _psql, copy_from_executors
+
+    psql_args = pg["psql_args"]
+    _psql(psql_args, 'CREATE TABLE "strict_tgt" (k int, v text NOT NULL)')
+    df = spark.createDataFrame(
+        [(i, None if i == 500 else f"x{i}") for i in range(20_000)],
+        "k int, v string",
+    ).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        copy_from_executors(df, "strict_tgt", psql_args, create=False)
+    msg = str(ei.value)
+    assert "null value" in msg or "not-null" in msg or "COPY" in msg, msg
