@@ -158,35 +158,52 @@ _PRIORITY = (
     # first-evidence seats; the full per-row rationale lives in git
     # history (this block was rewritten for r11 — see below).
     #
-    # ROUND-11 ROTATION (VERDICT r10 next-round #1/#7). Three groups:
+    # ROUND-11 ROTATION (VERDICT r10 next-round #1/#7), summary — the
+    # full per-group rationale lives in git history: 20 keeps (ten r10
+    # first-evidence rows for second greens, seven changed-code rows,
+    # two new r11 queries, the codec representative), 30 rotated out
+    # (2-6 greens each on unchanged code), 30 rotated in (the 19
+    # round-1-only relational rows + 11 round-6-only TPC-H rows).
+    # Result: 50/50 green — EVERY oracle-bearing query reached >=2
+    # driver greens on current form except the two new r11 rows.
     #
-    # KEEP (20): the ten r10 first-evidence rows hold their seats for
-    # a SECOND green on unchanged oracle forms (winnowing, kmeans,
-    # ivf, minhash, simhash, flatten, clusters, cosine-lsh,
-    # trained-pq, lm-gate); seven rows whose code changed in r10/r11
-    # hold seats under the changed-code-needs-fresh-evidence policy
-    # (bucketed join + flatten share the r11 fingerprint fix; the LM
-    # gate got the r11 vectorized scorer; semdedup/dsir/bpe-train/
-    # bpe-apply/domain-filter/session-window all changed in r10);
-    # two NEW r11 queries (transactional snapshot merge, append-mode
-    # session window) take first rows; mm_decode_video_real stays as
-    # the codec-family representative (its x3 is the family's lowest).
+    # ROUND-12 ROTATION (VERDICT r11 next-round #1/#2/#6) — the start
+    # of the THIRD full pass. Three groups:
     #
-    # OUT (30): every remaining row has 2-6 greens on unchanged code
-    # (all seven mm codec rows but video, the 7 hardest TPC-H, the
-    # retention/overlap/snapshot dedup trio, mixing/pipeline rows,
-    # PQ/IVFPQ/hybrid/ivf-trained, bloom/PII, line-cleaning,
-    # enrichment, salted-skew, substring-spans). All keep recorded
-    # history + per-session pytest parity.
+    # KEEP/SEAT (3): maintenance_compact_small_files takes its FIRST
+    # driver row — it registered after the r11 window froze and is the
+    # only oracle-bearing declared query with zero driver evidence
+    # (VERDICT r11 #1); compress_insert_ignore_tx and
+    # stream_session_window_append hold their seats for SECOND greens
+    # on their r11 first-row forms (VERDICT r11 #2). After a green
+    # window every oracle-bearing query in the registry has >=2 driver
+    # greens on current form — the second-pass invariant fully closed.
     #
-    # IN (30): the longest-unseen rows — the 19 relational rows whose
-    # only driver green is ROUND 1 (nine rounds unseen; among them
-    # join_anti_customers and scalar_subquery_rich_idle, whose r10
-    # non-vacuity fixes changed their oracle forms and so have ZERO
-    # greens on current form) and the 11 TPC-H rows whose only green
-    # is round 6 (q22 also r10-fixed, zero greens on current form).
-    # After a green r11 window, EVERY oracle-bearing query in the
-    # registry has >=2 driver greens — the first full second-pass.
+    # OUT (47 of the r11 window): the ten r10-first-evidence rows and
+    # seven changed-code rows all took their second greens in r11 on
+    # current form; the 30 r11 backfill rows (19 relational + 11
+    # TPC-H) took their second greens too. mm_decode_video_real
+    # rotates out at 4 greens (codec family fully evidenced). All keep
+    # recorded history + per-session pytest parity
+    # (tests/test_oracle_parity.py).
+    #
+    # IN (47): the longest-unseen oracle-bearing rows, oldest first —
+    # the 10 rows last green in ROUND 3 (catalog sync/skip, the
+    # compress projection trio, stratified sampling, embedding norms,
+    # chunking, redaction, token counts; eight rounds unseen), the 18
+    # rows last green in ROUND 4 (catalog filters, distinct/union/
+    # insert-ignore, ngram-jaccard, range join, binary meta, repair
+    # pair, cosine-pairs/topk-exact, fingerprint, TPC-H q1/q3/q5,
+    # window rank), and the 19 oracle-bearing rows last green in
+    # ROUND 5 (version-latest, corpus-prep, cube/rollup/grouping-sets,
+    # exact dedup, the three event-window forms, zip ingest, as-of
+    # join, map funcs, mm meta decode, kmeans-oracle, the two
+    # stateful-stream drains, language-id, quality, per-lang stats).
+    # Every seat is oracle-bearing: the window stays 50/50 comparable.
+    # No code touched any of these paths in r10-r12, so their r3-r5
+    # oracle forms are the current forms (the r12 clustering
+    # convergence-counter fix does not alter any query's OUTPUT —
+    # labels are unchanged; only the reported rounds metadata moved).
     #
     # SEAT COMPACTION (VERDICT r10 #7): the six planted twins whose
     # natural-corpus counterparts are now FULL cross-engine oracles
@@ -200,66 +217,61 @@ _PRIORITY = (
     # are subsumed by seated full-oracle rows. Rotating surface drops
     # from 157 to 150, putting a full sweep back under 3 rounds.
     #
-    # -- keeps: ten r10 first-evidence rows --
-    "text_winnowing_fingerprint",
-    "sim_kmeans_assign",
-    "sim_topk_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "catalog_flatten_tree",
-    "dedup_clusters_minhash",
-    "sim_cosine_lsh",
-    "sim_topk_pq_trained",
-    "text_lm_perplexity_filter",
-    # -- keeps: changed-code rows (r10/r11 changes need fresh greens) --
-    "join_bucketed_colocated",
-    "dedup_semantic_semdedup",
-    "text_domain_filter",
-    "stream_session_window",
-    "text_bpe_learn_merges",
-    "text_bpe_apply",
-    "sample_dsir_importance",
-    # -- new r11 queries: first driver rows --
+    # -- first driver row: the r11-late registration (VERDICT r11 #1) --
+    "maintenance_compact_small_files",
+    # -- second greens for the r11 first-row queries (VERDICT r11 #2) --
     "compress_insert_ignore_tx",
     "stream_session_window_append",
-    # -- codec-family representative --
-    "mm_decode_video_real",
-    # (r11-late addition, NOT seated this round: the small-file
-    # compaction query `maintenance_compact_small_files` registered
-    # after this window was composed — it is the natural first reseat
-    # for r12, alongside the r11-late oracle greens it will join.)
-    # -- backfill: the 19 round-1-only relational rows --
-    "top_customers_by_revenue",
-    "set_ops_customers",
-    "agg_statistics",
-    "events_json_extract",
-    "join_semi_customers",
-    "join_anti_customers",
-    "agg_percentiles",
-    "pivot_event_types",
-    "orders_by_month",
-    "string_funcs_parts",
-    "having_big_orders",
-    "scalar_subquery_rich_idle",
-    "correlated_min_supplier",
-    "disjunctive_part_filter",
-    "exists_late_shipments",
-    "profile_customer_table",
-    "bag_set_ops_orders",
-    "null_semantics_customer",
-    "date_arithmetic_orders",
-    # -- backfill: the 11 round-6-only TPC-H rows --
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity",
+    # -- backfill: the 10 rows last green in ROUND 3 --
+    "catalog_skip_unknown",
+    "catalog_sync_delta",
+    "compress_add_column",
+    "compress_concat_expr",
+    "compress_schema_clone",
+    "sample_stratified_deterministic",
+    "sim_embedding_norms",
+    "text_chunk_documents",
+    "text_redact_patterns",
+    "text_token_count",
+    # -- backfill: the 18 rows last green in ROUND 4 --
+    "array_funcs_embeddings",
+    "catalog_include_keys",
+    "catalog_temporal_prune",
+    "compress_component_union",
+    "compress_distinct_status",
+    "compress_insert_ignore",
+    "dedup_ngram_jaccard",
+    "join_range_price_bands",
+    "mm_binary_meta",
+    "repair_header_norm",
+    "repair_quote_malformed",
+    "sim_cosine_pairs_threshold",
+    "sim_topk_cosine_exact",
+    "text_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_order_rank",
+    # -- backfill: the 19 oracle-bearing rows last green in ROUND 5 --
+    "catalog_version_latest",
+    "corpus_prep_pipeline",
+    "cube_orders",
+    "dedup_exact_documents",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "grouping_sets_orders",
+    "ingest_zip_decode_repair",
+    "join_asof_purchase",
+    "map_funcs_events",
+    "mm_decode_meta",
+    "rollup_lineitem",
+    "sim_kmeans_assign_oracle",
+    "stream_stateful_user_stats",
+    "stream_tumbling_available_now",
+    "text_language_id",
+    "text_quality_score",
+    "text_stats_per_lang",
 )
 
 
