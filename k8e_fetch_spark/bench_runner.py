@@ -231,6 +231,22 @@ def main() -> None:
     )
     if errors:
         record["errors"] = errors
+    # Full per-query record to a TRACKED file (VERDICT r11 #4): the
+    # driver's BENCH_r{N}.json keeps only a ~2000-char stdout tail, which
+    # truncates the per-query dicts and leaves cross-round regression
+    # audits to whatever happened to be visible. The sidecar carries the
+    # complete spark cold/warm + duckdb per-query maps for every run;
+    # the builder commits it alongside the round's official draw.
+    try:
+        full = dict(record)
+        full["queries_cold"] = cold
+        full["queries_all"] = warm  # alias: explicit full (untruncated) map
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_full_latest.json")
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception:
+        pass  # the sidecar must never kill the driver-facing record
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 3800:  # belt-and-braces: shed detail, never the headline
         record.pop("duckdb_queries", None)

@@ -68,12 +68,102 @@ def main() -> None:
     print("`PushedFilters`/`ReadSchema` on scans, `BroadcastHashJoin` (never")
     print("SortMergeJoin for dimensions), paired `HashAggregate`s (partial +")
     print("final), `TakeOrderedAndProject` for top-k, and exchange counts.")
+    def formatted(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        ).strip()
+
     for name, why in SHOWCASE:
         df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        print(f"\n## {name}\n\n*{why}*\n\n```\n{formatted(df)}\n```")
+
+    # --- r11 maintenance/streaming additions (VERDICT r11 #5): their
+    # load-bearing plans are not the registry call's RETURNED frame
+    # (compaction/tx-merge return a read-back profile; the stream's
+    # per-batch plan only exists while the query runs), so each gets a
+    # purpose-built dump of the plan that actually does the work. ---
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = tempfile.mkdtemp(prefix="k8e_explain_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "n_chars"
         )
-        print(f"\n## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```")
+        src = f"{work}/fragmented"
+        docs.repartition(32).write.parquet(src)
+        total = sum(
+            p.stat().st_size
+            for p in Path(src).rglob("*.parquet")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        )
+        n_out = max(1, math.ceil(total / max(4 << 20, math.ceil(total / 8))))
+        compact = spark.read.parquet(src).coalesce(n_out)
+        print(
+            "\n## maintenance_compact_small_files (the compaction write plan)"
+            "\n\n*Small-file compaction (operators/scale.py:compact_small_files):"
+            " the 32-fragment scan folds into "
+            f"{n_out} output task(s) through `Coalesce` — a NARROW dependency,"
+            " ZERO Exchange anywhere in the plan (the claim pinned in"
+            " tests/test_scale.py, visible below). The declared registry query"
+            " wraps this write between a fragment setup and a content-identity"
+            " profile; `rebalance=True` swaps the Coalesce for one round-robin"
+            " Exchange when input file sizes are heavily skewed.*\n"
+        )
+        print(f"```\n{formatted(compact)}\n```")
+
+        from k8e_fetch_spark.operators.dedup import insert_ignore
+        from k8e_fetch_spark.plans import snapshots as snap
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+        def batch(mods):
+            from pyspark.sql import functions as F
+
+            return (
+                orders.filter((F.col("o_orderkey") % 4).isin(*mods))
+                .select(
+                    F.col("o_custkey").alias("cust_key"),
+                    F.col("o_orderstatus").alias("status"),
+                )
+                .distinct()
+            )
+
+        tdir = f"{work}/tx_table"
+        snap.merge_insert_ignore(spark, tdir, batch([0, 1]))
+        cur = snap.read_table(spark, tdir)
+        merged = insert_ignore(cur, batch([1, 2]))
+        print(
+            "\n## compress_insert_ignore_tx (the merge plan, snapshot 2)"
+            "\n\n*Transactional INSERT-OR-IGNORE merge (plans/snapshots.py):"
+            " the published snapshot's content is `current ∪ (new ∖ current)`"
+            " — ONE null-safe left-anti join of the incoming batch against"
+            " the live snapshot scan plus the union write; the atomicity is"
+            " filesystem-level (complete snapshot dir + atomic pointer"
+            " rename), so nothing transactional appears in — or burdens —"
+            " the Spark plan itself. The declared registry query runs two"
+            " merges, a simulated torn write and a vacuum around this plan.*\n"
+        )
+        print(f"```\n{formatted(merged)}\n```")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        "\n## stream_session_window_append (pointer)"
+        "\n\n*A streaming query's per-batch physical plan exists only while"
+        " the query runs (session windows + watermark lower the plan to"
+        " `UpdatingSessionsExec`/`SessionWindowStateStoreSaveExec` inside"
+        " each micro-batch). The executed emission semantics — final"
+        " no-data flush, ms-floored watermark, inclusive boundary, bounded"
+        " state — are pinned empirically instead: see the probe record in"
+        " queries/streaming_ops.py (stream_session_window_append docstring)"
+        " and tests/test_streaming.py; the 20× stress row (FLAT, 2.94→2.92 s)"
+        " is in SCALE.md. The batch-expressible part of the semantics is the"
+        " oracle's session CTE, hash-checked by the driver every seated"
+        " round.*"
+    )
     spark.stop()
 
 
