@@ -190,3 +190,131 @@ def compact_small_files(
     out = df.repartition(n_out) if rebalance else df.coalesce(n_out)
     out.write.mode("overwrite").parquet(dst_dir)
     return len(before), len(_parts(dst_dir))
+
+
+# Morton (Z-curve) bit-spread chains — the standard magic-mask parallel
+# deposit. 2-D spreads a 31-bit value onto even bit positions (two
+# interleaved values fill bits 0..61 of a signed 64-bit long, never the
+# sign bit); 3-D spreads a 21-bit value onto every third position
+# (three values fill bits 0..62). The constants are shared with the
+# oracle-SQL builder (queries/catalog_ops.py) so the Spark expression
+# and the DuckDB recomputation are the same arithmetic by construction.
+MORTON2_BITS = 31
+MORTON2_CHAIN: tuple[tuple[int, int], ...] = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+MORTON3_BITS = 21
+MORTON3_CHAIN: tuple[tuple[int, int], ...] = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def _spread_bits(col: Column, chain: tuple[tuple[int, int], ...], bits: int) -> Column:
+    x = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in chain:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(cols: Sequence[Column | str]) -> Column:
+    """Z-order (Morton) interleave of 2 or 3 integer columns into one
+    BIGINT sort key — the multi-dimensional clustering key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``. Sorting by this key gives
+    every interleaved dimension partial locality, so parquet min/max
+    footer statistics prune files/row groups for predicates on ANY of
+    the dimensions — where a linear sort serves only its leading
+    column. Pure JVM bit arithmetic (shift/and/or — whole-stage
+    codegen, no Python), identical in DuckDB, so layouts built on it
+    stay oracle-checkable end to end.
+
+    Inputs are masked to the low 31 bits (2 cols) / 21 bits (3 cols):
+    callers whose domains exceed that — or whose domains are heavily
+    skewed — should pre-normalize (rank, bucket id, or epoch-minute
+    style scaling) exactly as production Z-order implementations do;
+    the key preserves LOCALITY, not order, so any monotone
+    normalization composes. The result is always non-negative (the
+    interleave fills at most bits 0..62).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if len(cs) == 2:
+        chain, bits = MORTON2_CHAIN, MORTON2_BITS
+    elif len(cs) == 3:
+        chain, bits = MORTON3_CHAIN, MORTON3_BITS
+    else:
+        raise ValueError(f"zorder_key takes 2 or 3 columns, got {len(cs)}")
+    out = _spread_bits(cs[0], chain, bits)
+    for i, c in enumerate(cs[1:], start=1):
+        out = out.bitwiseOR(F.shiftleft(_spread_bits(c, chain, bits), i))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    normalize: bool = True,
+) -> None:
+    """op-table-sink, Z-ordered form: range-partition + sort the frame
+    by :func:`zorder_key` of the given columns before the parquet
+    write. Complements :func:`write_range_sorted` (single hot column)
+    — use this when TWO OR THREE columns carry selective predicates
+    and neither dominates: each output file covers a compact Z-curve
+    segment, i.e. a small rectangle in the value space, so footer
+    min/max statistics skip files on either dimension. Content is a
+    pure LAYOUT change (row-identity pinned in tests/test_scale.py);
+    the measured 2-dim skipping win vs a linear sort is recorded in
+    SCALE.md. One range exchange (plus the range-bounds sampling job)
+    — the same cost write_range_sorted pays.
+
+    ``normalize`` (default, one extra small min/max aggregate job)
+    min-max scales every dimension to the FULL interleave bit width
+    before spreading — load-bearing for real tables: raw domains are
+    rarely balanced, and the interleave of a 2^18 key with a 2^15 key
+    puts the top z-bits under the wide key alone, so the narrow
+    dimension never prunes (measured on lineitem: partkey-band file
+    skipping 16/16 touched raw vs 4/16 normalized). Scaling is a
+    monotone per-dimension map (double multiply then floor — ties
+    collapse, order never inverts), the same range-id trick
+    production OPTIMIZE ZORDER implementations use. Dimensions are
+    assumed non-null (coalesce sentinel values upstream; a null key
+    would range-partition into the null bucket unsorted)."""
+    cs = list(cols)
+    if normalize:
+        bits = MORTON2_BITS if len(cs) == 2 else MORTON3_BITS
+        top = (1 << bits) - 1
+        stats = df.agg(
+            *[F.min(c).alias(f"_mn_{i}") for i, c in enumerate(cs)],
+            *[F.max(c).alias(f"_mx_{i}") for i, c in enumerate(cs)],
+        ).collect()[0]
+        key_cols = []
+        for i, c in enumerate(cs):
+            mn, mx = stats[f"_mn_{i}"], stats[f"_mx_{i}"]
+            if mx is None or mn is None or mx <= mn:
+                key_cols.append(F.lit(0))
+            else:
+                key_cols.append(
+                    (
+                        (F.col(c) - F.lit(mn)).cast("double")
+                        / F.lit(float(mx - mn))
+                        * F.lit(float(top))
+                    ).cast("long")
+                )
+        key = zorder_key(key_cols).alias("_zkey")
+    else:
+        key = zorder_key(cs).alias("_zkey")
+    ranged = df.withColumn("_zkey", key).repartitionByRange(n_files, F.col("_zkey"))
+    (
+        ranged.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -453,3 +453,95 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+def _zorder2_sql(a_expr: str, b_expr: str) -> str:
+    """DuckDB recomputation of :func:`operators.scale.zorder_key` for
+    two columns — the SAME magic-mask chain, constants imported from
+    the operator so the two sides cannot drift. The textual expression
+    doubles per chain level (each level references its input twice);
+    five levels of a column-name base stays a few KB of SQL."""
+    from k8e_fetch_spark.operators.scale import MORTON2_BITS, MORTON2_CHAIN
+
+    def spread(e: str) -> str:
+        x = f"({e} & {(1 << MORTON2_BITS) - 1})"
+        for s, m in MORTON2_CHAIN:
+            x = f"((({x}) | (({x}) << {s})) & {m})"
+        return x
+
+    return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
+
+
+@register(
+    "maintenance_zorder_layout",
+    # The oracle recomputes the Morton interleave in DuckDB (identical
+    # two's-complement shift/and/or semantics — same constants, shared
+    # with the Spark operator) on the ORIGINAL table and profiles per
+    # z-bucket. The declared side computes the profile from the table
+    # READ BACK through the Z-ordered rewrite, so hash equality proves
+    # BOTH the cross-engine bit arithmetic AND that the layout rewrite
+    # was content-identical.
+    oracle=f"""
+        SELECT (zkey >> 20) AS zbucket,
+               count(*) AS n_rows,
+               CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+               min(zkey) AS zmin,
+               max(zkey) AS zmax
+        FROM (
+            SELECT l_orderkey,
+                   {_zorder2_sql('l_orderkey', 'l_partkey')} AS zkey
+            FROM lineitem
+        )
+        GROUP BY 1
+    """,
+    tags=("op-table-sink", "maintenance", "zorder"),
+)
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering declared end to end (r12) — the second half
+    of the table-maintenance story: compaction
+    (maintenance_compact_small_files) fixes FILE COUNT, Z-ordering
+    fixes FILE CONTENT. A 100 TB fact table carries selective
+    predicates on more than one column (orderkey ranges AND part
+    lookups here; user x time on an events table); a linear sort
+    serves only its leading column, while sorting by the Morton
+    interleave (operators/scale.py:zorder_key — the layout behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``) gives every interleaved
+    dimension partial locality, so parquet footer min/max statistics
+    prune files for predicates on EITHER dimension (the measured
+    2-dim skipping win vs write_range_sorted is in SCALE.md; the
+    footer-level assertion is tests/test_scale.py).
+
+    Scenario against an ephemeral dir (mkdtemp + atexit — the
+    compaction query's pattern): lineitem is rewritten Z-ordered by
+    (l_orderkey, l_partkey) into 8 range files, read back, and
+    profiled per z-bucket (zkey >> 20) with the zkey RE-DERIVED from
+    the read-back rows. The oracle recomputes the identical interleave
+    on the original table: any bit divergence in the Spark expression,
+    any row lost/duplicated/mangled by the rewrite, or any engine
+    difference in 64-bit shift/and/or semantics hash-fails. The key
+    expression is pure whole-stage-codegen JVM arithmetic — no Python
+    anywhere; the rewrite costs one range exchange (+ its sampling
+    job), the same as write_range_sorted."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.operators.scale import write_zordered, zorder_key
+
+    work = tempfile.mkdtemp(prefix="k8e_zorder_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    dst = f"{work}/lineitem_z"
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    write_zordered(li, dst, ["l_orderkey", "l_partkey"], n_files=8)
+    back = spark.read.parquet(dst)
+    zkey = zorder_key(["l_orderkey", "l_partkey"])
+    return (
+        back.select("l_orderkey", zkey.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 20).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("key_checksum"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+    )

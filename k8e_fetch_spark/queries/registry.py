@@ -205,6 +205,13 @@ _PRIORITY = (
     # convergence-counter fix does not alter any query's OUTPUT —
     # labels are unchanged; only the reported rounds metadata moved).
     #
+    # LATE-r12 SWAP (avoiding the compaction precedent of a new query
+    # with zero driver evidence): maintenance_zorder_layout — the NEW
+    # r12 Z-order clustering op — takes a first-evidence seat in THIS
+    # window rather than waiting a round; text_stats_per_lang (4
+    # greens, last r5, two seated ext-text-stats siblings in this same
+    # window) yields its seat and heads the r13 backfill queue.
+    #
     # SEAT COMPACTION (VERDICT r10 #7): the six planted twins whose
     # natural-corpus counterparts are now FULL cross-engine oracles
     # (dedup_minhash_lsh_planted x7, sim_cosine_lsh_planted x7,
@@ -217,8 +224,10 @@ _PRIORITY = (
     # are subsumed by seated full-oracle rows. Rotating surface drops
     # from 157 to 150, putting a full sweep back under 3 rounds.
     #
-    # -- first driver row: the r11-late registration (VERDICT r11 #1) --
+    # -- first driver rows: the r11-late registration (VERDICT r11 #1)
+    #    and the new r12 Z-order layout op (see LATE-r12 SWAP above) --
     "maintenance_compact_small_files",
+    "maintenance_zorder_layout",
     # -- second greens for the r11 first-row queries (VERDICT r11 #2) --
     "compress_insert_ignore_tx",
     "stream_session_window_append",
@@ -271,7 +280,8 @@ _PRIORITY = (
     "stream_tumbling_available_now",
     "text_language_id",
     "text_quality_score",
-    "text_stats_per_lang",
+    # (text_stats_per_lang yielded its seat to maintenance_zorder_layout
+    # — see the LATE-r12 SWAP note; it heads the r13 backfill queue)
 )
 
 

@@ -415,3 +415,165 @@ def test_compact_small_files_zero_shuffle_and_identity(spark, tmp_path):
     assert n3 == 1
     got3 = sorted(tuple(r) for r in spark.read.parquet(dst3).collect())
     assert got3 == want
+
+
+def test_zorder_key_matches_bit_reference(spark):
+    """The magic-mask Morton chains (2-D and 3-D) must equal a
+    bit-by-bit interleave reference on random inputs — any wrong mask
+    or shift scrambles locality silently (the layout would still
+    'work', just not prune)."""
+    import random
+
+    from k8e_fetch_spark.operators.scale import zorder_key
+
+    random.seed(7)
+    rows2 = [(random.getrandbits(31), random.getrandbits(31)) for _ in range(500)]
+
+    def ref2(a, b):
+        r = 0
+        for i in range(31):
+            r |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return r
+
+    df2 = spark.createDataFrame(rows2, "a long, b long")
+    got = [r["z"] for r in df2.select(zorder_key(["a", "b"]).alias("z")).collect()]
+    assert got == [ref2(a, b) for a, b in rows2]
+
+    rows3 = [tuple(random.getrandbits(21) for _ in range(3)) for _ in range(500)]
+
+    def ref3(a, b, c):
+        r = 0
+        for i in range(21):
+            r |= (
+                ((a >> i) & 1) << (3 * i)
+                | ((b >> i) & 1) << (3 * i + 1)
+                | ((c >> i) & 1) << (3 * i + 2)
+            )
+        return r
+
+    df3 = spark.createDataFrame(rows3, "a long, b long, c long")
+    got3 = [
+        r["z"] for r in df3.select(zorder_key(["a", "b", "c"]).alias("z")).collect()
+    ]
+    assert got3 == [ref3(*t) for t in rows3]
+
+    with pytest.raises(ValueError):
+        zorder_key(["a"])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"])
+
+
+def test_zorder_write_identity_and_two_dim_pruning(spark, tmp_path):
+    """write_zordered is a pure layout change (exact row identity), and
+    the layout EARNS its exchange: on a uniform 2-D grid, a rectangle
+    predicate on BOTH dimensions must touch strictly fewer files (by
+    footer min/max) than the same data range-sorted by the leading
+    column only — the linear sort leaves the second dimension's min/max
+    near full-width in every file, so it can only prune on dim 1."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from k8e_fetch_spark.operators.scale import write_range_sorted, write_zordered
+
+    # deterministic 256x256 grid -> every (x, y) once
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], n_files=n_files)
+    write_range_sorted(grid, lpath, ["x"], n_files=n_files)
+
+    # content identity through the rewrite
+    got = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    want = sorted(tuple(r) for r in grid.collect())
+    assert got == want
+
+    def file_ranges(path):
+        out = []
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{path}/{fn}").metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            rng = {}
+            for col in ("x", "y"):
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                rng[col] = (min(mins), max(maxs))
+            out.append(rng)
+        return out
+
+    def files_touched(ranges, xlo, xhi, ylo, yhi):
+        n = 0
+        for r in ranges:
+            (xmn, xmx), (ymn, ymx) = r["x"], r["y"]
+            if not (xmx < xlo or xmn > xhi) and not (ymx < ylo or ymn > yhi):
+                n += 1
+        return n
+
+    zr, lr = file_ranges(zpath), file_ranges(lpath)
+    assert len(zr) == len(lr) == n_files
+    # a 32x32 rectangle (1/64 of the space, off the corner)
+    z_touch = files_touched(zr, 64, 95, 64, 95)
+    l_touch = files_touched(lr, 64, 95, 64, 95)
+    assert z_touch < l_touch, (z_touch, l_touch)
+    # and a pure second-dimension band: the linear layout prunes
+    # NOTHING (every file spans all y), the z-layout must prune
+    z_band = files_touched(zr, 0, 255, 64, 95)
+    l_band = files_touched(lr, 0, 255, 64, 95)
+    assert l_band == n_files
+    assert z_band < n_files, z_band
+
+
+def test_zorder_normalization_rescues_unbalanced_domains(spark, tmp_path):
+    """The docstring's load-bearing claim, pinned: with raw bits, a
+    wide dimension's high bits own the top of the z-key and the narrow
+    dimension never prunes; min-max normalization restores balanced
+    pruning. x spans 2^16 values, y spans 2^4 — a y-band must touch
+    every file under normalize=False and strictly fewer under the
+    default."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from k8e_fetch_spark.operators.scale import write_zordered
+
+    df = spark.range(64 * 1024).select(
+        F.col("id").alias("x"), (F.col("id") % 16).alias("y")
+    )
+    n_files = 16
+
+    def y_band_touched(path, ylo, yhi):
+        n = 0
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{path}/{fn}").metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["y"]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not (max(maxs) < ylo or min(mins) > yhi):
+                n += 1
+        return n
+
+    raw, norm = str(tmp_path / "raw"), str(tmp_path / "norm")
+    write_zordered(df, raw, ["x", "y"], n_files=n_files, normalize=False)
+    write_zordered(df, norm, ["x", "y"], n_files=n_files)
+    t_raw = y_band_touched(raw, 4, 7)
+    t_norm = y_band_touched(norm, 4, 7)
+    assert t_raw == n_files, t_raw  # degenerate: y never prunes
+    assert t_norm < t_raw, (t_norm, t_raw)
