@@ -55,6 +55,7 @@ SHOWCASE = [
     ("text_line_cleaning", "C4 line-level cleaning: line split, four keep predicates, rebuild and md5 — one scan-local projection with ZERO keyed shuffle (the single Exchange is fan_out's width-restoring round-robin on the 1-split parquet; the planted-composite join broadcasts)"),
     ("text_bpe_learn_merges", "BPE tokenizer training, final-iteration plan: the displayed frame reads the CACHED post-merge vocab (InMemoryTableScan — the corpus-wide word count ran ONCE, upstream), applies the row-local merge fold, and the only exchanges left are the vocab-local symbol aggregate + the few-hundred-row inventory rank"),
     ("quality_constraint_checks", "data-quality gate in ONE pass per table: FK orphan counts ride the same LEFT join as the temporal check via conditional aggregation — 3 scans, not 8"),
+    ("maintenance_zorder_layout", "Z-order clustering (r12): the per-bucket profile plan shows the Morton interleave as pure codegen bit arithmetic (shiftleft/and/or chains inside the scan-side Project — no Python anywhere) over the table read back through the z-ordered rewrite; one aggregate exchange on the bucket key. The write side is one range exchange (same as write_range_sorted); the footer-level skipping evidence is in SCALE.md/tests"),
 ]
 
 
