@@ -79,6 +79,15 @@ PROBES = [
     # full availableNow drain (stream state = only watermark-open
     # sessions per key; the emitted set is watermark-closed sessions)
     "stream_session_window_append",
+    # r12: the maintenance pair, probed end to end through their
+    # declared queries. Compaction = fragment(32) -> coalesce rewrite
+    # -> profile; zorder = min/max normalize -> range-sort write ->
+    # read-back z-bucket profile. Both rewrite the corpus once per
+    # invocation — the honest maintenance cost; the curve should stay
+    # ~linear in bytes (one extra pass, no keyed shuffle in compaction,
+    # one range exchange in zorder).
+    "maintenance_compact_small_files",
+    "maintenance_zorder_layout",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
