@@ -83,6 +83,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        _load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        _load_start = None
     # shuffle width sized from the input bytes (the cluster rule —
     # ~64 MB per post-shuffle partition), not the core count: at bench
     # SFs this cuts the per-exchange scheduling latency of near-empty
@@ -191,6 +195,12 @@ def main() -> None:
         "metric": "headline-suite wall time, warm (noop sink, local)",
         "value": total,
         "unit": "sec",
+        # 1-min load average sampled BEFORE the suite ran: this host
+        # shows residual external load windows (observed up to 6.4 with
+        # zero processes of ours) that inflate every row 2-3x uniformly
+        # — a recorded draw with high load_avg_start is a contaminated
+        # window, not a regression (see BASELINE.md noise protocol).
+        "load_avg_start": _load_start,
         "queries": warm,
         "cold_total": round(sum(cold.values()), 2),
         # subtotal of queries that HAVE a DuckDB oracle — the
