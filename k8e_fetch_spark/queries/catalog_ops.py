@@ -455,21 +455,41 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _spread_sql(e: str, chain: tuple[tuple[int, int], ...], bits: int) -> str:
+    """DuckDB recomputation of one Morton bit-spread — the SAME
+    magic-mask chain as :func:`operators.scale.zorder_key`, constants
+    imported from the operator so the two sides cannot drift.
+
+    Overflow guard (load-bearing): Java's ``<<`` on long WRAPS, and the
+    chain relies on the mask discarding the wrapped-out bits; DuckDB's
+    ``<<`` RAISES on BIGINT overflow instead (hit at sf0.1 — the 3-D
+    chain's ``x << 16`` on a 2^53 intermediate). Pre-masking the shift
+    operand with ``mask >> s`` is bit-identical after the final mask
+    ((x << s) & m == ((x & (m >> s)) << s) & m, since (x << s) has zero
+    low-s bits) and keeps every intermediate strictly below 2^63. The
+    textual expression doubles per chain level (each level references
+    its input twice); five levels of a column-name base stays a few KB
+    of SQL."""
+    x = f"({e} & {(1 << bits) - 1})"
+    for s, m in chain:
+        x = f"((({x}) | ((({x}) & {m >> s}) << {s})) & {m})"
+    return x
+
+
 def _zorder2_sql(a_expr: str, b_expr: str) -> str:
-    """DuckDB recomputation of :func:`operators.scale.zorder_key` for
-    two columns — the SAME magic-mask chain, constants imported from
-    the operator so the two sides cannot drift. The textual expression
-    doubles per chain level (each level references its input twice);
-    five levels of a column-name base stays a few KB of SQL."""
     from k8e_fetch_spark.operators.scale import MORTON2_BITS, MORTON2_CHAIN
 
-    def spread(e: str) -> str:
-        x = f"({e} & {(1 << MORTON2_BITS) - 1})"
-        for s, m in MORTON2_CHAIN:
-            x = f"((({x}) | (({x}) << {s})) & {m})"
-        return x
+    sp = lambda e: _spread_sql(e, MORTON2_CHAIN, MORTON2_BITS)  # noqa: E731
+    return f"({sp(a_expr)} | ({sp(b_expr)} << 1))"
 
-    return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
+
+def _zorder3_sql(a_expr: str, b_expr: str, c_expr: str) -> str:
+    """3-D twin of :func:`_zorder2_sql` (MORTON3 chain, same shared
+    constants)."""
+    from k8e_fetch_spark.operators.scale import MORTON3_BITS, MORTON3_CHAIN
+
+    sp = lambda e: _spread_sql(e, MORTON3_CHAIN, MORTON3_BITS)  # noqa: E731
+    return f"({sp(a_expr)} | ({sp(b_expr)} << 1) | ({sp(c_expr)} << 2))"
 
 
 @register(
@@ -486,10 +506,12 @@ def _zorder2_sql(a_expr: str, b_expr: str) -> str:
                count(*) AS n_rows,
                CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
                min(zkey) AS zmin,
-               max(zkey) AS zmax
+               max(zkey) AS zmax,
+               bit_xor(zkey3) AS z3_xor
         FROM (
             SELECT l_orderkey,
-                   {_zorder2_sql('l_orderkey', 'l_partkey')} AS zkey
+                   {_zorder2_sql('l_orderkey', 'l_partkey')} AS zkey,
+                   {_zorder3_sql('l_orderkey', 'l_partkey', 'l_suppkey')} AS zkey3
             FROM lineitem
         )
         GROUP BY 1
@@ -531,17 +553,22 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="k8e_zorder_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     dst = f"{work}/lineitem_z"
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     write_zordered(li, dst, ["l_orderkey", "l_partkey"], n_files=8)
     back = spark.read.parquet(dst)
     zkey = zorder_key(["l_orderkey", "l_partkey"])
+    # the 3-D chain rides the same profile as an order-independent XOR
+    # checksum (bit_xor aggregates identically in Spark and DuckDB), so
+    # BOTH Morton chains are driver-hash-checked by this one query
+    zkey3 = zorder_key(["l_orderkey", "l_partkey", "l_suppkey"])
     return (
-        back.select("l_orderkey", zkey.alias("zkey"))
+        back.select("l_orderkey", zkey.alias("zkey"), zkey3.alias("zkey3"))
         .groupBy(F.shiftright(F.col("zkey"), 20).alias("zbucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("l_orderkey").alias("key_checksum"),
             F.min("zkey").alias("zmin"),
             F.max("zkey").alias("zmax"),
+            F.expr("bit_xor(zkey3)").alias("z3_xor"),
         )
     )

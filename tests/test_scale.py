@@ -577,3 +577,43 @@ def test_zorder_normalization_rescues_unbalanced_domains(spark, tmp_path):
     t_norm = y_band_touched(norm, 4, 7)
     assert t_raw == n_files, t_raw  # degenerate: y never prunes
     assert t_norm < t_raw, (t_norm, t_raw)
+
+
+def test_zorder_sql_twins_full_domain_no_overflow():
+    """The oracle-side Morton chains must survive FULL-domain inputs:
+    DuckDB's << raises on BIGINT overflow where Java wraps (hit at
+    sf0.1 on the 3-D chain before the pre-masked-shift guard), so this
+    pins the guarded SQL form against the bit-by-bit reference at the
+    extreme of both domains — no Spark needed."""
+    import random
+
+    import duckdb
+
+    from k8e_fetch_spark.queries.catalog_ops import _zorder2_sql, _zorder3_sql
+
+    random.seed(11)
+    top2, top3 = (1 << 31) - 1, (1 << 21) - 1
+    rows2 = [(top2, top2), (top2, 0), (0, top2)] + [
+        (random.getrandbits(31), random.getrandbits(31)) for _ in range(200)
+    ]
+    rows3 = [(top3, top3, top3), (top3, 0, top3)] + [
+        tuple(random.getrandbits(21) for _ in range(3)) for _ in range(200)
+    ]
+
+    def ref(vals, bits):
+        r = 0
+        k = len(vals)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                r |= ((v >> i) & 1) << (k * i + j)
+        return r
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t2 VALUES (?,?)", rows2)
+    got2 = [r[0] for r in con.execute(f"SELECT {_zorder2_sql('a','b')} FROM t2").fetchall()]
+    assert got2 == [ref(v, 31) for v in rows2]
+    con.execute("CREATE TABLE t3(a BIGINT, b BIGINT, c BIGINT)")
+    con.executemany("INSERT INTO t3 VALUES (?,?,?)", rows3)
+    got3 = [r[0] for r in con.execute(f"SELECT {_zorder3_sql('a','b','c')} FROM t3").fetchall()]
+    assert got3 == [ref(v, 21) for v in rows3]
