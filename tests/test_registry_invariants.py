@@ -111,3 +111,63 @@ def test_never_reseat_rows_hold_no_seats():
         "text_decontaminate_bloom",
     ):
         assert REGISTRY[subsumer].oracle is not None, subsumer
+
+
+def test_write_side_effect_queries_stay_closed():
+    """VERDICT r10/r11 watch item, made a code contract (r12): declared
+    queries that WRITE anywhere (ephemeral table dirs, warehouse bucket
+    tables, streaming sink dirs) are a known, per-uid/fingerprint-
+    isolated set. A new query that grows write side effects must be
+    added here DELIBERATELY — silent growth of the set is what the
+    audit exists to catch. Detection is source-level (the original
+    registered functions, markers for every write path the repo uses),
+    so a helper rename that hides a write fails loudly as a set
+    mismatch rather than slipping through."""
+    import importlib
+    import inspect
+
+    from k8e_fetch_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    ALLOWED = {
+        # ephemeral mkdtemp table dirs (atexit-cleaned, per-process)
+        "compress_insert_ignore_tx",
+        "maintenance_compact_small_files",
+        "maintenance_zorder_layout",
+        # warehouse bucket tables / fixture trees (fingerprint-isolated,
+        # rebuilt only on source change)
+        "join_bucketed_colocated",
+        "catalog_flatten_tree",
+        # availableNow stream drains (per-uid sink + checkpoint dirs)
+        "stream_dedup_redelivery",
+        "stream_enrich_dimension",
+        "stream_join_attribution",
+        "stream_session_window",
+        "stream_session_window_append",
+        "stream_stateful_user_stats",
+        "stream_tumbling_available_now",
+    }
+    MODS = [
+        "catalog_ops", "compress_ops", "multimodal_ops", "relational",
+        "relational_ext", "relational_tpch", "similarity",
+        "streaming_ops", "text_ops",
+    ]
+    mods = [importlib.import_module(f"k8e_fetch_spark.queries.{m}") for m in MODS]
+    markers = (
+        "mkdtemp", ".write.", "saveAsTable", "writeStream", "_drain",
+        "copy_from", "copy_into",
+    )
+    found = set()
+    for name, q in REGISTRY.items():
+        fn = next(
+            (getattr(m, q.fn.__name__) for m in mods if hasattr(m, q.fn.__name__)),
+            None,
+        )
+        assert fn is not None, f"could not locate source for {name}"
+        src = inspect.getsource(fn)
+        if any(mk in src for mk in markers):
+            found.add(name)
+    assert found == ALLOWED, (
+        f"write-side-effect set drifted: new={sorted(found - ALLOWED)} "
+        f"removed={sorted(ALLOWED - found)}"
+    )
