@@ -134,3 +134,171 @@ def vacuum(table_dir: str | Path, keep: int = 1) -> list[str]:
             shutil.rmtree(table_dir / name, ignore_errors=True)
             removed.append(name)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Manifest tables (r12): incremental merges, the Iceberg/Delta mechanism
+# portably. The snapshot-pointer table above rewrites the FULL table per
+# merge — its documented honest cost, fine for dimension tables. A
+# manifest table removes it: the table's state is a _CURRENT pointer to
+# a small JSON MANIFEST listing live data directories; a merge computes
+# `new ∖ current` (the same null-safe anti-join) and writes ONLY that
+# delta as a new directory plus a new manifest — write volume drops
+# from O(table) to O(delta). Atomicity is unchanged (complete
+# delta + complete manifest, then one atomic pointer rename); a crash
+# leaves an unreferenced directory/manifest, garbage never corruption.
+# Read amplification grows with the delta count, so `checkpoint`
+# periodically rewrites the live set into one compacted base (the
+# Iceberg "rewrite data files" maintenance action) — compose with
+# compact_small_files-style width sizing upstream if needed.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_POINTER = "_CURRENT_MANIFEST"
+
+
+def _manifest_pointer(table_dir: str | Path) -> Path:
+    return Path(table_dir) / _MANIFEST_POINTER
+
+
+def current_manifest(table_dir: str | Path) -> str | None:
+    """Name of the live manifest file, or None for an empty table."""
+    try:
+        name = _manifest_pointer(table_dir).read_text().strip()
+    except FileNotFoundError:
+        return None
+    return name or None
+
+
+def _manifest_dirs(table_dir: Path, manifest_name: str) -> list[str]:
+    import json
+
+    return json.loads((table_dir / manifest_name).read_text())["dirs"]
+
+
+def read_manifest_table(spark: SparkSession, table_dir: str | Path) -> DataFrame | None:
+    """DataFrame over the union of the live manifest's data dirs (None
+    when empty). Readers list NOTHING — the manifest names every live
+    directory, so object-store LIST cost is zero on the read path (the
+    property Iceberg/Delta buy with the same structure)."""
+    table_dir = Path(table_dir)
+    name = current_manifest(table_dir)
+    if name is None:
+        return None
+    dirs = _manifest_dirs(table_dir, name)
+    return spark.read.parquet(*[str(table_dir / d) for d in dirs])
+
+
+def merge_insert_ignore_incremental(
+    spark: SparkSession,
+    table_dir: str | Path,
+    new: DataFrame,
+) -> str:
+    """Incremental op-insert-ignore MERGE: write only ``new ∖ current``
+    as a delta directory, publish a manifest referencing it plus every
+    prior live directory. Returns the published manifest name.
+    Idempotent: re-merging a contained batch publishes a manifest with
+    the SAME directory list (an empty delta writes nothing — no delta
+    dir, no new manifest; the current name is returned unchanged, so
+    retries cannot grow the table or the manifest chain).
+
+    One keyed anti-join shuffle per merge (the same plan as
+    ``insert_ignore``'s anti half — broadcastable when the batch is
+    small); write volume is the delta alone. Scale contract: merges are
+    O(delta) writes, reads are O(live dirs) opens — bound the latter
+    with :func:`checkpoint` every K merges."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    table_dir = Path(table_dir)
+    table_dir.mkdir(parents=True, exist_ok=True)
+    cur_name = current_manifest(table_dir)
+    if cur_name is None:
+        delta = new.distinct()
+        live: list[str] = []
+        next_id = 1
+    else:
+        cur_df = read_manifest_table(spark, table_dir)
+        cols = cur_df.columns
+        n = new.select(*cols).distinct().alias("n")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"n.{c}").eqNullSafe(F.col(f"e.{c}")) for c in cols],
+        )
+        delta = n.join(cur_df.alias("e"), on=cond, how="left_anti")
+        live = _manifest_dirs(table_dir, cur_name)
+        next_id = int(cur_name.split("-")[1].split(".")[0]) + 1
+    delta_name = f"delta-{next_id:06d}"
+    delta.write.mode("overwrite").parquet(str(table_dir / delta_name))
+    # an empty delta (fully-contained batch) publishes nothing: drop the
+    # empty dir and keep the current manifest — idempotency without a
+    # manifest chain that grows on retries. The emptiness probe reads
+    # the WRITTEN parquet (one footer), not the plan (no recompute).
+    if cur_name is not None and spark.read.parquet(
+        str(table_dir / delta_name)
+    ).limit(1).count() == 0:
+        import shutil
+
+        shutil.rmtree(table_dir / delta_name, ignore_errors=True)
+        return cur_name
+    manifest_name = f"manifest-{next_id:06d}.json"
+    (table_dir / manifest_name).write_text(json.dumps({"dirs": [*live, delta_name]}))
+    ptr = _manifest_pointer(table_dir)
+    tmp = ptr.with_name(f".{_MANIFEST_POINTER}.{os.getpid()}.tmp")
+    tmp.write_text(manifest_name)
+    tmp.replace(ptr)
+    return manifest_name
+
+
+def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> str:
+    """Rewrite the live set into ONE compacted base directory and
+    publish a manifest referencing only it — the Iceberg
+    rewrite-data-files maintenance action. Bounds read amplification
+    (per-merge deltas accumulate one directory each) and restores scan
+    locality. Coalesce-based (narrow, zero shuffle) like
+    compact_small_files; the old dirs become garbage for
+    :func:`vacuum_manifest`."""
+    table_dir = Path(table_dir)
+    cur_name = current_manifest(table_dir)
+    if cur_name is None:
+        raise ValueError(f"empty manifest table: {table_dir}")
+    next_id = int(cur_name.split("-")[1].split(".")[0]) + 1
+    base_name = f"base-{next_id:06d}"
+    df = read_manifest_table(spark, table_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(table_dir / base_name))
+    import json
+
+    manifest_name = f"manifest-{next_id:06d}.json"
+    (table_dir / manifest_name).write_text(json.dumps({"dirs": [base_name]}))
+    ptr = _manifest_pointer(table_dir)
+    tmp = ptr.with_name(f".{_MANIFEST_POINTER}.{os.getpid()}.tmp")
+    tmp.write_text(manifest_name)
+    tmp.replace(ptr)
+    return manifest_name
+
+
+def vacuum_manifest(table_dir: str | Path) -> list[str]:
+    """Remove data directories and manifests not reachable from the
+    LIVE manifest. Crash orphans (a delta/base whose writer died before
+    the pointer flip, or a torn higher-numbered manifest) are exactly
+    such unreferenced garbage — same anchoring rule as the snapshot
+    vacuum: protection flows from the pointer, never from lexical
+    order."""
+    import shutil
+
+    table_dir = Path(table_dir)
+    live_manifest = current_manifest(table_dir)
+    keep_dirs = (
+        set(_manifest_dirs(table_dir, live_manifest)) if live_manifest else set()
+    )
+    removed = []
+    for p in sorted(table_dir.iterdir()):
+        if p.is_dir() and p.name.startswith(("delta-", "base-")):
+            if p.name not in keep_dirs:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p.name)
+        elif p.is_file() and p.name.startswith("manifest-") and p.name != live_manifest:
+            p.unlink()
+            removed.append(p.name)
+    return removed

@@ -284,3 +284,93 @@ def compress_insert_ignore_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = snap.vacuum(table_dir, keep=1)
     assert "snap-000003" in removed and "snap-000001" in removed
     return snap.read_table(spark, table_dir)
+
+
+@register(
+    "compress_insert_ignore_manifest",
+    # Same oracle CLASS as compress_insert_ignore_tx: the plain
+    # relational answer to three overlapping batch merges. The declared
+    # side computes it through the INCREMENTAL manifest machinery —
+    # per-merge delta writes, a torn delta + torn manifest, a
+    # checkpoint rewrite, a vacuum — so hash equality proves the
+    # incremental path's readers resolve only published manifests and
+    # the checkpoint/vacuum cycle is content-preserving.
+    oracle="""
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 6 IN (0, 1)
+        UNION
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 6 IN (1, 2)
+        UNION
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 6 IN (2, 3)
+    """,
+    tags=("op-insert-ignore", "op-table-sink", "transactional", "manifest"),
+)
+def compress_insert_ignore_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-insert-ignore, INCREMENTAL manifest form (r12): the snapshot-
+    pointer table (compress_insert_ignore_tx) rewrites the FULL table
+    per merge — the honest cost this form removes. A manifest table's
+    merge writes ONLY ``new ∖ current`` as a delta directory plus a
+    small JSON manifest naming every live directory; the atomic
+    pointer flip is unchanged. Write volume per merge drops from
+    O(table) to O(delta) — at 100 TB this is the difference between a
+    table you can merge into hourly and one you cannot; it is exactly
+    the file-manifest mechanism Delta/Iceberg generalize
+    (plans/snapshots.py:merge_insert_ignore_incremental).
+
+    Declared lifecycle against an ephemeral dir (mkdtemp + atexit, the
+    tx query's pattern):
+
+    1. three OVERLAPPING batches merge incrementally (o_orderkey%6
+       selectors {0,1}/{1,2}/{2,3} — each delta is a proper subset of
+       its batch, so the anti-join is doing real work);
+    2. an idempotency probe re-merges batch 2 (a fully-contained
+       batch publishes NOTHING — asserted on the manifest name);
+    3. SIMULATED TORN WRITE: a complete-looking poison delta AND a
+       torn higher-numbered manifest appear, pointer never flipped;
+    4. ``checkpoint`` rewrites the live set into one base dir
+       (coalesce — narrow, the compaction path) and ``vacuum_manifest``
+       reclaims the superseded deltas AND the torn garbage;
+    5. the declared output reads through the final manifest.
+
+    The oracle is the plain three-way DISTINCT UNION: poison rows or a
+    content-mangling checkpoint hash-fail loudly."""
+    import atexit
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    orders = load(spark, sf_dir, "orders")
+
+    def batch(mods):
+        return (
+            orders.filter((F.col("o_orderkey") % 6).isin(*mods))
+            .select(
+                F.col("o_custkey").alias("cust_key"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .distinct()
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="k8e_manifest_table_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    snap.merge_insert_ignore_incremental(spark, table_dir, batch([0, 1]))
+    m2 = snap.merge_insert_ignore_incremental(spark, table_dir, batch([1, 2]))
+    m3 = snap.merge_insert_ignore_incremental(spark, table_dir, batch([2, 3]))
+    # idempotency: a contained batch publishes nothing
+    assert snap.merge_insert_ignore_incremental(spark, table_dir, batch([1, 2])) == m3
+    # torn write: poison delta + torn manifest, pointer still names m3
+    poison = spark.createDataFrame(
+        [(-i, "TORN") for i in range(1, 6)], "cust_key bigint, status string"
+    )
+    poison.write.parquet(f"{table_dir}/delta-000099")
+    Path(f"{table_dir}/manifest-000099.json").write_text('{"dirs": ["delta-000099"]}')
+    assert snap.current_manifest(table_dir) == m3  # crash != publish
+    snap.checkpoint(spark, table_dir, n_files=1)
+    removed = snap.vacuum_manifest(table_dir)
+    assert "delta-000099" in removed and "manifest-000099.json" in removed
+    assert m2 in removed
+    return snap.read_manifest_table(spark, table_dir)

@@ -205,12 +205,16 @@ _PRIORITY = (
     # convergence-counter fix does not alter any query's OUTPUT —
     # labels are unchanged; only the reported rounds metadata moved).
     #
-    # LATE-r12 SWAP (avoiding the compaction precedent of a new query
-    # with zero driver evidence): maintenance_zorder_layout — the NEW
-    # r12 Z-order clustering op — takes a first-evidence seat in THIS
-    # window rather than waiting a round; text_stats_per_lang (4
-    # greens, last r5, two seated ext-text-stats siblings in this same
-    # window) yields its seat and heads the r13 backfill queue.
+    # LATE-r12 SWAPS (avoiding the compaction precedent of a new query
+    # with zero driver evidence): the two NEW r12 ops take
+    # first-evidence seats in THIS window rather than waiting a round —
+    # maintenance_zorder_layout (Z-order clustering) displacing
+    # text_stats_per_lang (4 greens, last r5, two seated ext-text-stats
+    # siblings in this same window), and compress_insert_ignore_manifest
+    # (incremental manifest merges — the O(delta) write-volume upgrade
+    # of the seated tx query) displacing text_language_id (4 greens,
+    # last r5, sibling text_quality_score stays seated). Both displaced
+    # rows head the r13 backfill queue.
     #
     # SEAT COMPACTION (VERDICT r10 #7): the six planted twins whose
     # natural-corpus counterparts are now FULL cross-engine oracles
@@ -228,6 +232,7 @@ _PRIORITY = (
     #    and the new r12 Z-order layout op (see LATE-r12 SWAP above) --
     "maintenance_compact_small_files",
     "maintenance_zorder_layout",
+    "compress_insert_ignore_manifest",
     # -- second greens for the r11 first-row queries (VERDICT r11 #2) --
     "compress_insert_ignore_tx",
     "stream_session_window_append",
@@ -278,10 +283,10 @@ _PRIORITY = (
     "sim_kmeans_assign_oracle",
     "stream_stateful_user_stats",
     "stream_tumbling_available_now",
-    "text_language_id",
     "text_quality_score",
-    # (text_stats_per_lang yielded its seat to maintenance_zorder_layout
-    # — see the LATE-r12 SWAP note; it heads the r13 backfill queue)
+    # (text_stats_per_lang and text_language_id yielded their seats to
+    # the two new r12 ops — see the LATE-r12 SWAPS note; both head the
+    # r13 backfill queue)
 )
 
 

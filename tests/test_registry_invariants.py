@@ -132,6 +132,7 @@ def test_write_side_effect_queries_stay_closed():
     ALLOWED = {
         # ephemeral mkdtemp table dirs (atexit-cleaned, per-process)
         "compress_insert_ignore_tx",
+        "compress_insert_ignore_manifest",
         "maintenance_compact_small_files",
         "maintenance_zorder_layout",
         # warehouse bucket tables / fixture trees (fingerprint-isolated,

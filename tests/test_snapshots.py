@@ -71,3 +71,98 @@ def test_vacuum_keeps_history_window(spark, tmp_path):
     )
     assert live in kept and len(kept) == 2
     assert len(removed) == 2
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_merge_is_incremental_and_idempotent(spark, tmp_path):
+    """The r12 manifest table: merges write ONLY the delta directory
+    (write volume O(delta), not O(table)); a fully-contained re-merge
+    publishes NOTHING (same manifest name back, no new dirs, no chain
+    growth); content equals the full-rewrite snapshot semantics."""
+    from k8e_fetch_spark.plans.snapshots import (
+        current_manifest,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+    )
+
+    t = str(tmp_path / "mt")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(2, "y"), (3, "z")], "k int, v string")
+
+    m1 = merge_insert_ignore_incremental(spark, t, a)
+    assert current_manifest(t) == m1
+    m2 = merge_insert_ignore_incremental(spark, t, b)
+    assert m2 != m1
+    got = _sorted_rows(read_manifest_table(spark, t))
+    assert got == [(1, "x"), (2, "y"), (3, "z")]
+    # delta-000002 must hold ONLY the new row
+    d2 = _sorted_rows(spark.read.parquet(f"{t}/delta-000002"))
+    assert d2 == [(3, "z")]
+    # idempotent re-merge: no new manifest, no new dirs
+    dirs_before = sorted(p.name for p in Path(t).iterdir())
+    m3 = merge_insert_ignore_incremental(spark, t, b)
+    assert m3 == m2
+    assert sorted(p.name for p in Path(t).iterdir()) == dirs_before
+    assert _sorted_rows(read_manifest_table(spark, t)) == got
+
+
+def test_manifest_torn_delta_is_invisible_and_vacuumed(spark, tmp_path):
+    """A writer that dies AFTER writing its delta (or even a
+    torn higher-numbered manifest file) but BEFORE the pointer flip
+    leaves the table reading the old state; vacuum removes exactly the
+    unreferenced garbage, anchored at the live manifest."""
+    from k8e_fetch_spark.plans.snapshots import (
+        current_manifest,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        vacuum_manifest,
+    )
+
+    t = str(tmp_path / "mt")
+    merge_insert_ignore_incremental(
+        spark, t, spark.createDataFrame([(1, "x")], "k int, v string")
+    )
+    live = current_manifest(t)
+    # torn write: complete-looking delta + manifest, pointer NOT flipped
+    poison = spark.createDataFrame([(-9, "TORN")], "k int, v string")
+    poison.write.parquet(f"{t}/delta-000099")
+    Path(f"{t}/manifest-000099.json").write_text('{"dirs": ["delta-000099"]}')
+    assert current_manifest(t) == live
+    assert _sorted_rows(read_manifest_table(spark, t)) == [(1, "x")]
+    removed = vacuum_manifest(t)
+    assert "delta-000099" in removed and "manifest-000099.json" in removed
+    assert _sorted_rows(read_manifest_table(spark, t)) == [(1, "x")]
+
+
+def test_manifest_checkpoint_compacts_and_preserves_content(spark, tmp_path):
+    """checkpoint rewrites the live dirs into one base and the manifest
+    references ONLY it; content identical; vacuum then reclaims every
+    superseded delta."""
+    from k8e_fetch_spark.plans.snapshots import (
+        checkpoint,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        vacuum_manifest,
+    )
+
+    t = str(tmp_path / "mt")
+    for i in range(4):
+        merge_insert_ignore_incremental(
+            spark,
+            t,
+            spark.createDataFrame([(j, f"v{j}") for j in range(i * 3, i * 3 + 4)],
+                                  "k int, v string"),
+        )
+    before = _sorted_rows(read_manifest_table(spark, t))
+    assert len(before) == 13  # overlapping batches merged set-wise
+    checkpoint(spark, t, n_files=1)
+    assert _sorted_rows(read_manifest_table(spark, t)) == before
+    removed = vacuum_manifest(t)
+    assert sum(1 for r in removed if r.startswith("delta-")) == 4
+    assert _sorted_rows(read_manifest_table(spark, t)) == before
+    # exactly one live data dir remains
+    live_dirs = [p.name for p in Path(t).iterdir() if p.is_dir()]
+    assert len(live_dirs) == 1 and live_dirs[0].startswith("base-")
