@@ -145,7 +145,11 @@ def main() -> None:
             " filesystem-level (complete snapshot dir + atomic pointer"
             " rename), so nothing transactional appears in — or burdens —"
             " the Spark plan itself. The declared registry query runs two"
-            " merges, a simulated torn write and a vacuum around this plan.*\n"
+            " merges, a simulated torn write and a vacuum around this plan."
+            " The r12 INCREMENTAL manifest form"
+            " (compress_insert_ignore_manifest) plans the SAME anti-join but"
+            " sinks ONLY its output — the delta — instead of the union:"
+            " write volume O(delta), not O(table).*\n"
         )
         print(f"```\n{formatted(merged)}\n```")
     finally:

@@ -521,16 +521,24 @@ def test_zorder_write_identity_and_two_dim_pruning(spark, tmp_path):
 
     zr, lr = file_ranges(zpath), file_ranges(lpath)
     assert len(zr) == len(lr) == n_files
-    # a 32x32 rectangle (1/64 of the space, off the corner)
+    # a 32x32 rectangle (1/64 of the space, off the corner) must touch
+    # a small bounded subset under z-order. NOT asserted strictly below
+    # the linear layout's count: range-partition boundaries come from
+    # RUN-VARYING sampling, and on a leading-dim-favorable rectangle a
+    # 2-vs-2 tie is legitimate (flaked once in a full-suite run) — the
+    # margin bound is the stable property.
     z_touch = files_touched(zr, 64, 95, 64, 95)
-    l_touch = files_touched(lr, 64, 95, 64, 95)
-    assert z_touch < l_touch, (z_touch, l_touch)
-    # and a pure second-dimension band: the linear layout prunes
-    # NOTHING (every file spans all y), the z-layout must prune
-    z_band = files_touched(zr, 0, 255, 64, 95)
-    l_band = files_touched(lr, 0, 255, 64, 95)
-    assert l_band == n_files
-    assert z_band < n_files, z_band
+    assert z_touch <= 6, z_touch
+    # the structural claim — z-order bounds the WORST dimension, linear
+    # is all-or-nothing: a pure second-dimension band prunes NOTHING
+    # under the linear sort (every file spans all y) and must prune
+    # under z-order; and z's worst single-dim band beats linear's.
+    z_xband = files_touched(zr, 64, 95, 0, 255)
+    z_yband = files_touched(zr, 0, 255, 64, 95)
+    l_yband = files_touched(lr, 0, 255, 64, 95)
+    assert l_yband == n_files
+    assert z_yband < n_files, z_yband
+    assert max(z_xband, z_yband) < n_files
 
 
 def test_zorder_normalization_rescues_unbalanced_domains(spark, tmp_path):
