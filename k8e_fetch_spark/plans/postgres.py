@@ -320,6 +320,33 @@ def copy_from_executors(
         finally:
             if proc.poll() is None:
                 proc.kill()
+        if load_id is not None:
+            # completion marker: the COPY's commit and the task's
+            # success report are two separate events, and a KILLED
+            # speculative attempt leaves its staging table EMPTY (the
+            # COPY transaction aborted) — possibly with the highest
+            # taskAttemptId. Renaming to *_ok only after the COPY
+            # committed makes "complete" visible to the promote, which
+            # considers nothing else. A crash between COPY and rename
+            # fails the attempt, so Spark retries and a complete _ok
+            # attempt still appears before foreachPartition returns.
+            mv = subprocess.run(
+                [
+                    "psql",
+                    "-v",
+                    "ON_ERROR_STOP=1",
+                    *psql_args,
+                    "-c",
+                    f'ALTER TABLE "{target}" RENAME TO "{target}_ok"',
+                ],
+                capture_output=True,
+                text=True,
+            )
+            if mv.returncode != 0:
+                raise RuntimeError(
+                    f"staging completion rename failed ({mv.returncode}): "
+                    f"{mv.stderr.strip()}"
+                )
 
     if load_id is None:
         df.foreachPartition(_load_partition)
@@ -355,25 +382,33 @@ def _drop_staged(table: str, psql_args: list[str], load_id: str) -> None:
 
 
 def _promote_staged(table: str, psql_args: list[str], load_id: str, cols: str) -> None:
-    """Second phase of the exactly-once COPY: pick ONE attempt per
-    partition (highest taskAttemptId — any would do, attempts of one
-    partition are identical by Spark's deterministic-partition
-    contract; highest is simply a stable choice), then INSERT the
-    winners into the target and DROP every staging table — winners and
-    losing speculative/retried attempts alike — in a SINGLE
-    transaction. Readers of the target never observe a partial load,
-    and a promote failure leaves the target untouched.
+    """Second phase of the exactly-once COPY: among the COMPLETE
+    attempts of each partition (``*_ok`` suffix — renamed only after
+    the attempt's COPY committed), pick one (highest taskAttemptId;
+    complete attempts of one partition are identical by Spark's
+    deterministic-partition contract, so any is correct — highest is a
+    stable choice), then INSERT the winners into the target and DROP
+    every staging table — winners, losing complete attempts, AND
+    incomplete leftovers from killed/failed attempts alike — in a
+    SINGLE transaction. Incomplete tables never qualify: a speculative
+    attempt killed mid-COPY leaves an EMPTY staging table (its COPY
+    transaction aborted) that may carry the highest attempt id —
+    promoting by attempt id alone would silently drop that partition's
+    rows (caught in r12 self-review; pinned in tests/test_postgres.py).
+    Readers of the target never observe a partial load, and a promote
+    failure leaves the target untouched.
 
     Factored out of :func:`copy_from_executors` so the
-    duplicate-attempt path is directly testable without forcing a real
-    Spark speculative re-execution (tests/test_postgres.py plants two
-    staging tables for one partition and asserts single delivery).
+    duplicate/incomplete-attempt paths are directly testable without
+    forcing a real Spark speculative re-execution.
     """
     staged = _staged_tables(table, psql_args, load_id)
     best: dict[int, tuple[int, str]] = {}
     prefix = f"{table}__stg{load_id}_p"
     for name in staged:
-        pid_s, att_s = name[len(prefix):].split("_a")
+        if not name.endswith("_ok"):
+            continue  # incomplete attempt: drop below, never promote
+        pid_s, att_s = name[len(prefix):-len("_ok")].split("_a")
         pid, att = int(pid_s), int(att_s)
         if pid not in best or att > best[pid][0]:
             best[pid] = (att, name)

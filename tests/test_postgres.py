@@ -354,29 +354,36 @@ def test_copy_from_executors_exactly_once_two_phase(spark, pg, tmp_path):
 
 
 def test_promote_staged_dedups_speculative_duplicate(spark, pg):
-    """The failure mode the exactly-once mode exists for, simulated
-    directly: TWO committed staging tables for the SAME partition
+    """The failure modes the exactly-once mode exists for, simulated
+    directly: (a) TWO complete staging tables for the SAME partition
     (a speculative duplicate / post-commit retry — identical content,
-    different taskAttemptId) plus one normal partition. The promote
-    must insert each partition's rows exactly ONCE, prefer any single
-    attempt, and drop every staging table including the loser."""
+    different taskAttemptId), (b) an INCOMPLETE attempt (no _ok suffix
+    — a speculative loser killed mid-COPY leaves an EMPTY table) whose
+    attempt id is the HIGHEST of its partition, plus one normal
+    partition. The promote must insert each partition's rows exactly
+    ONCE, never consider the incomplete table (the r12 self-review
+    catch: max-attempt-id alone would promote the empty loser and
+    silently drop the partition), and drop every staging table."""
     from k8e_fetch_spark.plans.postgres import _promote_staged, _psql
 
     psql_args = pg["psql_args"]
     _psql(psql_args, 'CREATE TABLE "spectgt" (k int, v text)')
     lid = "deadbeef0012"
-    # partition 0: two attempts (the duplicate), identical rows
+    # partition 0: two COMPLETE attempts (the duplicate), identical rows
     for att in (3, 9):
         _psql(
             psql_args,
-            f'CREATE TABLE "spectgt__stg{lid}_p0_a{att}" (LIKE "spectgt"); '
-            f"INSERT INTO \"spectgt__stg{lid}_p0_a{att}\" VALUES (1, 'one'), (2, 'two')",
+            f'CREATE TABLE "spectgt__stg{lid}_p0_a{att}_ok" (LIKE "spectgt"); '
+            f"INSERT INTO \"spectgt__stg{lid}_p0_a{att}_ok\" VALUES (1, 'one'), (2, 'two')",
         )
-    # partition 1: single attempt
+    # partition 0 also has an INCOMPLETE attempt with the HIGHEST id:
+    # a killed speculative duplicate — empty table, no _ok marker
+    _psql(psql_args, f'CREATE TABLE "spectgt__stg{lid}_p0_a11" (LIKE "spectgt")')
+    # partition 1: single complete attempt
     _psql(
         psql_args,
-        f'CREATE TABLE "spectgt__stg{lid}_p1_a5" (LIKE "spectgt"); '
-        f"INSERT INTO \"spectgt__stg{lid}_p1_a5\" VALUES (3, 'three')",
+        f'CREATE TABLE "spectgt__stg{lid}_p1_a5_ok" (LIKE "spectgt"); '
+        f"INSERT INTO \"spectgt__stg{lid}_p1_a5_ok\" VALUES (3, 'three')",
     )
     _promote_staged("spectgt", psql_args, lid, '"k", "v"')
     assert _psql_value(psql_args, 'SELECT count(*) FROM "spectgt"') == "3"
