@@ -278,27 +278,44 @@ def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> 
     return manifest_name
 
 
-def vacuum_manifest(table_dir: str | Path) -> list[str]:
+def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
     """Remove data directories and manifests not reachable from the
-    LIVE manifest. Crash orphans (a delta/base whose writer died before
-    the pointer flip, or a torn higher-numbered manifest) are exactly
-    such unreferenced garbage — same anchoring rule as the snapshot
-    vacuum: protection flows from the pointer, never from lexical
-    order."""
+    kept manifest set: the LIVE manifest plus its ``keep - 1``
+    predecessors (time travel on the cheap — the same window semantics
+    as the snapshot :func:`vacuum`). Crash orphans (a delta/base whose
+    writer died before the pointer flip, or a torn HIGHER-numbered
+    manifest) are unreachable garbage by construction — protection
+    flows from the pointer, never from lexical order, so an orphan
+    numbered above live is never protected."""
     import shutil
 
     table_dir = Path(table_dir)
     live_manifest = current_manifest(table_dir)
-    keep_dirs = (
-        set(_manifest_dirs(table_dir, live_manifest)) if live_manifest else set()
+    manifests = sorted(
+        p.name
+        for p in table_dir.iterdir()
+        if p.is_file() and p.name.startswith("manifest-")
     )
+    if live_manifest is not None and live_manifest in manifests:
+        upto = manifests.index(live_manifest)
+        keep_manifests = set(manifests[max(0, upto - keep + 1) : upto + 1])
+        keep_manifests.add(live_manifest)
+    else:
+        keep_manifests = set(manifests[-keep:]) if live_manifest is None else set()
+    keep_dirs: set[str] = set()
+    for m in keep_manifests:
+        keep_dirs.update(_manifest_dirs(table_dir, m))
     removed = []
     for p in sorted(table_dir.iterdir()):
         if p.is_dir() and p.name.startswith(("delta-", "base-")):
             if p.name not in keep_dirs:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p.name)
-        elif p.is_file() and p.name.startswith("manifest-") and p.name != live_manifest:
+        elif (
+            p.is_file()
+            and p.name.startswith("manifest-")
+            and p.name not in keep_manifests
+        ):
             p.unlink()
             removed.append(p.name)
     return removed

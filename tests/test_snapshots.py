@@ -166,3 +166,40 @@ def test_manifest_checkpoint_compacts_and_preserves_content(spark, tmp_path):
     # exactly one live data dir remains
     live_dirs = [p.name for p in Path(t).iterdir() if p.is_dir()]
     assert len(live_dirs) == 1 and live_dirs[0].startswith("base-")
+
+
+def test_manifest_vacuum_keep_window_time_travel(spark, tmp_path):
+    """vacuum_manifest(keep=2) preserves the live manifest AND its
+    predecessor — including every data dir the predecessor references
+    (a kept old manifest must stay READABLE, not just present) — while
+    a torn higher-numbered manifest is still reclaimed (anchored at the
+    pointer, not lexical order)."""
+    import json
+
+    from k8e_fetch_spark.plans.snapshots import (
+        current_manifest,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        vacuum_manifest,
+    )
+
+    t = str(tmp_path / "mt")
+    for i in range(3):
+        merge_insert_ignore_incremental(
+            spark, t, spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+        )
+    live = current_manifest(t)
+    # torn manifest ABOVE live
+    Path(f"{t}/manifest-000099.json").write_text('{"dirs": ["delta-000001"]}')
+    removed = vacuum_manifest(t, keep=2)
+    assert "manifest-000099.json" in removed
+    assert "manifest-000001.json" in removed  # outside the keep window
+    assert current_manifest(t) == live
+    # live still reads complete
+    got = sorted(tuple(r) for r in read_manifest_table(spark, t).collect())
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2")]
+    # the kept predecessor (manifest-000002) is still fully readable:
+    # every dir it references survived
+    prev = json.loads(Path(f"{t}/manifest-000002.json").read_text())["dirs"]
+    for d in prev:
+        assert Path(f"{t}/{d}").is_dir(), d
