@@ -203,3 +203,36 @@ def test_manifest_vacuum_keep_window_time_travel(spark, tmp_path):
     prev = json.loads(Path(f"{t}/manifest-000002.json").read_text())["dirs"]
     for d in prev:
         assert Path(f"{t}/{d}").is_dir(), d
+
+
+def test_snapshot_and_manifest_forms_agree(spark, tmp_path):
+    """Cross-validation of the two transactional merge machineries:
+    the same overlapping batch sequence through the full-rewrite
+    snapshot table and the incremental manifest table must yield
+    identical row sets — the manifest form is a COST change (O(delta)
+    writes), never a semantics change."""
+    from k8e_fetch_spark.plans.snapshots import (
+        merge_insert_ignore,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        read_table,
+    )
+
+    batches = [
+        [(1, "a"), (2, "b"), (None, "n")],
+        [(2, "b"), (3, "c"), (None, "n")],  # overlap incl. the NULL row
+        [(3, "c"), (4, "d")],
+    ]
+    snap_dir, man_dir = str(tmp_path / "snap"), str(tmp_path / "man")
+    for rows in batches:
+        df = spark.createDataFrame(rows, "k int, v string")
+        merge_insert_ignore(spark, snap_dir, df)
+        merge_insert_ignore_incremental(spark, man_dir, df)
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731 (None-safe sort)
+    a = sorted((tuple(r) for r in read_table(spark, snap_dir).collect()), key=key)
+    b = sorted(
+        (tuple(r) for r in read_manifest_table(spark, man_dir).collect()), key=key
+    )
+    assert a == b
+    # the null-safe contract held on both paths: the NULL row merged ONCE
+    assert sum(1 for r in b if r[0] is None) == 1
