@@ -40,6 +40,20 @@ def _build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--warehouse", required=True, help="component table output dir")
     pl.add_argument("--spec", default=None, help="cfg.yaml-shaped spec file (default: built-in)")
     pl.add_argument("--group", default="current_cycle", help="fetch group (cfg.yaml:1-8)")
+    pl.add_argument(
+        "--table-format",
+        choices=("parquet", "snapshot", "manifest"),
+        default="parquet",
+        help="component table layout: plain parquet swap (default), "
+        "pointer-flip snapshots, or O(delta) incremental manifests",
+    )
+    pl.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=None,
+        help="post-compress small-files maintenance: rewrite each "
+        "component to ~N MB files (manifest tables: checkpoint+vacuum)",
+    )
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
     return p
@@ -83,7 +97,13 @@ def main(argv: list[str] | None = None) -> int:
         spec = from_yaml(args.spec) if args.spec else DEFAULT_SPEC
         manifest = args.manifest or str(fixtures_root() / "manifest.json")
         data_dir = args.data_dir or str(fixtures_root())
-        pipe = Pipeline(spark, spec, args.warehouse)
+        pipe = Pipeline(
+            spark,
+            spec,
+            args.warehouse,
+            table_format=args.table_format,
+            compact_target_mb=args.compact_target_mb,
+        )
         components = pipe.run(manifest, data_dir, group=args.group)
         for name in sorted(components):
             print(f"{name}: {components[name].count()} rows -> {args.warehouse}")

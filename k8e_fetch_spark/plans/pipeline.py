@@ -38,6 +38,7 @@ import os
 import re
 import shutil
 from collections.abc import Iterable, Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,10 +50,47 @@ from k8e_fetch_spark.sources import ingest, manifest as mf
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession, spec: PipelineSpec, warehouse: str):
+    """``table_format`` selects the component-table storage layout
+    (VERDICT r12 #4 — the maintenance machinery reachable from the
+    front door, not only as declared queries):
+
+    - ``"parquet"`` (default): plain dir-per-component with the
+      temp-write + atomic swap of :meth:`_sink` — the original flow,
+      byte-identical plans.
+    - ``"snapshot"``: pointer-flip snapshot tables
+      (plans/snapshots.py:merge_insert_ignore) — atomic merges, cheap
+      time travel, O(table) write per merge.
+    - ``"manifest"``: incremental manifest tables
+      (merge_insert_ignore_incremental) — O(delta) write per merge,
+      the 100 TB accretion shape.
+
+    ``compact_target_mb`` (optional) runs post-compress small-files
+    maintenance on every component: parquet dirs are rewritten to
+    ~target-sized files (operators/scale.py:compact_small_files, then
+    atomically swapped in); manifest tables are checkpointed into a
+    single compacted base sized by the same target
+    (plans/snapshots.py:checkpoint). Snapshot tables skip it: every
+    merge already rewrites the full table in one pass, so there is no
+    small-file accretion to repair.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: PipelineSpec,
+        warehouse: str,
+        table_format: str = "parquet",
+        compact_target_mb: int | None = None,
+    ):
+        if table_format not in ("parquet", "snapshot", "manifest"):
+            raise ValueError(
+                f"table_format must be parquet|snapshot|manifest, got {table_format!r}"
+            )
         self.spark = spark
         self.spec = spec
         self.warehouse = warehouse
+        self.table_format = table_format
+        self.compact_target_mb = compact_target_mb
         os.makedirs(warehouse, exist_ok=True)
 
     # --- stage 1: FetchVersions ---------------------------------------
@@ -107,6 +145,8 @@ class Pipeline:
         return [n for n in sorted(names) if any(re.search(p, n) for p in comp.table_include)]
 
     def compress(self, tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        if self.table_format != "parquet":
+            return self._compress_into_tables(tables)
         components: dict[str, DataFrame] = {}
         for comp in self.spec.compressors:
             matched = self.matched_tables(comp, tables)
@@ -122,7 +162,75 @@ class Pipeline:
         # persist: the merge result replaces the component table
         for name, df in components.items():
             components[name] = self._sink(df, name)
+        self._maybe_compact(components)
         return components
+
+    def _compress_into_tables(self, tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Compress stage, snapshot/manifest form: the component's
+        existing state lives in its table directory, so build each
+        component's BATCH (union of the per-source projections — both
+        merge forms dedup the batch and anti-join it against the
+        current state internally) and run exactly ONE atomic merge per
+        component. Same final content as the chained per-source
+        ``insert_ignore`` of the parquet flow (set semantics), with the
+        table format's guarantees: crash-safe pointer flips, rerun
+        idempotency, and — in manifest form — O(delta) write volume."""
+        from k8e_fetch_spark.plans import snapshots as snap
+
+        batches: dict[str, DataFrame] = {}
+        for comp in self.spec.compressors:
+            matched = self.matched_tables(comp, tables)
+            for binding in comp.bindings:
+                columns = self.spec.components[binding.component]
+                for tname in matched:
+                    src = project(tables[tname], columns, dict(binding.subst))
+                    prev = batches.get(binding.component)
+                    batches[binding.component] = (
+                        src if prev is None else prev.unionByName(src)
+                    )
+        components: dict[str, DataFrame] = {}
+        for name, batch in batches.items():
+            tdir = self._component_path(name)
+            if self.table_format == "snapshot":
+                snap.merge_insert_ignore(self.spark, tdir, batch)
+                components[name] = snap.read_table(self.spark, tdir)
+            else:
+                snap.merge_insert_ignore_incremental(self.spark, tdir, batch)
+                components[name] = snap.read_manifest_table(self.spark, tdir)
+        self._maybe_compact(components)
+        return components
+
+    def _maybe_compact(self, components: dict[str, DataFrame]) -> None:
+        """Post-compress small-files maintenance (opt-in via
+        ``compact_target_mb``); re-points each entry at the compacted
+        table. Snapshot format: no-op (see class docstring)."""
+        if self.compact_target_mb is None or self.table_format == "snapshot":
+            return
+        import math
+
+        from k8e_fetch_spark.operators.scale import compact_small_files
+        from k8e_fetch_spark.plans import snapshots as snap
+
+        target_bytes = self.compact_target_mb << 20
+        for name in list(components):
+            path = self._component_path(name)
+            if self.table_format == "manifest":
+                live = sum(
+                    f.stat().st_size
+                    for d in snap._manifest_dirs(Path(path), snap.current_manifest(path))
+                    for f in (Path(path) / d).rglob("*.parquet")
+                )
+                snap.checkpoint(
+                    self.spark, path, n_files=max(1, math.ceil(live / target_bytes))
+                )
+                snap.vacuum_manifest(path)
+                components[name] = snap.read_manifest_table(self.spark, path)
+            else:
+                tmp = path + ".__compact__"
+                compact_small_files(self.spark, path, tmp, target_bytes=target_bytes)
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+                components[name] = self.spark.read.parquet(path)
 
     # --- run ------------------------------------------------------------
     def run(
@@ -138,9 +246,16 @@ class Pipeline:
             paths = self.sync(selected, data_dir)
             tables = self.load(paths)
         else:  # memoized: re-read landed tables from the warehouse
+            # component tables in snapshot/manifest format live beside
+            # the landed tables but are NOT flat parquet dirs — skip
+            # anything carrying a table-format pointer file
             tables = {
                 n: self.spark.read.parquet(os.path.join(self.warehouse, n))
                 for n in os.listdir(self.warehouse)
+                if not any(
+                    os.path.exists(os.path.join(self.warehouse, n, ptr))
+                    for ptr in ("_CURRENT", "_CURRENT_MANIFEST")
+                )
             }
         if "compress" in skip:
             return tables

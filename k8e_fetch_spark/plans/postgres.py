@@ -232,6 +232,7 @@ def copy_from_executors(
         _psql(psql_args, postgres_ddl(df, table))
     cols = ", ".join(f'"{f.name.lower()}"' for f in df.schema.fields)
     load_id = uuid.uuid4().hex[:12] if exactly_once else None
+    stg_base = _stg_base(table) if exactly_once else None
 
     def _enc(v) -> str:
         if v is None:
@@ -271,7 +272,7 @@ def copy_from_executors(
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            target = f"{table}__stg{load_id}_p{ctx.partitionId()}_a{ctx.taskAttemptId()}"
+            target = f"{stg_base}__stg{load_id}_p{ctx.partitionId()}_a{ctx.taskAttemptId()}"
             mk = subprocess.run(
                 [
                     "psql",
@@ -357,19 +358,70 @@ def copy_from_executors(
         _drop_staged(table, psql_args, load_id)
         raise
     _promote_staged(table, psql_args, load_id, cols)
+    # A zombie speculative/retried task still running at promote time
+    # can CREATE its staging table after the promote's listing; the
+    # single-transaction DROP never sees it. Such a table is garbage
+    # only — it can never reach the target — so sweep it best-effort
+    # after the promote commits (ADVICE r12). A failure here must not
+    # fail the (already committed) load.
+    try:
+        _drop_staged(table, psql_args, load_id)
+    except Exception:
+        pass
+
+
+_NAMEDATALEN = 63  # Postgres identifier limit (bytes); longer names truncate SILENTLY
+
+# Worst-case staging suffix: "__stg" + 12-hex load id + "_p" + 9-digit
+# partitionId + "_a" + 12-digit taskAttemptId + the "_ok" completion
+# rename = 45 bytes. partitionId is bounded well under 10^9 in any real
+# job; taskAttemptId is an app-monotonic long that reaches 10^12 only
+# after a trillion task launches.
+_STG_SUFFIX_WORST = len("__stg") + 12 + len("_p") + 9 + len("_a") + 12 + len("_ok")
+
+
+def _stg_base(table: str) -> str:
+    """Base for exactly-once staging table names. Postgres silently
+    TRUNCATES identifiers to 63 bytes, so a long target table name
+    would make the ``_ok`` completion rename collide with its own
+    source (rename fails every attempt) or fold distinct attempt names
+    together — breaking the exactly-once protocol (ADVICE r12). When
+    the worst-case staging name would not fit, build it from a short
+    deterministic hash of the target name instead: the staging base
+    never needs to equal the target — promote names the real target
+    directly."""
+    if len(table.encode("utf-8")) + _STG_SUFFIX_WORST <= _NAMEDATALEN:
+        return table
+    import hashlib
+
+    return "stg" + hashlib.sha1(table.encode("utf-8")).hexdigest()[:15]
+
+
+def _stg_like_literal(base: str, load_id: str) -> str:
+    """SQL string literal matching exactly this load's staging tables:
+    every ``_`` and ``%`` in the prefix is LIKE-escaped (the base and
+    the ``__stg`` separator contain literal underscores — unescaped
+    they are single-char wildcards, ADVICE r12) and quotes are doubled
+    so a hostile table name cannot break out of the literal."""
+    prefix = f"{base}__stg{load_id}_"
+    escaped = (
+        prefix.replace("\\", "\\\\").replace("_", "\\_").replace("%", "\\%")
+    )
+    return "'" + escaped.replace("'", "''") + "%'"
 
 
 def _staged_tables(table: str, psql_args: list[str], load_id: str) -> list[str]:
+    base = _stg_base(table)
     out = _psql(
         psql_args,
         "SELECT tablename FROM pg_tables WHERE tablename LIKE "
-        f"'{table}__stg{load_id}\\_%' ESCAPE '\\'",
+        f"{_stg_like_literal(base, load_id)} ESCAPE '\\'",
     )
     # psql -c table output: header, ruler, rows, "(N rows)" footer
     names = []
     for line in out.splitlines():
         line = line.strip()
-        if line.startswith(f"{table}__stg{load_id}_"):
+        if line.startswith(f"{base}__stg{load_id}_"):
             names.append(line)
     return names
 
@@ -404,7 +456,7 @@ def _promote_staged(table: str, psql_args: list[str], load_id: str, cols: str) -
     """
     staged = _staged_tables(table, psql_args, load_id)
     best: dict[int, tuple[int, str]] = {}
-    prefix = f"{table}__stg{load_id}_p"
+    prefix = f"{_stg_base(table)}__stg{load_id}_p"
     for name in staged:
         if not name.endswith("_ok"):
             continue  # incomplete attempt: drop below, never promote

@@ -301,7 +301,13 @@ def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
         keep_manifests = set(manifests[max(0, upto - keep + 1) : upto + 1])
         keep_manifests.add(live_manifest)
     else:
-        keep_manifests = set(manifests[-keep:]) if live_manifest is None else set()
+        # No pointer, OR a pointer naming a manifest that is missing on
+        # disk: conservatively keep the lexically latest ``keep``
+        # manifests and their dirs — the same fallback the snapshot
+        # vacuum uses. A stale/corrupt pointer must degrade to
+        # readable garbage, never to deleting every delta/base dir
+        # (ADVICE r12: the old dangling-pointer branch kept NOTHING).
+        keep_manifests = set(manifests[-keep:])
     keep_dirs: set[str] = set()
     for m in keep_manifests:
         keep_dirs.update(_manifest_dirs(table_dir, m))

@@ -96,197 +96,113 @@ def register(
 # is exactly 50 names — one correctness row per capability, oracle-
 # bearing queries first, then the rows-only LSH/iterative flagships.
 _PRIORITY = (
-    # Rotation policy (established r4, continued r5-r7): rows with 3-4
-    # rounds of green driver history rotate OUT each round to give
-    # never-driver-checked oracle queries a recorded CORRECTNESS row;
-    # rotated-out ops keep that recorded history plus pytest parity
-    # (tests/test_oracle_parity.py) as evidence.
+    # Rotation policy (established r4): rows with multi-round green
+    # driver history rotate OUT each round to reseat the rows with the
+    # OLDEST current-form evidence; rotated-out ops keep their recorded
+    # history plus per-session pytest parity
+    # (tests/test_oracle_parity.py) as evidence. Rotation comments
+    # carry their round number (r7 post-mortem rule); the full
+    # per-round rationale for rounds 8-12 lives in git history of this
+    # block (r12 tree: a7c48c7).
     #
-    # ROUND-9 ROTATION (VERDICT r8 next-round #1): the four rows-only
-    # seats that returned `err: no_oracle` every round they appeared
-    # (dedup_minhash_lsh, text_winnowing_fingerprint,
-    # text_compression_ratio, sim_topk_pq_trained) rotate OUT
-    # (late-r9 update: text_winnowing_fingerprint was PROMOTED to a
-    # full window-min oracle via the md5_32 cross-engine gram hash —
-    # an r10 reseat candidate with first-comparable-row status) — their
-    # rows-only evidence lives in pytest (test_oracle_parity rows-only
-    # twins + recall/property tests) and cannot improve in the window.
-    # Their seats go to the four NEW oracle-bearing r9 queries:
-    # dedup_substring_spans (ExactSubstr span removal, VERDICT #2),
-    # text_domain_filter (URL/domain curation, VERDICT #3),
-    # stream_session_window (real-stream sessions, VERDICT #4),
-    # join_salted_skew (declared skew salting, VERDICT #7). The six
-    # single-green rows (stream_enrich_dimension,
-    # dedup_incremental_minhash, sim_topk_ivfpq_adc,
-    # sim_topk_ivf_trained, mm_decode_video_real,
-    # text_decontaminate_bloom) all KEEP their seats for a second
-    # green. With this swap every one of the 50 window rows is
-    # oracle-bearing — the first all-comparable window.
+    # ROUND-13 ROTATION (VERDICT r12 next-round #1/#2). Three groups:
     #
-    # ROUND-8 ROTATION (VERDICT r7 next-round #1/#3): the 4 queries
-    # registered after the r7 window froze take their first driver
-    # rows — text_decontaminate_bloom (Bloom-prefiltered twin of
-    # text_decontaminate_ngram, same oracle SQL), text_pii_scrub
-    # (planted-PII masking, oracle-bearing), sim_topk_pq_adc
-    # (PQ-ADC top-k, oracle-bearing via init-derived codebooks) and
-    # its trained twin sim_topk_pq_trained (Lloyd codebooks on a
-    # bounded driver sample, rows-only). mm_decode_video_real KEEPS
-    # its seat: its r7 row — the first ever — FAILED on output-schema
-    # hashability (raw array<int> column; fixed this round with the
-    # to_json convention + a registry-wide invariant test), so the AVI
-    # walk still has zero comparable driver evidence.
-    # sim_topk_ivf_trained KEEPS its seat on changed code: promoted
-    # rows-only -> oracle-bearing this round (VERDICT r7 #6).
-    # Rotated OUT (4 greens each, code unchanged): text_tfidf_topk,
-    # text_decontaminate_ngram (its bloom twin now holds the shared
-    # oracle's seat), dedup_containment_ngram, sim_quantize_int8.
-    # The r7 first-green codec rows keep seats for a second green on
-    # the round-7-reworked GIF/JPEG decode paths.
+    # KEEP (3): the three r12 first-row ops hold their seats for
+    # SECOND greens on unchanged-since-r12 forms —
+    # maintenance_compact_small_files, maintenance_zorder_layout,
+    # compress_insert_ignore_manifest. They are the only oracle-bearing
+    # rows below 2 greens; after a green window the whole 158-row
+    # oracle surface holds >=2 driver greens on current form and
+    # rotation becomes pure freshness maintenance (VERDICT r12 #1).
     #
-    # NOTE (r7 post-mortem): the r6-era comment here — "minhash-planted
-    # KEPT: exact-verify stage reworked this round" — outlived its
-    # round and was misread in the r7 verdict as an r7 rework. The
-    # minhash path is byte-identical between the r6 and r7 bench trees
-    # (git diff 6682c08..0b2ffda on operators/similarity.py is empty);
-    # see BASELINE.md round-8 A/B. Rotation comments now carry their
-    # round number for exactly this reason.
+    # OUT (47 of the r12 window): the 45 r3-r5 backfill reseats and the
+    # two r11-first-row queries (compress_insert_ignore_tx,
+    # stream_session_window_append) all took r12 greens — every one now
+    # holds >=2 greens on current form.
     #
-    # ROUND-10 ROTATION (VERDICT r9 next-round #2): three late-r9
-    # oracle promotions (winnowing, kmeans_assign, topk_ivf) plus the
-    # r10 natural-corpus LSH promotions, op-flatten, the CC full
-    # oracle, trained-PQ, the bigram-LM gate and the BPE rows took
-    # first-evidence seats; the full per-row rationale lives in git
-    # history (this block was rewritten for r11 — see below).
+    # IN (47): the longest-unseen oracle-bearing rows, oldest-first by
+    # last green round (computed from the CORRECTNESS_r01-r12 union):
+    # the 2 rows last green in ROUND 5 (text_language_id,
+    # text_stats_per_lang — displaced by the late-r12 swaps, 8 rounds
+    # stale, head of the queue per the r12 registry comment), the 6
+    # rows last green in ROUND 7 (corpus_source_profile,
+    # dedup_containment_ngram, mm_decode_features, sample_token_budget,
+    # sim_quantize_int8, text_tfidf_topk), the 4 rows last green in
+    # ROUND 8, the 9 rows last green in ROUND 9, and the first 26 (of
+    # 31, alphabetical) rows last green in ROUND 10. The five r10 rows
+    # left standing (tpch_q18/q20/q21/q2/q8) plus tpch_q9 and the r11
+    # block head the r14 queue. Every seat is oracle-bearing: the
+    # window stays 50/50 comparable. No code touched any of these
+    # query paths in r11-r13, so their r5-r10 oracle forms are the
+    # current forms.
     #
-    # ROUND-11 ROTATION (VERDICT r10 next-round #1/#7), summary — the
-    # full per-group rationale lives in git history: 20 keeps (ten r10
-    # first-evidence rows for second greens, seven changed-code rows,
-    # two new r11 queries, the codec representative), 30 rotated out
-    # (2-6 greens each on unchanged code), 30 rotated in (the 19
-    # round-1-only relational rows + 11 round-6-only TPC-H rows).
-    # Result: 50/50 green — EVERY oracle-bearing query reached >=2
-    # driver greens on current form except the two new r11 rows.
+    # SEAT COMPACTION (r11, VERDICT r10 #7): six planted twins plus
+    # text_decontaminate_ngram are NEVER_RESEAT (see below) — still
+    # registered and pytest-parity-checked, but their semantics are
+    # subsumed by seated natural-corpus full-oracle rows. Rotating
+    # surface: 151 oracle-bearing rows (the rows-only pair
+    # agg_approx_sketches / text_compression_ratio cannot hold
+    # comparable seats by construction).
     #
-    # ROUND-12 ROTATION (VERDICT r11 next-round #1/#2/#6) — the start
-    # of the THIRD full pass. Three groups:
-    #
-    # KEEP/SEAT (3): maintenance_compact_small_files takes its FIRST
-    # driver row — it registered after the r11 window froze and is the
-    # only oracle-bearing declared query with zero driver evidence
-    # (VERDICT r11 #1); compress_insert_ignore_tx and
-    # stream_session_window_append hold their seats for SECOND greens
-    # on their r11 first-row forms (VERDICT r11 #2). After a green
-    # window every oracle-bearing query in the registry has >=2 driver
-    # greens on current form — the second-pass invariant fully closed.
-    #
-    # OUT (47 of the r11 window): the ten r10-first-evidence rows and
-    # seven changed-code rows all took their second greens in r11 on
-    # current form; the 30 r11 backfill rows (19 relational + 11
-    # TPC-H) took their second greens too. mm_decode_video_real
-    # rotates out at 4 greens (codec family fully evidenced). All keep
-    # recorded history + per-session pytest parity
-    # (tests/test_oracle_parity.py).
-    #
-    # IN (47): the longest-unseen oracle-bearing rows, oldest first —
-    # the 10 rows last green in ROUND 3 (catalog sync/skip, the
-    # compress projection trio, stratified sampling, embedding norms,
-    # chunking, redaction, token counts; eight rounds unseen), the 18
-    # rows last green in ROUND 4 (catalog filters, distinct/union/
-    # insert-ignore, ngram-jaccard, range join, binary meta, repair
-    # pair, cosine-pairs/topk-exact, fingerprint, TPC-H q1/q3/q5,
-    # window rank), and the 19 oracle-bearing rows last green in
-    # ROUND 5 (version-latest, corpus-prep, cube/rollup/grouping-sets,
-    # exact dedup, the three event-window forms, zip ingest, as-of
-    # join, map funcs, mm meta decode, kmeans-oracle, the two
-    # stateful-stream drains, language-id, quality, per-lang stats).
-    # Every seat is oracle-bearing: the window stays 50/50 comparable.
-    # No code touched any of these paths in r10-r12, so their r3-r5
-    # oracle forms are the current forms (the r12 clustering
-    # convergence-counter fix does not alter any query's OUTPUT —
-    # labels are unchanged; only the reported rounds metadata moved).
-    #
-    # LATE-r12 SWAPS (avoiding the compaction precedent of a new query
-    # with zero driver evidence): the two NEW r12 ops take
-    # first-evidence seats in THIS window rather than waiting a round —
-    # maintenance_zorder_layout (Z-order clustering) displacing
-    # text_stats_per_lang (4 greens, last r5, two seated ext-text-stats
-    # siblings in this same window), and compress_insert_ignore_manifest
-    # (incremental manifest merges — the O(delta) write-volume upgrade
-    # of the seated tx query) displacing text_language_id (4 greens,
-    # last r5, sibling text_quality_score stays seated). Both displaced
-    # rows head the r13 backfill queue.
-    #
-    # SEAT COMPACTION (VERDICT r10 #7): the six planted twins whose
-    # natural-corpus counterparts are now FULL cross-engine oracles
-    # (dedup_minhash_lsh_planted x7, sim_cosine_lsh_planted x7,
-    # dedup_simhash_planted x3, sim_topk_ivf_planted x3,
-    # dedup_clusters_planted x3, dedup_clusters_star_planted x5) plus
-    # text_decontaminate_ngram (x4; its bloom twin carries the SAME
-    # oracle) are declared NEVER-RESEAT: they stay registered (still
-    # pytest-parity-checked every session, still driver-recorded
-    # history) but no longer claim rotation seats — their semantics
-    # are subsumed by seated full-oracle rows. Rotating surface drops
-    # from 157 to 150, putting a full sweep back under 3 rounds.
-    #
-    # -- first driver rows: the r11-late registration (VERDICT r11 #1)
-    #    and the new r12 Z-order layout op (see LATE-r12 SWAP above) --
+    # -- second greens for the three r12 first-row ops (VERDICT r12 #1) --
     "maintenance_compact_small_files",
     "maintenance_zorder_layout",
     "compress_insert_ignore_manifest",
-    # -- second greens for the r11 first-row queries (VERDICT r11 #2) --
-    "compress_insert_ignore_tx",
-    "stream_session_window_append",
-    # -- backfill: the 10 rows last green in ROUND 3 --
-    "catalog_skip_unknown",
-    "catalog_sync_delta",
-    "compress_add_column",
-    "compress_concat_expr",
-    "compress_schema_clone",
-    "sample_stratified_deterministic",
-    "sim_embedding_norms",
-    "text_chunk_documents",
-    "text_redact_patterns",
-    "text_token_count",
-    # -- backfill: the 18 rows last green in ROUND 4 --
-    "array_funcs_embeddings",
-    "catalog_include_keys",
-    "catalog_temporal_prune",
-    "compress_component_union",
-    "compress_distinct_status",
-    "compress_insert_ignore",
-    "dedup_ngram_jaccard",
-    "join_range_price_bands",
-    "mm_binary_meta",
-    "repair_header_norm",
-    "repair_quote_malformed",
-    "sim_cosine_pairs_threshold",
-    "sim_topk_cosine_exact",
-    "text_fingerprint",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "window_order_rank",
-    # -- backfill: the 19 oracle-bearing rows last green in ROUND 5 --
-    "catalog_version_latest",
-    "corpus_prep_pipeline",
-    "cube_orders",
-    "dedup_exact_documents",
-    "events_session_window",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "grouping_sets_orders",
-    "ingest_zip_decode_repair",
-    "join_asof_purchase",
-    "map_funcs_events",
-    "mm_decode_meta",
-    "rollup_lineitem",
-    "sim_kmeans_assign_oracle",
-    "stream_stateful_user_stats",
-    "stream_tumbling_available_now",
-    "text_quality_score",
-    # (text_stats_per_lang and text_language_id yielded their seats to
-    # the two new r12 ops — see the LATE-r12 SWAPS note; both head the
-    # r13 backfill queue)
+    # -- backfill: the 2 rows last green in ROUND 5 (VERDICT r12 #2) --
+    "text_language_id",
+    "text_stats_per_lang",
+    # -- backfill: the 6 rows last green in ROUND 7 --
+    "corpus_source_profile",
+    "dedup_containment_ngram",
+    "mm_decode_features",
+    "sample_token_budget",
+    "sim_quantize_int8",
+    "text_tfidf_topk",
+    # -- backfill: the 4 rows last green in ROUND 8 --
+    "corpus_split_assign",
+    "stream_join_attribution",
+    "text_shingle_novelty",
+    "text_vocabulary",
+    # -- backfill: the 9 rows last green in ROUND 9 --
+    "dedup_cluster_keep_best",
+    "dedup_paragraphs",
+    "events_funnel_conversion",
+    "pipeline_end_to_end",
+    "stream_dedup_redelivery",
+    "text_repetition_filter",
+    "text_sequence_packing",
+    "text_unigram_logprob",
+    "tpch_q10_returned_items",
+    # -- backfill: 26 of the 31 rows last green in ROUND 10 --
+    "corpus_clean_mix_pipeline",
+    "dedup_apply_retention",
+    "dedup_cross_source_overlap",
+    "dedup_incremental_minhash",
+    "dedup_incremental_snapshot",
+    "dedup_substring_spans",
+    "events_retention_cohort",
+    "join_salted_skew",
+    "mm_decode_audio_real",
+    "mm_decode_gif_real",
+    "mm_decode_jpeg_real",
+    "mm_decode_png_variants",
+    "mm_decode_real",
+    "mm_gif_frame_stats",
+    "mm_resize_real",
+    "quality_constraint_checks",
+    "sample_source_temperature",
+    "sim_hybrid_search",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivfpq_adc",
+    "sim_topk_pq_adc",
+    "stream_enrich_dimension",
+    "text_decontaminate_bloom",
+    "text_line_cleaning",
+    "text_pii_scrub",
+    "tpch_q17_small_quantity",
+    # (tpch_q18_large_volume, tpch_q20_potential_promotion,
+    # tpch_q21_waiting_supplier, tpch_q2_min_cost_supplier,
+    # tpch_q8_market_share head the r14 backfill queue)
 )
 
 

@@ -414,3 +414,88 @@ def test_copy_from_executors_broken_pipe_surfaces_server_error(spark, pg):
         copy_from_executors(df, "strict_tgt", psql_args, create=False)
     msg = str(ei.value)
     assert "null value" in msg or "not-null" in msg or "COPY" in msg, msg
+
+
+def test_stg_base_short_name_passes_through_and_long_name_hashes():
+    """ADVICE r12 low: Postgres silently truncates identifiers at 63
+    bytes — a long target name would fold the `_ok` rename into its
+    own source or collide attempt names. Short names keep readable
+    staging names; long ones switch to a deterministic short hash
+    whose worst-case staging name still fits NAMEDATALEN."""
+    from k8e_fetch_spark.plans.postgres import (
+        _NAMEDATALEN,
+        _STG_SUFFIX_WORST,
+        _stg_base,
+    )
+
+    assert _stg_base("exonce") == "exonce"
+    long = "component_inventory_snapshot_history_archive_extended"
+    base = _stg_base(long)
+    assert base != long and base.startswith("stg")
+    assert _stg_base(long) == base  # deterministic
+    assert _stg_base(long + "2") != base
+    # worst-case full staging name fits for BOTH paths
+    for b in (base, _stg_base("exonce")):
+        assert len(b.encode()) + _STG_SUFFIX_WORST <= _NAMEDATALEN
+
+
+def test_stg_like_literal_escapes_wildcards_and_quotes():
+    """ADVICE r12 low: `_` in a table name (and in `__stg`) is a LIKE
+    single-char wildcard and a quote breaks the literal; the staging
+    lookup must escape all of them."""
+    from k8e_fetch_spark.plans.postgres import _stg_like_literal
+
+    lit = _stg_like_literal("ab_c", "deadbeef0012")
+    # every literal underscore escaped; the trailing % is the only wildcard
+    assert lit == "'ab\\_c\\_\\_stgdeadbeef0012\\_%'"
+    lit2 = _stg_like_literal("o'brien", "deadbeef0012")
+    assert "''" in lit2 and lit2.count("'") == 4  # doubled quote inside, 2 delimiters
+
+
+def test_staged_tables_do_not_overmatch_underscore_wildcards(pg):
+    """A sibling table whose name differs only where the target has an
+    underscore (`abXc` vs `ab_c`) must never be listed — or dropped —
+    as one of `ab_c`'s staging tables."""
+    from k8e_fetch_spark.plans.postgres import _drop_staged, _psql, _staged_tables
+
+    psql_args = pg["psql_args"]
+    lid = "deadbeef0099"
+    _psql(psql_args, f'CREATE TABLE "ab_c__stg{lid}_p0_a1_ok" (k int)')
+    _psql(psql_args, f'CREATE TABLE "abXc__stg{lid}_p0_a1_ok" (k int)')  # decoy
+    assert _staged_tables("ab_c", psql_args, lid) == [f"ab_c__stg{lid}_p0_a1_ok"]
+    _drop_staged("ab_c", psql_args, lid)
+    assert (
+        _psql_value(
+            psql_args,
+            f"SELECT count(*) FROM pg_tables WHERE tablename = 'abXc__stg{lid}_p0_a1_ok'",
+        )
+        == "1"
+    )
+    _psql(psql_args, f'DROP TABLE "abXc__stg{lid}_p0_a1_ok"')
+
+
+def test_exactly_once_copy_with_63_byte_busting_table_name(spark, pg):
+    """End-to-end exactly-once COPY into a target whose name would
+    push every staging name past NAMEDATALEN: the hash-base path must
+    deliver identical content and zero residue."""
+    from k8e_fetch_spark.plans.postgres import _stg_base, copy_from_executors
+
+    psql_args = pg["psql_args"]
+    table = "component_inventory_snapshot_history_archive_extended"
+    assert len(table) + 20 > 63 - 25  # sanity: long enough to need the hash path
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), F.concat(F.lit("v_"), F.col("id")).alias("v")
+    ).repartition(3)
+    copy_from_executors(df, table, psql_args, exactly_once=True)
+    assert _psql_value(psql_args, f'SELECT count(*) FROM "{table}"') == "300"
+    assert _psql_value(psql_args, f'SELECT sum(k) FROM "{table}"') == str(
+        sum(range(300))
+    )
+    base = _stg_base(table)
+    assert (
+        _psql_value(
+            psql_args,
+            f"SELECT count(*) FROM pg_tables WHERE tablename LIKE '{base}%'",
+        )
+        == "0"
+    )

@@ -236,3 +236,36 @@ def test_snapshot_and_manifest_forms_agree(spark, tmp_path):
     assert a == b
     # the null-safe contract held on both paths: the NULL row merged ONCE
     assert sum(1 for r in b if r[0] is None) == 1
+
+
+def test_vacuum_manifest_dangling_pointer_keeps_latest_not_nothing(spark, tmp_path):
+    """ADVICE r12 low: a pointer naming a manifest that is MISSING on
+    disk must degrade like the no-pointer case — keep the lexically
+    latest `keep` manifests and their dirs (readable garbage) — not
+    delete every delta/base dir (total data loss)."""
+    from k8e_fetch_spark.plans.snapshots import (
+        _manifest_pointer,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        vacuum_manifest,
+    )
+
+    t = str(tmp_path / "mt")
+    merge_insert_ignore_incremental(
+        spark, t, spark.createDataFrame([(1, "x")], "k int, v string")
+    )
+    m2 = merge_insert_ignore_incremental(
+        spark, t, spark.createDataFrame([(2, "y")], "k int, v string")
+    )
+    # corrupt the pointer: names a manifest that does not exist
+    _manifest_pointer(t).write_text("manifest-000999.json")
+    removed = vacuum_manifest(t, keep=2)
+    # both manifests and both deltas survive under keep=2
+    assert removed == []
+    # keep=1 keeps exactly the lexically-latest manifest + its dirs
+    removed = vacuum_manifest(t, keep=1)
+    assert m2 not in removed and "delta-000002" not in removed
+    # repair the pointer to the surviving manifest: table reads fully
+    _manifest_pointer(t).write_text(m2)
+    rows = sorted(tuple(r) for r in read_manifest_table(spark, t).collect())
+    assert rows == [(1, "x"), (2, "y")]
