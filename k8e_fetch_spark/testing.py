@@ -78,3 +78,29 @@ def run_parity(spark, duck, query_fn, oracle: str, sf_dir: str) -> list[str]:
     spark_pdf = query_fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(oracle).df()
     return compare_frames(spark_pdf, duck_pdf)
+
+
+def scan_output_rows(df) -> int:
+    """Rows the parquet SCAN nodes actually produced for this frame's
+    last execution — i.e. rows surviving parquet row-group pruning and
+    pushed-filter evaluation, BEFORE any Spark-side Filter. The honest
+    engine-path data-skipping measure: a layout that lets footer
+    min/max drop row groups shows up here as a smaller number for the
+    same predicate, through the normal ``spark.read.parquet`` path.
+
+    Executes the frame (collect — count() would build and execute a
+    DIFFERENT QueryExecution, leaving this one's metrics at zero) and
+    then walks the EXECUTED plan's leaf metrics, unwrapping AQE's
+    final plan when present."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        metrics = node.metrics()
+        if metrics.contains("numOutputRows"):
+            total += metrics.apply("numOutputRows").value()
+    return int(total)

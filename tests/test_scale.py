@@ -625,3 +625,134 @@ def test_zorder_sql_twins_full_domain_no_overflow():
     con.executemany("INSERT INTO t3 VALUES (?,?,?)", rows3)
     got3 = [r[0] for r in con.execute(f"SELECT {_zorder3_sql('a','b','c')} FROM t3").fetchall()]
     assert got3 == [ref(v, 21) for v in rows3]
+
+
+def test_zorder_range_set_covers_rectangles_exactly():
+    """Brute-force pin on a 16x16 domain: the covering intervals must
+    contain EVERY z-value of the rectangle (never under-cover), be
+    sorted/disjoint/merged, and with budget to spare be EXACT (no
+    over-cover). The budgeted path must still fully cover."""
+    from k8e_fetch_spark.operators.scale import zorder_range_set
+
+    def z2(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rects = [(0, 15, 0, 15), (4, 7, 4, 7), (3, 12, 5, 6), (0, 0, 0, 0), (1, 14, 9, 13)]
+    for xlo, xhi, ylo, yhi in rects:
+        want = {z2(x, y) for x in range(xlo, xhi + 1) for y in range(ylo, yhi + 1)}
+        got = zorder_range_set([(xlo, xhi), (ylo, yhi)], bits=4, max_ranges=256)
+        covered = set()
+        prev_hi = -2
+        for lo, hi in got:
+            assert lo > prev_hi + 1 or prev_hi == -2, got  # merged + disjoint
+            prev_hi = hi
+            covered.update(range(lo, hi + 1))
+        assert want <= covered, (xlo, xhi, ylo, yhi)
+        assert covered == want, "unbudgeted cover must be exact"
+        # tight budget: still a full cover, never more than max_ranges
+        tight = zorder_range_set([(xlo, xhi), (ylo, yhi)], bits=4, max_ranges=3)
+        assert len(tight) <= 3
+        tcov = set()
+        for lo, hi in tight:
+            tcov.update(range(lo, hi + 1))
+        assert want <= tcov
+    assert zorder_range_set([(8, 3), (0, 15)], bits=4) == []  # empty rect
+
+
+def test_read_zordered_prunes_row_groups_through_engine_path(spark, tmp_path):
+    """VERDICT r12 #5: the layout exploited from the ENGINE side. A
+    keep_key table read through read_zordered (normal
+    spark.read.parquet + sargable filters) must (a) return exactly the
+    rows the plain predicate returns, and (b) show parquet row-group
+    pruning in the SCAN node's own output-rows metric — on BOTH
+    dimensions — while the same predicate over a leading-column linear
+    sort reads the whole table for the trailing dimension."""
+    from k8e_fetch_spark.operators.scale import (
+        read_zordered,
+        write_range_sorted,
+        write_zordered,
+    )
+    from k8e_fetch_spark.testing import scan_output_rows
+
+    n = 256 * 256
+    grid = spark.range(n).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(grid, zpath, ["x", "y"], n_files=16, keep_key=True)
+    write_range_sorted(grid, lpath, ["x"], n_files=16)
+
+    # correctness: engine-path result == plain predicate result
+    want = sorted(
+        tuple(r)
+        for r in grid.filter(
+            (F.col("y") >= 64) & (F.col("y") <= 95)
+        ).collect()
+    )
+    got_df = read_zordered(spark, zpath, {"y": (64, 95)})
+    assert sorted(tuple(r) for r in got_df.select("x", "y").collect()) == want
+
+    # pruning, trailing dimension: the linear-by-x layout cannot skip a
+    # single row group for a pure y-band; the z-layout must skip most
+    lin_rows = scan_output_rows(
+        spark.read.parquet(lpath).filter((F.col("y") >= 64) & (F.col("y") <= 95))
+    )
+    z_rows = scan_output_rows(read_zordered(spark, zpath, {"y": (64, 95)}))
+    assert lin_rows == n, lin_rows
+    assert z_rows <= n // 2, z_rows
+    # pruning, leading dimension: z-layout skips there too
+    zx_rows = scan_output_rows(read_zordered(spark, zpath, {"x": (64, 95)}))
+    assert zx_rows <= n // 2, zx_rows
+    # and the 2-dim rectangle prunes at least as hard as either band
+    zr_rows = scan_output_rows(
+        read_zordered(spark, zpath, {"x": (64, 95), "y": (64, 95)})
+    )
+    assert zr_rows <= min(z_rows, zx_rows)
+    # the range set reaches the scan as pushed filters on the sort key
+    plan = read_zordered(spark, zpath, {"y": (64, 95)})._jdf.queryExecution().toString()
+    assert "_zkey" in plan and "PushedFilters" in plan
+
+
+def test_epoch_bucket_zorder_on_event_time(spark, tmp_path):
+    """VERDICT r12 #6: the headline (entity, event-time) use is one
+    call — epoch_bucket the timestamp, z-order on (user_id, bucket),
+    prune a time band through the engine path. Content identity and a
+    measured row-group skip on the events fixture."""
+    from k8e_fetch_spark.operators.scale import (
+        epoch_bucket,
+        read_zordered,
+        write_zordered,
+    )
+    from k8e_fetch_spark.testing import scan_output_rows
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    ev2 = ev.withColumn("ts_min", epoch_bucket("ts", seconds=60))
+    path = str(tmp_path / "events_z")
+    write_zordered(ev2, path, ["user_id", "ts_min"], n_files=16, keep_key=True)
+
+    total = ev.count()
+    # a one-day band in the middle of the fixture's time range — bounds
+    # computed from the bucket column itself (no Python-side timezone
+    # arithmetic: naive datetime .timestamp() reads the HOST tz)
+    mn_b, mx_b = ev2.agg(F.min("ts_min"), F.max("ts_min")).collect()[0]
+    blo = mn_b + (mx_b - mn_b) // 2
+    bhi = min(mx_b, blo + 24 * 60)  # one day of minute buckets
+
+    got = read_zordered(spark, path, {"ts_min": (blo, bhi)})
+    want = sorted(
+        r["event_id"] for r in ev2.filter(F.col("ts_min").between(blo, bhi)).collect()
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == want
+    assert 0 < len(want) < total  # the band is a real subset
+    scanned = scan_output_rows(read_zordered(spark, path, {"ts_min": (blo, bhi)}))
+    assert scanned < total, (scanned, total)
+    # user_id dimension prunes too
+    ulo, uhi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    uband = (ulo, ulo + max(1, (uhi - ulo) // 8))
+    scanned_u = scan_output_rows(read_zordered(spark, path, {"user_id": uband}))
+    assert scanned_u < total, (scanned_u, total)
