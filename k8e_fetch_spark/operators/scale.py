@@ -334,12 +334,29 @@ def write_zordered(
         out = out.drop("_zkey")
     out.write.mode("overwrite").parquet(path)
     if keep_key:
+        # per-FILE _zkey min/max index — the Delta/Iceberg data-skipping
+        # stats pattern, computed as ONE Spark aggregate over the just-
+        # written table (distributed, O(files) result — never a driver
+        # footer crawl, so it holds at 100 TB file counts). Row-group
+        # pruning alone still SCHEDULES a task per file; this index lets
+        # read_zordered drop whole files from the scan's file list
+        # before Spark plans a single task.
+        stats_df = (
+            df.sparkSession.read.parquet(path)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(F.min("_zkey").alias("_zmin"), F.max("_zkey").alias("_zmax"))
+        )
+        files = {
+            r["_file"].rsplit("/", 1)[-1]: [r["_zmin"], r["_zmax"]]
+            for r in stats_df.collect()
+        }
         meta = {
             "cols": cs,
             "bits": bits,
             "normalize": normalize,
             "mins": mins,
             "maxs": maxs,
+            "files": files,
         }
         (Path(path) / "_zorder_meta.json").write_text(json.dumps(meta))
 
@@ -471,9 +488,33 @@ def read_zordered(
         else:
             norm_bounds.append((int(lo), int(hi)))
     ranges = zorder_range_set(norm_bounds, bits=bits, max_ranges=max_ranges)
-    df = spark.read.parquet(path)
     if not ranges:
-        return df.filter(F.lit(False)).drop("_zkey")
+        return spark.read.parquet(path).filter(F.lit(False)).drop("_zkey")
+    # FILE-level skipping from the sidecar's per-file _zkey index: only
+    # files whose [zmin, zmax] run intersects a covering range enter the
+    # scan's file list at all — fewer tasks scheduled, not just fewer
+    # row groups read (the numFiles scan metric drops; pinned in
+    # tests/test_scale.py). Interval intersection against <=max_ranges
+    # sorted ranges per file, driver-side O(files·log(ranges)).
+    file_stats = meta.get("files") or {}
+    if file_stats:
+        import bisect
+
+        lows = [lo for lo, _ in ranges]
+        keep = []
+        for fname, (zmn, zmx) in file_stats.items():
+            j = bisect.bisect_right(lows, zmx) - 1
+            # rightmost range starting at or below zmx; the file's run
+            # intersects SOME range iff it intersects this one (ranges
+            # are sorted and disjoint, so any earlier hit implies
+            # ranges[j][1] >= zmn too)
+            if j >= 0 and ranges[j][1] >= zmn:
+                keep.append(f"{path}/{fname}")
+        if not keep:
+            return spark.read.parquet(path).filter(F.lit(False)).drop("_zkey")
+        df = spark.read.parquet(*sorted(keep))
+    else:
+        df = spark.read.parquet(path)
     zcond = reduce(
         lambda a, b: a | b,
         [F.col("_zkey").between(F.lit(lo), F.lit(hi)) for lo, hi in ranges],

@@ -92,6 +92,14 @@ def scan_output_rows(df) -> int:
     DIFFERENT QueryExecution, leaving this one's metrics at zero) and
     then walks the EXECUTED plan's leaf metrics, unwrapping AQE's
     final plan when present."""
+    return scan_metric(df, "numOutputRows")
+
+
+def scan_metric(df, name: str) -> int:
+    """Sum of the named SQL metric over the executed plan's SCAN
+    (leaf) nodes — e.g. ``numOutputRows`` (rows surviving row-group
+    pruning) or ``numFiles`` (files the scan actually scheduled, the
+    file-level skipping measure). Executes the frame first."""
     df.collect()
     plan = df._jdf.queryExecution().executedPlan()
     if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
@@ -101,6 +109,6 @@ def scan_output_rows(df) -> int:
     for i in range(leaves.size()):
         node = leaves.apply(i)
         metrics = node.metrics()
-        if metrics.contains("numOutputRows"):
-            total += metrics.apply("numOutputRows").value()
+        if metrics.contains(name):
+            total += metrics.apply(name).value()
     return int(total)
