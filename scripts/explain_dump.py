@@ -152,6 +152,35 @@ def main() -> None:
             " write volume O(delta), not O(table).*\n"
         )
         print(f"```\n{formatted(merged)}\n```")
+
+        from pyspark.sql import functions as F
+
+        from k8e_fetch_spark.operators.scale import read_zordered, write_zordered
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        zdir = f"{work}/li_z"
+        write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=8, keep_key=True)
+        mn, mx = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+        band = (mn + (mx - mn) * 45 // 100, mn + (mx - mn) * 55 // 100)
+        pruned = read_zordered(spark, zdir, {"l_partkey": band})
+        print(
+            "\n## read_zordered (engine-side Z-order exploitation, r13)"
+            "\n\n*Predicate-driven scan of a `write_zordered(keep_key=True)`"
+            " table (operators/scale.py:read_zordered): the sidecar's"
+            " per-file `_zkey` min/max index drops whole FILES from the scan"
+            " below (`Location: InMemoryFileIndex` lists only the surviving"
+            " subset — fewer tasks scheduled, the numFiles metric pinned in"
+            " tests/test_scale.py), and BOTH filter halves — the exact"
+            " per-dimension bound and the covering `_zkey` BETWEEN OR-set"
+            " from `zorder_range_set` — reach the scan as `PushedFilters`,"
+            " so parquet row-group pruning works off the SORT key's tight"
+            " min/max runs. Measured at sf0.1/64 files: trailing-dim band"
+            " scans 34% of rows; 2-D rectangles beat plain per-dim pushdown"
+            " by a further ~40% (SCALE.md).*\n"
+        )
+        print(f"```\n{formatted(pruned)}\n```")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
