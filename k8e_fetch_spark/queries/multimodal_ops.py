@@ -802,3 +802,116 @@ def mm_decode_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("sampled_frames").alias("sampled_frames"),
         "mean_frame_bytes",
     )
+
+
+@register(
+    "mm_jvm_image_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INTEGER) AS width,
+               CAST(6 + doc_id % 12 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS n_channels,
+               CAST(list_sum(list_transform(
+                        range(0, (8 + doc_id % 16) * (6 + doc_id % 12) * 3),
+                        i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS byte_sum
+        FROM documents
+    """,
+    tags=("ext-multimodal", "jvm-native-decode", "image-source"),
+)
+def mm_jvm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-NATIVE decode path, end-to-end under the hash gate: a
+    file-resident PNG corpus scanned with ``spark.read.format("image")``
+    (javax.imageio inside the executor JVM — no Python worker anywhere
+    in the decode; see ``sources/images.py``). This is the scale answer
+    to the engine's one documented perf limit: in-column media pays the
+    Python/numpy per-byte cost, file-resident media decodes at native
+    speed and parallelizes like any file scan.
+
+    Fixture: one PNG per documents row (dims and pixels closed-form in
+    doc_id: w = 8 + id%16, h = 6 + id%12, pixel byte i =
+    (id*31 + i*7) % 256), written distributed (foreachPartition,
+    executor-side encode) once per source fingerprint — the same
+    per-uid reuse contract as catalog_flatten_tree / the bucketed-join
+    demo. PNG is lossless and the JVM source emits OpenCV-style BGR,
+    so the TOTAL byte sum — channel-order invariant — survives the
+    encode -> ImageIO decode round trip bit-exactly, and DuckDB
+    recomputes it from the closed form without decoding anything: the
+    hash check covers dims, channel count, and every pixel byte.
+
+    Scale: zero shuffles — one distributed listing, decode + dimension
+    projection + codegen byte-sum all scan-local. At 100 TB the listing
+    is the bucket manifest and decode throughput scales with executor
+    count; nothing here is driver-resident.
+    """
+    import json
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.io import source_fingerprint
+    from k8e_fetch_spark.sources.images import binary_byte_sum, read_images
+
+    wh = Path(
+        os.environ.get(
+            "K8E_JVM_IMAGES_DIR",
+            os.path.join(tempfile.gettempdir(), f"k8e_jvm_images_{os.getuid()}"),
+        )
+    )
+    wh.mkdir(parents=True, exist_ok=True)
+    fp = {"sf": str(sf_dir), "doc": source_fingerprint(sf_dir, "documents"), "v": 1}
+    # per-SF subtree: the test/driver/bench trio runs three different SFs
+    # in one session lifetime — one shared tree would thrash-rewrite on
+    # every switch (and concurrent same-uid sessions at different SFs
+    # would race each other's rebuilds)
+    import hashlib
+
+    sub = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
+    marker = wh / f"source_fingerprint_{sub}.json"
+    tree = wh / f"tree_{sub}"
+    reuse = False
+    try:
+        reuse = json.loads(marker.read_text()) == fp and tree.exists()
+    except Exception:
+        reuse = False
+    if not reuse:
+        import shutil
+
+        marker.unlink(missing_ok=True)
+        shutil.rmtree(tree, ignore_errors=True)
+        tree.mkdir(parents=True)
+        tree_str = str(tree)
+
+        def write_part(rows) -> None:
+            import numpy as np
+
+            from k8e_fetch_spark.operators.png import encode_png
+
+            for r in rows:
+                i = int(r.doc_id)
+                w, h = 8 + i % 16, 6 + i % 12
+                idx = np.arange(w * h * 3, dtype=np.int64)
+                px = ((i * 31 + idx * 7) % 256).astype(np.uint8).tobytes()
+                tmp = os.path.join(tree_str, f".doc_{i}.png.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(encode_png(w, h, px))
+                os.replace(tmp, os.path.join(tree_str, f"doc_{i}.png"))
+
+        load(spark, sf_dir, "documents").select("doc_id").foreachPartition(write_part)
+        marker.write_text(json.dumps(fp))
+
+    img = read_images(spark, str(tree), glob="*.png")
+    return img.select(
+        F.regexp_extract(F.col("image.origin"), r"doc_(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.data").alias("data"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        binary_byte_sum("data", F.length("data")).alias("byte_sum"),
+    )

@@ -139,6 +139,7 @@ def test_write_side_effect_queries_stay_closed():
         # rebuilt only on source change)
         "join_bucketed_colocated",
         "catalog_flatten_tree",
+        "mm_jvm_image_decode",  # r13: PNG fixture tree for the JVM image source
         # availableNow stream drains (per-uid sink + checkpoint dirs)
         "stream_dedup_redelivery",
         "stream_enrich_dimension",
@@ -156,7 +157,7 @@ def test_write_side_effect_queries_stay_closed():
     mods = [importlib.import_module(f"k8e_fetch_spark.queries.{m}") for m in MODS]
     markers = (
         "mkdtemp", ".write.", "saveAsTable", "writeStream", "_drain",
-        "copy_from", "copy_into",
+        "copy_from", "copy_into", "foreachPartition",
     )
     found = set()
     for name, q in REGISTRY.items():
