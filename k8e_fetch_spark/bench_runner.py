@@ -77,6 +77,12 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "sample_dsir_importance",
     "join_bucketed_colocated",
+    # round-13 flagship. BM25 is apples-to-apples with its oracle (both
+    # engines tokenize + aggregate the same postings); mm_jvm_image_decode
+    # deliberately is NOT seated here — its oracle computes the fixture's
+    # closed form instead of decoding 5000 PNGs, so a ratio would price
+    # real decode work against arithmetic.
+    "text_bm25_search",
 ]
 
 

@@ -9,7 +9,9 @@ identical semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny deterministic marker lexicon for language ID. Not a real model —
@@ -747,4 +749,81 @@ def bigram_lm_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.avg("lp").alias("avg_logprob"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 query scoring (Robertson & Zaragoza 2009, the Lucene
+    default ranking family): per-document relevance of a fixed query
+    term set, with term-frequency saturation (k1) and document-length
+    normalization (b). The lexical half of a retrieval stack — the
+    complement of the embedding ANN tiers in queries/similarity.py, and
+    the production shape of `sim_hybrid_search`'s keyword stage.
+
+    Not in the reference (its pipeline has no search surface —
+    /root/reference/bin/fetcher.bash is fetch/compress only); this is
+    ext-text-stats extension surface.
+
+    Plan shape (the inverted-index discipline, relationally): tokenize
+    is scan-local; the posting filter (`token IN terms`) runs BEFORE
+    the first exchange, so only rows for the query's own posting lists
+    ever shuffle — corpus volume never crosses the wire. Three
+    map-side-combined aggregates total: (doc, term) tf counts, the
+    |terms|-row df table (broadcast back), and the per-doc score sum.
+    Corpus stats (N, avgdl) ride one 1-row broadcast aggregate. At
+    100 TB nothing here is driver-resident and no stage holds more
+    than the query's matching postings.
+
+    idf uses the BM25+-style lower-bounded form ln(1 + (N-df+0.5)/(df+0.5))
+    (always positive, unlike the classic log-odds which can go negative
+    for df > N/2 — this corpus's common words would). Scores are summed
+    raw and rounded by the CALLER (round-then-rank convention,
+    functions/rounding.py).
+    """
+    toks = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    ).select(id_col, "toks", F.size("toks").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posting = toks.select(id_col, "dl", F.explode("toks").alias("token")).filter(
+        F.col("token").isin(list(terms))
+    )
+    tf = posting.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    return (
+        tf.join(F.broadcast(df_t), on="token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
     )

@@ -16,6 +16,7 @@ from k8e_fetch_spark.io import fan_out, load
 from k8e_fetch_spark.operators.text import (
     BPE_TOKEN_PATTERN,
     LANG_MARKERS,
+    bm25_scores,
     fingerprint,
     langid_scores,
     n_bpe_tokens,
@@ -2169,4 +2170,67 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "kept",
         F.when(F.col("avg_logprob") >= -2.0, 1).otherwise(0).cast("bigint"),
+    )
+
+
+_BM25_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (SELECT doc_id, dl, unnest(ts) AS token FROM dl),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM posting
+        WHERE token IN ('scan', 'merge', 'vector')
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+        SELECT doc_id,
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN dft USING (token) CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT doc_id,
+               floor(sum(w) * 10000.0 + 0.5) / 10000.0 AS score,
+               count(*) AS n_terms
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, score, n_terms
+    FROM agg ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE, tags=("ext-text-stats", "bm25", "retrieval"))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval for a fixed 3-term query over the
+    documents corpus (operator: ``operators/text.py:bm25_scores`` —
+    Robertson & Zaragoza 2009; k1=1.2, b=0.75, the Lucene defaults).
+    The lexical complement of the ANN stack: term-frequency saturation
+    plus document-length normalization, which plain TF-IDF
+    (`text_tfidf_topk`) lacks.
+
+    Plan: tokenize + the posting filter are scan-local (only the query
+    terms' posting rows ever shuffle); df and corpus stats are broadcast
+    aggregates; the cutoff is TakeOrderedAndProject on (rounded score,
+    doc_id) so the top-20 set is engine-stable (round-then-rank, the
+    text_tfidf_topk convention). The oracle recomputes the identical
+    IEEE expression sequence in DuckDB."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    scored = bm25_scores(docs, ("scan", "merge", "vector"), k1=1.2, b=0.75)
+    return (
+        scored.select(
+            "doc_id",
+            round_fixed(F.col("bm25"), 4).alias("score"),
+            "n_terms",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
     )

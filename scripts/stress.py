@@ -88,6 +88,15 @@ PROBES = [
     # one range exchange in zorder).
     "maintenance_compact_small_files",
     "maintenance_zorder_layout",
+    # r13: BM25 lexical retrieval — the posting filter keeps the first
+    # exchange at |matching postings| rows; the curve should track the
+    # corpus scan (tokenize is scan-local), not the shuffle
+    "text_bm25_search",
+    # r13: JVM-native image decode — the warm-plan pass builds the PNG
+    # fixture tree (one per corpus fingerprint), so the timed pass
+    # measures the decode+checksum scan itself; zero shuffles, the
+    # curve should be ~linear in file count
+    "mm_jvm_image_decode",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -799,3 +799,55 @@ def test_bigram_lm_vector_scorer_bit_identical_to_loop(spark):
     )
     assert vec == loop
     assert len(vec) > 100  # non-vacuous: the fixture scores real docs
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    """Two-sided-wrong guard for text_bm25_search: the operator and its
+    DuckDB oracle share the formula, so a mistranscription would pass
+    the hash gate — pin the semantics against an independent pure-Python
+    computation on a corpus small enough to verify by eye."""
+    import math
+
+    from k8e_fetch_spark.operators.text import bm25_scores
+
+    texts = {
+        1: "scan scan merge alpha beta",        # tf(scan)=2, tf(merge)=1, dl=5
+        2: "vector gamma",                      # tf(vector)=1, dl=2
+        3: "alpha beta gamma delta",            # no query terms, dl=4
+        4: "scan merge vector scan merge",      # all three terms, dl=5
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    terms, k1, b = ("scan", "merge", "vector"), 1.2, 0.75
+    got = {
+        r.doc_id: (r.bm25, r.n_terms)
+        for r in bm25_scores(docs, terms, k1=k1, b=b).collect()
+    }
+
+    n_docs = len(texts)
+    toks = {i: t.split() for i, t in texts.items()}
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = {t: sum(t in v for v in toks.values()) for t in terms}
+
+    def score(i):
+        out, n = 0.0, 0
+        for t in terms:
+            tf = toks[i].count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            out += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks[i]) / avgdl)
+            )
+            n += 1
+        return out, n
+
+    # doc 3 matches nothing -> absent from the score frame entirely
+    assert set(got) == {1, 2, 4}
+    for i in got:
+        exp_s, exp_n = score(i)
+        assert got[i][1] == exp_n
+        assert got[i][0] == pytest.approx(exp_s, abs=1e-12)
+    # saturation sanity: doc 4 (all three terms) outranks both partial hits
+    assert got[4][0] > got[1][0] and got[4][0] > got[2][0]
