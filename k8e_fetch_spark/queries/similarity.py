@@ -2093,3 +2093,126 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(F.col("centroid_sim"), 6).alias("centroid_sim"),
         "kept",
     )
+
+
+_RRF_K = 60  # the standard RRF constant (Cormack et al. 2009)
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (SELECT doc_id, dl, unnest(ts) AS token FROM dl),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM posting
+        WHERE token IN ('scan', 'merge', 'vector')
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+    bm AS (
+        SELECT doc_id,
+               floor(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000.0
+                     + 0.5) / 10000.0 AS score
+        FROM tf JOIN dft USING (token) CROSS JOIN stats
+        GROUP BY doc_id, n_docs, avgdl
+    ),
+    lex AS (
+        SELECT doc_id, CAST(rnk AS INTEGER) AS r_lex FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM bm
+        ) WHERE rnk <= 20
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT c.vec_id AS doc_id,
+               {sql_round(sql_cosine('c.embedding', 'q.q'), 6)} AS score
+        FROM embeddings c CROSS JOIN qv q
+        WHERE c.vec_id != 0
+    ),
+    vec AS (
+        SELECT doc_id, CAST(rnk AS INTEGER) AS r_vec FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM cos
+        ) WHERE rnk <= 20
+    ),
+    fused AS (
+        SELECT doc_id,
+               floor((COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+                      + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0)) * 1000000.0
+                     + 0.5) / 1000000.0 AS rrf,
+               r_lex, r_vec
+        FROM lex FULL OUTER JOIN vec USING (doc_id)
+    )
+    SELECT doc_id, rrf, r_lex, r_vec
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE, tags=("ext-topk-sim", "hybrid-retrieval", "rrf"))
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60 — the standard
+    hybrid-retrieval combiner, e.g. Elasticsearch/OpenSearch hybrid
+    mode) of the engine's two retrieval legs: BM25 lexical top-20
+    (`operators/text.py:bm25_scores`, same 3-term query as
+    text_bm25_search) and exact cosine top-20 against query vector
+    vec_id=0. Completes the retrieval stack: lexical
+    (text_bm25_search), dense (sim_topk_* tiers), filtered-dense
+    (sim_hybrid_search), and now rank fusion.
+
+    RRF inputs are INTEGER ranks — both legs rank on round-then-rank
+    scores, so the rank lists (and therefore the fused scores, sums of
+    two exact rationals) are engine-stable without float hazards.
+
+    Scale shape: each leg ends in TakeOrderedAndProject (per-partition
+    heaps, no global sort exchange); the rank window then runs over
+    exactly 20 rows per leg, never corpus-sized data; fusion is a
+    20x20 full outer join on ids. Corpus-sized stages are the two legs'
+    scans, both already scale-audited (BM25 posting filter, broadcast
+    query vector)."""
+    from k8e_fetch_spark.operators.text import bm25_scores
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    bm = bm25_scores(docs, ("scan", "merge", "vector"), k1=1.2, b=0.75).select(
+        "doc_id", round_fixed(F.col("bm25"), 4).alias("score")
+    )
+    lex_top = bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("r_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias("score"),
+        )
+    )
+    vec_top = cos.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    vec = vec_top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("r_vec")
+    )
+
+    fused = lex.join(vec, on="doc_id", how="full_outer").select(
+        "doc_id",
+        round_fixed(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "r_lex",
+        "r_vec",
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -58,6 +58,7 @@ SHOWCASE = [
     ("maintenance_zorder_layout", "Z-order clustering (r12): the per-bucket profile plan shows the Morton interleave as pure codegen bit arithmetic (shiftleft/and/or chains inside the scan-side Project — no Python anywhere) over the table read back through the z-ordered rewrite; one aggregate exchange on the bucket key. The write side is one range exchange (same as write_range_sorted); the footer-level skipping evidence is in SCALE.md/tests"),
     ("mm_jvm_image_decode", "JVM-native media decode (r13): the scan node IS the decoder — `Scan image` runs javax.imageio inside the executor JVM, so dims, channel count and the SWAR byte-sum (one conv per 7-byte chunk + shift/mask folds, visible as pure codegen in the Project) come off decoded pixels with ZERO Python workers and ZERO Exchange anywhere in the plan"),
     ("text_bm25_search", "BM25 lexical retrieval (r13): the inverted-index discipline relationally — tokenize + the posting filter (token IN query terms) run INSIDE the scan stage, so only the query's own posting rows reach the first Exchange; df and (N, avgdl) ride broadcast aggregates; the cutoff is TakeOrderedAndProject on the rounded score (no global sort)"),
+    ("sim_hybrid_rrf", "RRF hybrid retrieval (r13): each leg (BM25 lexical, exact cosine with the broadcast query vector) ends in TakeOrderedAndProject — per-partition heaps, no global sort exchange; the rank windows then run over EXACTLY 20 rows per leg, and the fusion join is 20x20 — nothing corpus-sized past the two scans"),
 ]
 
 

@@ -127,3 +127,31 @@ def test_mm_jvm_image_decode_fixture_reuse(spark):
     n = fn(spark, sf).count()
     assert n == 500
     assert marker.stat().st_mtime_ns == before
+
+
+def test_binary_byte_sum_property_random_bytes(spark):
+    """Property: the SWAR codegen byte-sum equals Python's sum(bytes)
+    for arbitrary payloads — lengths straddling the 7-byte chunk
+    boundary (0, 1, 6, 7, 8, 13, 14, 15) are covered explicitly plus
+    random lengths; a seeded batch rather than @given so the whole
+    property costs ONE Spark job instead of one per example."""
+    import random
+
+    rng = random.Random(13)
+    fixed = [0, 1, 6, 7, 8, 13, 14, 15]
+    payloads = [bytes(rng.randrange(256) for _ in range(n)) for n in fixed]
+    payloads += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], "i long, data binary"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", binary_byte_sum("data", F.length("data")).alias("s")
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == sum(p), (i, len(p))

@@ -812,3 +812,28 @@ def test_semdedup_drops_planted_and_keeps_low_centroid_sim(spark):
     for cid, rows in clusters.items():
         first = min(rows, key=lambda r: (r["centroid_sim"], r["vec_id"]))
         assert first["kept"] == 1, f"cluster {cid} rank-1 member dropped"
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF semantics independent of the declared query's corpus: a doc
+    ranked mid-list in BOTH legs must outrank docs that top only one
+    leg (the property RRF exists for), and the fused scores are the
+    exact rationals 1/(60+r) — integer-rank inputs, no float hazard."""
+    sf = "/root/testdata/sf0.001"
+    from k8e_fetch_spark.queries.registry import REGISTRY, queries
+
+    queries()
+    rows = {r.doc_id: r for r in REGISTRY["sim_hybrid_rrf"].fn(spark, sf).collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        exp = (1.0 / (60 + r.r_lex) if r.r_lex is not None else 0.0) + (
+            1.0 / (60 + r.r_vec) if r.r_vec is not None else 0.0
+        )
+        assert abs(r.rrf - round(exp, 6)) < 1e-12
+    both = [r for r in rows.values() if r.r_lex is not None and r.r_vec is not None]
+    single = [r for r in rows.values() if (r.r_lex is None) != (r.r_vec is None)]
+    if both and single:
+        # with top-20 legs the worst both-leg score is 2/(60+20) = 0.025
+        # and the best single-leg score is 1/(60+1) ~= 0.0164, so every
+        # doc present in both lists strictly outranks every one-leg doc
+        assert min(r.rrf for r in both) > max(r.rrf for r in single)
