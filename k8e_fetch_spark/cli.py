@@ -42,10 +42,11 @@ def _build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--group", default="current_cycle", help="fetch group (cfg.yaml:1-8)")
     pl.add_argument(
         "--table-format",
-        choices=("parquet", "snapshot", "manifest"),
+        choices=("parquet", "snapshot", "manifest", "occ"),
         default="parquet",
         help="component table layout: plain parquet swap (default), "
-        "pointer-flip snapshots, or O(delta) incremental manifests",
+        "pointer-flip snapshots, O(delta) incremental manifests, or "
+        "occ (manifests with concurrent-writer CAS commits)",
     )
     pl.add_argument(
         "--compact-target-mb",

@@ -63,6 +63,10 @@ class Pipeline:
     - ``"manifest"``: incremental manifest tables
       (merge_insert_ignore_incremental) — O(delta) write per merge,
       the 100 TB accretion shape.
+    - ``"occ"`` (r13): manifest tables with the CONCURRENT-WRITER
+      commit protocol (merge_insert_ignore_occ — version-claim CAS,
+      lost races recompute-and-retry). Same O(delta) writes; pick it
+      when more than one pipeline run can target the warehouse.
 
     ``compact_target_mb`` (optional) runs post-compress small-files
     maintenance on every component: parquet dirs are rewritten to
@@ -82,9 +86,9 @@ class Pipeline:
         table_format: str = "parquet",
         compact_target_mb: int | None = None,
     ):
-        if table_format not in ("parquet", "snapshot", "manifest"):
+        if table_format not in ("parquet", "snapshot", "manifest", "occ"):
             raise ValueError(
-                f"table_format must be parquet|snapshot|manifest, got {table_format!r}"
+                f"table_format must be parquet|snapshot|manifest|occ, got {table_format!r}"
             )
         self.spark = spark
         self.spec = spec
@@ -195,7 +199,12 @@ class Pipeline:
                 snap.merge_insert_ignore(self.spark, tdir, batch)
                 components[name] = snap.read_table(self.spark, tdir)
             else:
-                snap.merge_insert_ignore_incremental(self.spark, tdir, batch)
+                merge = (
+                    snap.merge_insert_ignore_occ
+                    if self.table_format == "occ"
+                    else snap.merge_insert_ignore_incremental
+                )
+                merge(self.spark, tdir, batch)
                 components[name] = snap.read_manifest_table(self.spark, tdir)
         self._maybe_compact(components)
         return components
@@ -214,7 +223,7 @@ class Pipeline:
         target_bytes = self.compact_target_mb << 20
         for name in list(components):
             path = self._component_path(name)
-            if self.table_format == "manifest":
+            if self.table_format in ("manifest", "occ"):
                 live = sum(
                     f.stat().st_size
                     for d in snap._manifest_dirs(Path(path), snap.current_manifest(path))

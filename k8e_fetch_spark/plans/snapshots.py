@@ -161,7 +161,15 @@ def _manifest_pointer(table_dir: str | Path) -> Path:
 
 
 def current_manifest(table_dir: str | Path) -> str | None:
-    """Name of the live manifest file, or None for an empty table."""
+    """Name of the live manifest file, or None for an empty table.
+
+    Pointer tables (single-writer) resolve the ``_CURRENT_MANIFEST``
+    pointer; OCC tables (``_OCC`` marker — see the r13 section below)
+    resolve the highest committed manifest, because under link-CAS the
+    version chain itself is the commit log and a pointer would be a
+    second, raceable source of truth."""
+    if _is_occ_table(Path(table_dir)):
+        return _max_valid_manifest(Path(table_dir))
     try:
         name = _manifest_pointer(table_dir).read_text().strip()
     except FileNotFoundError:
@@ -213,6 +221,12 @@ def merge_insert_ignore_incremental(
 
     table_dir = Path(table_dir)
     table_dir.mkdir(parents=True, exist_ok=True)
+    if _is_occ_table(table_dir):
+        raise ValueError(
+            f"{table_dir} is an OCC table (_OCC marker): use "
+            "merge_insert_ignore_occ — the pointer-flip commit would race "
+            "CAS writers and is ignored by OCC resolution"
+        )
     cur_name = current_manifest(table_dir)
     if cur_name is None:
         delta = new.distinct()
@@ -264,12 +278,31 @@ def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> 
     if cur_name is None:
         raise ValueError(f"empty manifest table: {table_dir}")
     next_id = int(cur_name.split("-")[1].split(".")[0]) + 1
-    base_name = f"base-{next_id:06d}"
+    occ = _is_occ_table(table_dir)
+    # OCC tables: writer-unique base name + CAS commit (a concurrent
+    # merge claiming the same version surfaces as ManifestConflictError
+    # — re-run the maintenance action against the new current)
+    base_name = (
+        f"base-{next_id:06d}-{os.getpid()}{os.urandom(3).hex()}"
+        if occ
+        else f"base-{next_id:06d}"
+    )
     df = read_manifest_table(spark, table_dir)
     df.coalesce(n_files).write.mode("overwrite").parquet(str(table_dir / base_name))
     import json
 
     manifest_name = f"manifest-{next_id:06d}.json"
+    if occ:
+        try:
+            _commit_manifest_cas(
+                table_dir, manifest_name, json.dumps({"dirs": [base_name]})
+            )
+        except ManifestConflictError:
+            import shutil
+
+            shutil.rmtree(table_dir / base_name, ignore_errors=True)
+            raise
+        return manifest_name
     (table_dir / manifest_name).write_text(json.dumps({"dirs": [base_name]}))
     ptr = _manifest_pointer(table_dir)
     tmp = ptr.with_name(f".{_MANIFEST_POINTER}.{os.getpid()}.tmp")
@@ -325,3 +358,163 @@ def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
             p.unlink()
             removed.append(p.name)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# OCC manifest tables (r13): optimistic concurrency for MULTIPLE writers.
+# The pointer protocol above is single-writer by design (the reference's
+# serialized runs). Under concurrent writers it has two failure modes:
+# two merges that read the same base compute the same next_id, so (a)
+# the second delta write CLOBBERS the first's data directory, and (b)
+# last-pointer-wins silently drops a committed merge. The fix is the
+# protocol Delta Lake uses on S3 and Iceberg uses against its catalog:
+# the VERSION NUMBER is the compare-and-swap token. A commit claims
+# `manifest-{N+1}` atomically (here: `os.link` from a fully-written
+# temp file — link fails with FileExistsError if the version is taken;
+# on an object store the same move is a conditional PUT / If-None-Match,
+# in a catalog it is the row CAS). The loser recomputes its delta
+# against the NEW current table and retries — its abandoned delta dir
+# is unreachable garbage for vacuum_manifest, never corruption. Delta
+# dirs carry a per-writer suffix so concurrent writers can never write
+# the same data path. OCC tables are marked with an `_OCC` file; their
+# current state is the HIGHEST parseable manifest (manifests are
+# complete-by-construction under link-CAS), so no pointer file exists
+# to race or regress.
+# ---------------------------------------------------------------------------
+
+_OCC_MARKER = "_OCC"
+
+
+class ManifestConflictError(RuntimeError):
+    """Another writer claimed the manifest version this commit targeted."""
+
+
+def _is_occ_table(table_dir: Path) -> bool:
+    return (Path(table_dir) / _OCC_MARKER).exists()
+
+
+def _max_valid_manifest(table_dir: Path) -> str | None:
+    """Highest-numbered manifest that parses (the OCC notion of
+    'current'). Under link-CAS every manifest is complete, so the
+    parse guard only matters for hand-damaged tables."""
+    import json
+
+    for p in sorted(
+        (
+            q
+            for q in Path(table_dir).iterdir()
+            if q.is_file() and q.name.startswith("manifest-")
+        ),
+        key=lambda q: q.name,
+        reverse=True,
+    ):
+        try:
+            json.loads(p.read_text())["dirs"]
+            return p.name
+        except Exception:
+            continue
+    return None
+
+
+def _commit_manifest_cas(table_dir: Path, manifest_name: str, payload: str) -> None:
+    """Atomically claim ``manifest_name``: fully write a temp file,
+    then hard-link it to the final name — the link either creates the
+    name (commit wins) or fails because another writer claimed the
+    version first (ManifestConflictError). Readers can never observe a
+    torn manifest: the final name only ever appears fully written."""
+    table_dir = Path(table_dir)
+    tmp = table_dir / f".{manifest_name}.{os.getpid()}.{os.urandom(4).hex()}.tmp"
+    tmp.write_text(payload)
+    try:
+        os.link(tmp, table_dir / manifest_name)
+    except FileExistsError as e:
+        raise ManifestConflictError(
+            f"{manifest_name} already claimed in {table_dir}"
+        ) from e
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def merge_insert_ignore_occ(
+    spark: SparkSession,
+    table_dir: str | Path,
+    new: DataFrame,
+    *,
+    max_retries: int = 3,
+) -> str:
+    """op-insert-ignore MERGE safe under CONCURRENT writers: the
+    incremental manifest merge with a compare-and-swap commit. Each
+    attempt reads the current table, computes ``new ∖ current`` (the
+    same null-safe anti-join plan), writes the delta under a
+    writer-unique directory name, and tries to claim the next manifest
+    version; a lost race recomputes against the winner's table and
+    retries (the recompute is required for correctness — the winner may
+    have inserted some of this batch's rows). Raises
+    :class:`ManifestConflictError` after ``max_retries`` lost races.
+
+    Idempotency is unchanged from the single-writer form: a contained
+    batch produces an empty delta, publishes nothing and returns the
+    current name. Scale contract is unchanged too — O(delta) writes,
+    one keyed shuffle per attempt; the concurrency cost is only the
+    recompute on actual conflicts, which is exactly the Delta/Iceberg
+    trade."""
+    import json
+    import shutil
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    table_dir = Path(table_dir)
+    table_dir.mkdir(parents=True, exist_ok=True)
+    marker = table_dir / _OCC_MARKER
+    if not marker.exists():
+        if _manifest_pointer(table_dir).exists():
+            # adopting OCC on a pointer table would switch resolution to
+            # max-valid-manifest, which can resurrect a crash-orphan
+            # COMPLETE manifest the pointer protocol considers garbage.
+            # Migration must be explicit: checkpoint the pointer table,
+            # copy the base into a fresh OCC dir, or vacuum first.
+            raise ValueError(
+                f"{table_dir} is a pointer table (_CURRENT_MANIFEST): "
+                "migrate explicitly before using merge_insert_ignore_occ"
+            )
+        marker.write_text("")
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        cur_name = current_manifest(table_dir)
+        if cur_name is None:
+            delta = new.distinct()
+            live: list[str] = []
+            next_id = 1
+        else:
+            cur_df = read_manifest_table(spark, table_dir)
+            cols = cur_df.columns
+            n = new.select(*cols).distinct().alias("n")
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"n.{c}").eqNullSafe(F.col(f"e.{c}")) for c in cols],
+            )
+            delta = n.join(cur_df.alias("e"), on=cond, how="left_anti")
+            live = _manifest_dirs(table_dir, cur_name)
+            next_id = int(cur_name.split("-")[1].split(".")[0]) + 1
+        delta_name = f"delta-{next_id:06d}-{os.getpid()}{os.urandom(3).hex()}"
+        delta.write.mode("overwrite").parquet(str(table_dir / delta_name))
+        if cur_name is not None and spark.read.parquet(
+            str(table_dir / delta_name)
+        ).limit(1).count() == 0:
+            shutil.rmtree(table_dir / delta_name, ignore_errors=True)
+            return cur_name
+        manifest_name = f"manifest-{next_id:06d}.json"
+        try:
+            _commit_manifest_cas(
+                table_dir, manifest_name, json.dumps({"dirs": [*live, delta_name]})
+            )
+            return manifest_name
+        except ManifestConflictError as e:
+            # lost the race: our delta may be stale against the winner's
+            # table — drop it (unreachable garbage anyway) and recompute
+            shutil.rmtree(table_dir / delta_name, ignore_errors=True)
+            last_err = e
+    raise ManifestConflictError(
+        f"gave up after {max_retries} lost commit races in {table_dir}"
+    ) from last_err

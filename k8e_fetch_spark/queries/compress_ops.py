@@ -374,3 +374,91 @@ def compress_insert_ignore_manifest(spark: SparkSession, sf_dir: str) -> DataFra
     assert "delta-000099" in removed and "manifest-000099.json" in removed
     assert m2 in removed
     return snap.read_manifest_table(spark, table_dir)
+
+
+@register(
+    "compress_insert_ignore_occ",
+    # Same oracle CLASS as the tx/manifest forms: the plain relational
+    # answer to three overlapping batch merges (%7 selectors so this
+    # row's content is distinct from its siblings'). The declared side
+    # computes it through the OCC commit protocol — version-claim CAS,
+    # a rejected stale commit, checkpoint, vacuum — so hash equality
+    # proves the concurrent-writer path is content-preserving.
+    oracle="""
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 7 IN (0, 1)
+        UNION
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 7 IN (1, 2)
+        UNION
+        SELECT DISTINCT o_custkey AS cust_key, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 7 IN (2, 3)
+    """,
+    tags=("op-insert-ignore", "op-table-sink", "transactional", "occ"),
+)
+def compress_insert_ignore_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-insert-ignore under CONCURRENT writers (r13): the manifest
+    table's one remaining single-writer assumption removed. Two racing
+    merges on the pointer protocol can compute the same next version —
+    the second delta write clobbers the first's data directory and
+    last-pointer-wins drops a committed merge. The OCC form
+    (plans/snapshots.py:merge_insert_ignore_occ) makes the VERSION
+    NUMBER the compare-and-swap token: a commit claims
+    ``manifest-{N+1}`` atomically (os.link from a fully-written temp —
+    the conditional-PUT / catalog-CAS move Delta-on-S3 and Iceberg
+    use), delta dirs carry writer-unique names, and a lost race
+    recomputes against the winner's table and retries. Losers leave
+    unreachable garbage for vacuum, never corruption.
+
+    Declared lifecycle against an ephemeral dir:
+
+    1. three OVERLAPPING batches merge via the OCC path (proper-subset
+       deltas, so every anti-join does real work);
+    2. idempotency probe: a contained batch publishes NOTHING;
+    3. a STALE COMMIT for an already-claimed version is attempted
+       directly and must be REJECTED (ManifestConflictError) — the CAS
+       doing its job end to end, asserted in the declared query;
+    4. no pointer file exists (the version chain is the commit log);
+    5. ``checkpoint`` + ``vacuum_manifest`` run through the OCC
+       dispatch; the declared output reads the final state.
+
+    The oracle is the plain three-way DISTINCT UNION: a dropped merge,
+    a clobbered delta, or a content-mangling checkpoint hash-fails."""
+    import atexit
+    import json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    orders = load(spark, sf_dir, "orders")
+
+    def batch(mods):
+        return (
+            orders.filter((F.col("o_orderkey") % 7).isin(*mods))
+            .select(
+                F.col("o_custkey").alias("cust_key"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .distinct()
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="k8e_occ_table_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    snap.merge_insert_ignore_occ(spark, table_dir, batch([0, 1]))
+    snap.merge_insert_ignore_occ(spark, table_dir, batch([1, 2]))
+    m3 = snap.merge_insert_ignore_occ(spark, table_dir, batch([2, 3]))
+    # idempotency: a contained batch publishes nothing
+    assert snap.merge_insert_ignore_occ(spark, table_dir, batch([1, 2])) == m3
+    # a stale commit for the claimed version must lose the CAS
+    try:
+        snap._commit_manifest_cas(Path(table_dir), m3, json.dumps({"dirs": []}))
+        raise AssertionError("stale commit must conflict")
+    except snap.ManifestConflictError:
+        pass
+    # OCC tables have no pointer — the version chain is authoritative
+    assert not (Path(table_dir) / "_CURRENT_MANIFEST").exists()
+    snap.checkpoint(spark, table_dir, n_files=1)
+    snap.vacuum_manifest(table_dir)
+    return snap.read_manifest_table(spark, table_dir)

@@ -148,6 +148,7 @@ _PRIORITY = (
     "mm_jvm_image_decode",
     "text_bm25_search",
     "sim_hybrid_rrf",
+    "compress_insert_ignore_occ",
     # -- second greens for the three r12 first-row ops (VERDICT r12 #1) --
     "maintenance_compact_small_files",
     "maintenance_zorder_layout",
@@ -199,11 +200,11 @@ _PRIORITY = (
     "sim_topk_ivf_trained",
     "sim_topk_ivfpq_adc",
     "sim_topk_pq_adc",
-    "stream_enrich_dimension",
     "text_decontaminate_bloom",
-    # (text_line_cleaning + text_pii_scrub + tpch_q17_small_quantity —
-    # displaced by the r13-new mm_jvm_image_decode / text_bm25_search /
-    # sim_hybrid_rrf seats — plus tpch_q18_large_volume,
+    # (stream_enrich_dimension + text_line_cleaning + text_pii_scrub +
+    # tpch_q17_small_quantity — displaced by the r13-new
+    # mm_jvm_image_decode / text_bm25_search / sim_hybrid_rrf /
+    # compress_insert_ignore_occ seats — plus tpch_q18_large_volume,
     # tpch_q20_potential_promotion, tpch_q21_waiting_supplier,
     # tpch_q2_min_cost_supplier, tpch_q8_market_share head the r14
     # backfill queue)

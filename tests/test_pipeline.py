@@ -247,3 +247,33 @@ def test_pipeline_parquet_compaction_swaps_in_place(spark, tmp_path):
         ]
         assert len(files) == 1, (name, files)
     assert components["c_name"].count() == 5
+
+
+def test_pipeline_front_door_occ_format(spark, tmp_path):
+    """table_format='occ' (r13): same content as the plain-parquet
+    flow, OCC layout on disk (the _OCC marker, NO pointer file —
+    CAS-committed version chain), idempotent rerun (contained batch
+    publishes nothing)."""
+    from k8e_fetch_spark.plans.snapshots import current_manifest, read_manifest_table
+
+    ref = Pipeline(spark, DEFAULT_SPEC, str(tmp_path / "ref"))
+    ref_components = ref.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+
+    wh = tmp_path / "wh_occ"
+    pipe = Pipeline(spark, DEFAULT_SPEC, str(wh), table_format="occ")
+    components = pipe.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+    assert set(components) == set(ref_components)
+    for name in components:
+        cols = sorted(ref_components[name].columns)
+        assert _rows(components[name], cols) == _rows(ref_components[name], cols), name
+        tdir = wh / name
+        assert (tdir / "_OCC").exists()
+        assert not (tdir / "_CURRENT_MANIFEST").exists()
+        assert current_manifest(tdir) == "manifest-000001.json"
+    # rerun: content unchanged AND the version chain did not grow
+    again = pipe.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+    for name in again:
+        cols = sorted(ref_components[name].columns)
+        assert _rows(again[name], cols) == _rows(ref_components[name], cols)
+        assert current_manifest(wh / name) == "manifest-000001.json"
+    assert read_manifest_table(spark, wh / "c_name").count() == 5

@@ -133,6 +133,7 @@ def test_write_side_effect_queries_stay_closed():
         # ephemeral mkdtemp table dirs (atexit-cleaned, per-process)
         "compress_insert_ignore_tx",
         "compress_insert_ignore_manifest",
+        "compress_insert_ignore_occ",  # r13: OCC manifest lifecycle
         "maintenance_compact_small_files",
         "maintenance_zorder_layout",
         # warehouse bucket tables / fixture trees (fingerprint-isolated,

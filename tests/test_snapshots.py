@@ -269,3 +269,157 @@ def test_vacuum_manifest_dangling_pointer_keeps_latest_not_nothing(spark, tmp_pa
     _manifest_pointer(t).write_text(m2)
     rows = sorted(tuple(r) for r in read_manifest_table(spark, t).collect())
     assert rows == [(1, "x"), (2, "y")]
+
+
+# --- OCC manifest tables (r13): concurrent-writer commit protocol ---
+
+
+def _occ_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_occ_merge_lifecycle_and_idempotency(spark, tmp_path):
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    t = str(tmp_path / "occ")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b2 = spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string")
+    m1 = snap.merge_insert_ignore_occ(spark, t, b1)
+    m2 = snap.merge_insert_ignore_occ(spark, t, b2)
+    assert (m1, m2) == ("manifest-000001.json", "manifest-000002.json")
+    # no pointer file on OCC tables — the version chain is the log
+    assert not (Path(t) / "_CURRENT_MANIFEST").exists()
+    assert (Path(t) / "_OCC").exists()
+    assert _occ_rows(snap.read_manifest_table(spark, t)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # contained batch publishes nothing, returns current
+    assert snap.merge_insert_ignore_occ(spark, t, b1) == m2
+
+
+def test_occ_lost_race_recomputes_and_preserves_both_writers(
+    spark, tmp_path, monkeypatch
+):
+    """The failure the protocol exists for: writer B reads base v1,
+    a competitor claims v2 first, B's CAS fails -> B recomputes against
+    the competitor's table and commits v3. Both writers' rows survive;
+    B's first-attempt delta is cleaned up; the chain is v1..v3."""
+    import json
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    t = tmp_path / "occ"
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b_comp = spark.createDataFrame([(3, "c")], "k int, v string")
+    b_loser = spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string")
+    snap.merge_insert_ignore_occ(spark, str(t), b1)
+
+    real_cas = snap._commit_manifest_cas
+    state = {"raced": False}
+
+    def racy_cas(table_dir, manifest_name, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competitor lands its commit for the SAME version first
+            b_comp.write.parquet(str(t / "delta-000002-competitor"))
+            live = snap._manifest_dirs(t, "manifest-000001.json")
+            real_cas(
+                t,
+                "manifest-000002.json",
+                json.dumps({"dirs": [*live, "delta-000002-competitor"]}),
+            )
+        return real_cas(table_dir, manifest_name, payload)
+
+    monkeypatch.setattr(snap, "_commit_manifest_cas", racy_cas)
+    m = snap.merge_insert_ignore_occ(spark, str(t), b_loser)
+    assert m == "manifest-000003.json"
+    # both writers' rows present exactly once; loser re-derived its
+    # delta against the winner (3 already inserted -> only 4 is new)
+    assert _occ_rows(snap.read_manifest_table(spark, t)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+    final_dirs = snap._manifest_dirs(t, m)
+    delta3 = [d for d in final_dirs if d.startswith("delta-000003")]
+    assert len(delta3) == 1
+    assert _occ_rows(spark.read.parquet(str(t / delta3[0]))) == [(4, "d")]
+    # the loser's abandoned v2 delta attempt was cleaned on conflict:
+    # only the competitor's delta-000002 dir remains on disk
+    v2_dirs = [p.name for p in t.iterdir() if p.name.startswith("delta-000002")]
+    assert v2_dirs == ["delta-000002-competitor"]
+
+
+def test_occ_exhausted_retries_raise_and_leave_no_garbage(
+    spark, tmp_path, monkeypatch
+):
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    t = tmp_path / "occ"
+
+    def always_conflict(*a, **k):
+        raise snap.ManifestConflictError("forced")
+
+    monkeypatch.setattr(snap, "_commit_manifest_cas", always_conflict)
+    b = spark.createDataFrame([(1, "a")], "k int, v string")
+    try:
+        snap.merge_insert_ignore_occ(spark, str(t), b, max_retries=2)
+        raise AssertionError("expected ManifestConflictError")
+    except snap.ManifestConflictError:
+        pass
+    # every attempt's delta dir was cleaned; no manifest committed
+    assert [p.name for p in t.iterdir() if p.is_dir()] == []
+    assert snap.current_manifest(str(t)) is None
+
+
+def test_occ_checkpoint_vacuum_and_pointer_table_isolation(spark, tmp_path):
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    # OCC table: 3 merges -> checkpoint -> vacuum; content preserved
+    t = str(tmp_path / "occ")
+    for lo in (0, 2, 4):
+        snap.merge_insert_ignore_occ(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 3)], "k int, v string"
+            ),
+        )
+    expect = [(i, f"v{i}") for i in range(7)]
+    assert _occ_rows(snap.read_manifest_table(spark, t)) == expect
+    m4 = snap.checkpoint(spark, t, n_files=1)
+    assert m4 == "manifest-000004.json"
+    removed = snap.vacuum_manifest(t)
+    assert any(r.startswith("delta-") for r in removed)
+    assert _occ_rows(snap.read_manifest_table(spark, t)) == expect
+    dirs = snap._manifest_dirs(Path(t), m4)
+    assert len(dirs) == 1 and dirs[0].startswith("base-000004")
+
+    # pointer table in a sibling dir: untouched semantics (pointer file,
+    # no _OCC marker, crash-orphan higher manifest stays invisible)
+    p = str(tmp_path / "ptr")
+    snap.merge_insert_ignore_incremental(
+        spark, p, spark.createDataFrame([(1, "x")], "k int, v string")
+    )
+    assert (Path(p) / "_CURRENT_MANIFEST").exists()
+    assert not (Path(p) / "_OCC").exists()
+    Path(p, "manifest-000099.json").write_text('{"dirs": []}')
+    assert snap.current_manifest(p) == "manifest-000001.json"
+
+
+def test_occ_and_pointer_protocols_refuse_to_mix(spark, tmp_path):
+    """Protocol misuse is an ERROR, not silent corruption: the legacy
+    pointer merge on an OCC table would bypass the CAS, and OCC
+    adoption on a pointer table would resurrect crash-orphan complete
+    manifests the pointer protocol considers garbage."""
+    import pytest as _pytest
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    b = spark.createDataFrame([(1, "a")], "k int, v string")
+    occ = str(tmp_path / "occ")
+    snap.merge_insert_ignore_occ(spark, occ, b)
+    with _pytest.raises(ValueError, match="OCC table"):
+        snap.merge_insert_ignore_incremental(spark, occ, b)
+    ptr = str(tmp_path / "ptr")
+    snap.merge_insert_ignore_incremental(spark, ptr, b)
+    with _pytest.raises(ValueError, match="pointer table"):
+        snap.merge_insert_ignore_occ(spark, ptr, b)
