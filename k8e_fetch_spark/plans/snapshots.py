@@ -183,13 +183,49 @@ def _manifest_dirs(table_dir: Path, manifest_name: str) -> list[str]:
     return json.loads((table_dir / manifest_name).read_text())["dirs"]
 
 
-def read_manifest_table(spark: SparkSession, table_dir: str | Path) -> DataFrame | None:
+def manifest_versions(table_dir: str | Path) -> list[int]:
+    """Version numbers of every manifest still on disk, ascending —
+    the time-travel window (``vacuum_manifest``'s ``keep`` bounds it).
+    Torn manifests (pointer tables only — impossible under OCC's
+    link-CAS) are excluded: a version is listed only if it parses."""
+    import json
+
+    out = []
+    for p in sorted(Path(table_dir).iterdir()):
+        if p.is_file() and p.name.startswith("manifest-"):
+            try:
+                json.loads(p.read_text())["dirs"]
+            except Exception:
+                continue
+            out.append(int(p.name.split("-")[1].split(".")[0]))
+    return out
+
+
+def read_manifest_table(
+    spark: SparkSession, table_dir: str | Path, version: int | None = None
+) -> DataFrame | None:
     """DataFrame over the union of the live manifest's data dirs (None
     when empty). Readers list NOTHING — the manifest names every live
     directory, so object-store LIST cost is zero on the read path (the
-    property Iceberg/Delta buy with the same structure)."""
+    property Iceberg/Delta buy with the same structure).
+
+    ``version`` time-travels to a historical manifest still inside the
+    vacuum keep-window (``manifest_versions`` lists what is readable;
+    vacuumed versions raise FileNotFoundError). On a pointer table the
+    live version is whatever the pointer names; asking for a version
+    ABOVE it reads a crash-orphan — allowed deliberately for repair
+    tooling, so pass versions from ``manifest_versions``/
+    ``current_manifest`` in normal use."""
     table_dir = Path(table_dir)
-    name = current_manifest(table_dir)
+    if version is not None:
+        name: str | None = f"manifest-{version:06d}.json"
+        if not (table_dir / name).exists():
+            raise FileNotFoundError(
+                f"{name} not on disk in {table_dir} (vacuumed or never "
+                f"committed); readable versions: {manifest_versions(table_dir)}"
+            )
+    else:
+        name = current_manifest(table_dir)
     if name is None:
         return None
     dirs = _manifest_dirs(table_dir, name)

@@ -423,3 +423,37 @@ def test_occ_and_pointer_protocols_refuse_to_mix(spark, tmp_path):
     snap.merge_insert_ignore_incremental(spark, ptr, b)
     with _pytest.raises(ValueError, match="pointer table"):
         snap.merge_insert_ignore_occ(spark, ptr, b)
+
+
+def test_manifest_time_travel_reads_inside_keep_window(spark, tmp_path):
+    """read_manifest_table(version=N): historical versions inside the
+    vacuum keep-window read back exactly as they were; vacuumed
+    versions raise with the readable list. Works on both protocols."""
+    import pytest as _pytest
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    t = str(tmp_path / "occ")
+    for lo in (0, 2, 4):
+        snap.merge_insert_ignore_occ(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 3)], "k int, v string"
+            ),
+        )
+    assert snap.manifest_versions(t) == [1, 2, 3]
+    assert _occ_rows(snap.read_manifest_table(spark, t, version=1)) == [
+        (0, "v0"), (1, "v1"), (2, "v2"),
+    ]
+    assert _occ_rows(snap.read_manifest_table(spark, t, version=2)) == [
+        (i, f"v{i}") for i in range(5)
+    ]
+    snap.vacuum_manifest(t, keep=2)  # keeps v2, v3
+    assert snap.manifest_versions(t) == [2, 3]
+    with _pytest.raises(FileNotFoundError, match=r"readable versions: \[2, 3\]"):
+        snap.read_manifest_table(spark, t, version=1)
+    # v2's dirs survive the keep window: still reads exactly as before
+    assert _occ_rows(snap.read_manifest_table(spark, t, version=2)) == [
+        (i, f"v{i}") for i in range(5)
+    ]
