@@ -457,3 +457,56 @@ def test_manifest_time_travel_reads_inside_keep_window(spark, tmp_path):
     assert _occ_rows(snap.read_manifest_table(spark, t, version=2)) == [
         (i, f"v{i}") for i in range(5)
     ]
+
+
+def test_occ_real_two_process_race(tmp_path):
+    """The OCC claim proven with REAL concurrency: two separate driver
+    processes (own JVMs) merge overlapping batches into the same table
+    simultaneously. Whatever the interleaving, the outcome must be:
+    both batches' rows present exactly once, a gap-free committed
+    version chain, and at most max_retries lost races. The monkeypatch
+    test above pins the recompute logic; this pins the actual
+    os.link contention end to end."""
+    import subprocess
+    import sys
+    import textwrap
+
+    t = str(tmp_path / "occ_race")
+    prog = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from k8e_fetch_spark.session import get_spark
+        from k8e_fetch_spark.plans import snapshots as snap
+        table, lo = sys.argv[1], int(sys.argv[2])
+        spark = get_spark(app_name=f"occ-race-{lo}", cpus=2, shuffle_partitions=2)
+        rows = [(i, f"v{i}") for i in range(lo, lo + 6)]
+        snap.merge_insert_ignore_occ(
+            spark, table, spark.createDataFrame(rows, "k int, v string"),
+            max_retries=10,
+        )
+        spark.stop()
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", prog, t, str(lo)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for lo in (0, 3)  # overlapping ranges 0-5 and 3-8
+    ]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    versions = snap.manifest_versions(t)
+    # both writers committed: either serially (v1, v2) or after a lost
+    # race (still v1, v2 — the version chain is gap-free by CAS)
+    assert versions == [1, 2]
+    # verify content with a fresh local session
+    from k8e_fetch_spark.session import get_spark
+
+    spark = get_spark(app_name="occ-race-verify", cpus=2, shuffle_partitions=2)
+    got = sorted(map(tuple, snap.read_manifest_table(spark, t).collect()))
+    assert got == [(i, f"v{i}") for i in range(9)]
