@@ -140,9 +140,19 @@ _PRIORITY = (
     # text_decontaminate_ngram are NEVER_RESEAT (see below) — still
     # registered and pytest-parity-checked, but their semantics are
     # subsumed by seated natural-corpus full-oracle rows. Rotating
-    # surface: 151 oracle-bearing rows (the rows-only pair
-    # agg_approx_sketches / text_compression_ratio cannot hold
-    # comparable seats by construction).
+    # surface after the r13 additions: 155 oracle-bearing rows (the
+    # rows-only pair agg_approx_sketches / text_compression_ratio
+    # cannot hold comparable seats by construction).
+    #
+    # LATE-R13 AMENDMENT: the session added FOUR new oracle-bearing ops
+    # (mm_jvm_image_decode, text_bm25_search, sim_hybrid_rrf,
+    # compress_insert_ignore_occ — registry now 164 declared / 162
+    # oracle-bearing). Changed/new-code policy seats all four for first
+    # greens; to keep the window at 50 comparable seats, the LAST four
+    # alphabetical r10-backfill rows yielded (tpch_q17_small_quantity,
+    # text_pii_scrub, text_line_cleaning, stream_enrich_dimension — so
+    # 22 of the 31 r10 rows keep r13 seats) and join the r14 queue
+    # ahead of tpch_q18/q20/q21/q2/q8.
     #
     # -- first driver rows for the r13-new ops (changed/new-code policy) --
     "mm_jvm_image_decode",
