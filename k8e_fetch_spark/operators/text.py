@@ -827,3 +827,78 @@ def bm25_scores(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         )
     )
+
+
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: dict[int, Sequence[str]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 for a BATCH of queries in ONE corpus pass — the production
+    shape of :func:`bm25_scores`: a retrieval workload is many queries,
+    and scanning 100 TB once per query is the cost this form removes.
+    The query set becomes a literal (q_id, token) table broadcast
+    against the exploded token stream, so a single scan serves every
+    query; per-(q_id, doc) scores come back in one aggregate.
+
+    df(term) is query-independent (computed once over the distinct
+    matched terms, not per query), so a term shared by many queries
+    costs one posting list. Returns (q_id, doc_id, bm25, n_terms) for
+    every document matching >= 1 of that query's terms; ranking/cutoff
+    belongs to the caller (round-then-rank).
+
+    Scale: identical discipline to the single-query form — tokenize +
+    the posting join run inside the scan stage (the broadcast hash join
+    against the tiny query-term table IS the posting filter), only
+    matching (doc, q, term) rows shuffle, and the aggregates map-side
+    combine. The corpus-stats pass (N, avgdl) is shared by all queries.
+    """
+    q_rows = [(int(q), t) for q, terms in queries.items() for t in terms]
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(q_rows, f"q_id int, token string")
+    toks = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    ).select(id_col, "toks", F.size("toks").alias("dl"))
+    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    posting = toks.select(id_col, "dl", F.explode("toks").alias("token"))
+    # per-(doc, term) tf over the DISTINCT matched terms: a term shared
+    # by several queries is counted once here and fanned out after
+    terms_only = qterms.select("token").distinct()
+    tf = (
+        posting.join(F.broadcast(terms_only), on="token")
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="token")
+        .join(F.broadcast(qterms), on="token")  # fan out to queries
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("q_id", id_col).agg(
+        F.sum("w").alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )

@@ -140,25 +140,27 @@ _PRIORITY = (
     # text_decontaminate_ngram are NEVER_RESEAT (see below) — still
     # registered and pytest-parity-checked, but their semantics are
     # subsumed by seated natural-corpus full-oracle rows. Rotating
-    # surface after the r13 additions: 155 oracle-bearing rows (the
+    # surface after the r13 additions: 156 oracle-bearing rows (the
     # rows-only pair agg_approx_sketches / text_compression_ratio
     # cannot hold comparable seats by construction).
     #
-    # LATE-R13 AMENDMENT: the session added FOUR new oracle-bearing ops
+    # LATE-R13 AMENDMENT: the session added FIVE new oracle-bearing ops
     # (mm_jvm_image_decode, text_bm25_search, sim_hybrid_rrf,
-    # compress_insert_ignore_occ — registry now 164 declared / 162
-    # oracle-bearing). Changed/new-code policy seats all four for first
-    # greens; to keep the window at 50 comparable seats, the LAST four
-    # alphabetical r10-backfill rows yielded (tpch_q17_small_quantity,
-    # text_pii_scrub, text_line_cleaning, stream_enrich_dimension — so
-    # 22 of the 31 r10 rows keep r13 seats) and join the r14 queue
-    # ahead of tpch_q18/q20/q21/q2/q8.
+    # compress_insert_ignore_occ, text_bm25_multi_topk — registry now
+    # 165 declared / 163 oracle-bearing). Changed/new-code policy seats
+    # all five for first greens; to keep the window at 50 comparable
+    # seats, the LAST five alphabetical r10-backfill rows yielded
+    # (tpch_q17_small_quantity, text_pii_scrub, text_line_cleaning,
+    # stream_enrich_dimension, text_decontaminate_bloom — so 21 of the
+    # 31 r10 rows keep r13 seats) and join the r14 queue ahead of
+    # tpch_q18/q20/q21/q2/q8.
     #
     # -- first driver rows for the r13-new ops (changed/new-code policy) --
     "mm_jvm_image_decode",
     "text_bm25_search",
     "sim_hybrid_rrf",
     "compress_insert_ignore_occ",
+    "text_bm25_multi_topk",
     # -- second greens for the three r12 first-row ops (VERDICT r12 #1) --
     "maintenance_compact_small_files",
     "maintenance_zorder_layout",
@@ -210,11 +212,11 @@ _PRIORITY = (
     "sim_topk_ivf_trained",
     "sim_topk_ivfpq_adc",
     "sim_topk_pq_adc",
-    "text_decontaminate_bloom",
-    # (stream_enrich_dimension + text_line_cleaning + text_pii_scrub +
-    # tpch_q17_small_quantity — displaced by the r13-new
-    # mm_jvm_image_decode / text_bm25_search / sim_hybrid_rrf /
-    # compress_insert_ignore_occ seats — plus tpch_q18_large_volume,
+    # (text_decontaminate_bloom + stream_enrich_dimension +
+    # text_line_cleaning + text_pii_scrub + tpch_q17_small_quantity —
+    # displaced by the r13-new mm_jvm_image_decode / text_bm25_search /
+    # sim_hybrid_rrf / compress_insert_ignore_occ /
+    # text_bm25_multi_topk seats — plus tpch_q18_large_volume,
     # tpch_q20_potential_promotion, tpch_q21_waiting_supplier,
     # tpch_q2_min_cost_supplier, tpch_q8_market_share head the r14
     # backfill queue)

@@ -17,6 +17,7 @@ from k8e_fetch_spark.operators.text import (
     BPE_TOKEN_PATTERN,
     LANG_MARKERS,
     bm25_scores,
+    bm25_scores_multi,
     fingerprint,
     langid_scores,
     n_bpe_tokens,
@@ -2233,4 +2234,85 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+_BM25_MULTI_ORACLE = """
+    WITH qterms(q_id, token) AS (
+        VALUES (0, 'scan'), (0, 'merge'),
+               (1, 'vector'), (1, 'window'),
+               (2, 'fast'), (2, 'key'), (2, 'merge')
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (SELECT doc_id, dl, unnest(ts) AS token FROM dl),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM posting
+        WHERE token IN (SELECT DISTINCT token FROM qterms)
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.q_id, tf.doc_id,
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN dft USING (token) JOIN qterms q USING (token)
+        CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT q_id, doc_id,
+               floor(sum(w) * 10000.0 + 0.5) / 10000.0 AS score
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT q_id, doc_id, CAST(rnk AS INTEGER) AS rank, score FROM (
+        SELECT q_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id
+               ) AS rnk
+        FROM agg
+    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "text_bm25_multi_topk",
+    oracle=_BM25_MULTI_ORACLE,
+    tags=("ext-text-stats", "bm25", "retrieval", "multi-query"),
+)
+def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 for a BATCH of three queries in ONE corpus pass
+    (operators/text.py:bm25_scores_multi) — the production retrieval
+    workload shape: text_bm25_search scans the corpus once per query;
+    this form broadcasts the (q_id, token) query table against the
+    token stream so a single scan + one aggregate chain serves every
+    query, and a term shared by two queries ('merge' here) costs one
+    posting list. Top-5 per query, round-then-rank; the rank-<=5
+    filter compiles to WindowGroupLimit BELOW the exchange (the
+    text_domain_filter cap pattern), so each map partition ships at
+    most 5 survivors per query — the cutoff never sorts corpus-sized
+    data."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    queries_map = {
+        0: ("scan", "merge"),
+        1: ("vector", "window"),
+        2: ("fast", "key", "merge"),
+    }
+    scored = bm25_scores_multi(docs, queries_map, k1=1.2, b=0.75).select(
+        "q_id", "doc_id", round_fixed(F.col("bm25"), 4).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "doc_id", "rank", "score")
     )

@@ -851,3 +851,41 @@ def test_bm25_scores_match_hand_computation(spark):
         assert got[i][0] == pytest.approx(exp_s, abs=1e-12)
     # saturation sanity: doc 4 (all three terms) outranks both partial hits
     assert got[4][0] > got[1][0] and got[4][0] > got[2][0]
+
+
+def test_bm25_multi_single_query_twin(spark):
+    """bm25_scores_multi with one query must equal bm25_scores exactly
+    (same expression sequence — bit parity, not approx), and a term
+    shared by two queries scores identically for both."""
+    from k8e_fetch_spark.operators.text import bm25_scores, bm25_scores_multi
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in {
+            1: "scan scan merge alpha",
+            2: "merge beta gamma",
+            3: "alpha beta",
+            4: "scan merge scan merge delta epsilon",
+        }.items()],
+        "doc_id long, text string",
+    )
+    single = {
+        (r.doc_id,): (r.bm25, r.n_terms)
+        for r in bm25_scores(docs, ("scan", "merge")).collect()
+    }
+    multi = bm25_scores_multi(docs, {0: ("scan", "merge"), 1: ("merge",)})
+    got0 = {
+        (r.doc_id,): (r.bm25, r.n_terms)
+        for r in multi.filter("q_id = 0").collect()
+    }
+    assert got0 == single  # bit-identical, not approx
+    # shared term: q1's per-doc 'merge' score equals the 'merge'
+    # component computed by a dedicated single-query run
+    merge_only = {
+        (r.doc_id,): (r.bm25, r.n_terms)
+        for r in bm25_scores(docs, ("merge",)).collect()
+    }
+    got1 = {
+        (r.doc_id,): (r.bm25, r.n_terms)
+        for r in multi.filter("q_id = 1").collect()
+    }
+    assert got1 == merge_only
