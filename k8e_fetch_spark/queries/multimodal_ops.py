@@ -832,7 +832,12 @@ def mm_jvm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id*31 + i*7) % 256), written distributed (foreachPartition,
     executor-side encode) once per source fingerprint — the same
     per-uid reuse contract as catalog_flatten_tree / the bucketed-join
-    demo. PNG is lossless and the JVM source emits OpenCV-style BGR,
+    demo. The fixture writer targets a LOCAL temp path (correct for
+    local mode and any shared filesystem); this is test scaffolding
+    only — in the real deployment the media corpus is ALREADY
+    file-resident in the bucket, and the scan path below is what runs
+    at scale. A cluster materializing synthetic media would point the
+    tree at shared/object storage instead. PNG is lossless and the JVM source emits OpenCV-style BGR,
     so the TOTAL byte sum — channel-order invariant — survives the
     encode -> ImageIO decode round trip bit-exactly, and DuckDB
     recomputes it from the closed form without decoding anything: the
