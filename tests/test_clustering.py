@@ -889,3 +889,52 @@ def test_bm25_multi_single_query_twin(spark):
         for r in multi.filter("q_id = 1").collect()
     }
     assert got1 == merge_only
+
+
+def test_bm25_fuzz_against_pure_python(spark):
+    """Seeded fuzz: bm25_scores over random word-soup corpora must
+    match an independently-written pure-Python BM25 on every document
+    (1e-9 abs — same formula, different evaluation order). Catches
+    formula drift the 4-doc hand test is too small to see (df edge
+    cases, dl spread, absent terms, duplicate-heavy docs)."""
+    import math
+    import random
+
+    from k8e_fetch_spark.operators.text import bm25_scores
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    k1, b = 1.2, 0.75
+    for trial in range(3):
+        docs = {
+            i: " ".join(rng.choices(vocab, k=rng.randrange(1, 30)))
+            for i in range(40)
+        }
+        terms = tuple(rng.sample(vocab, 3)) + ("neverpresent",)
+        got = {
+            r.doc_id: (r.bm25, r.n_terms)
+            for r in bm25_scores(
+                spark.createDataFrame(list(docs.items()), "doc_id long, text string"),
+                terms, k1=k1, b=b,
+            ).collect()
+        }
+        toks = {i: t.split() for i, t in docs.items()}
+        n_docs = len(docs)
+        avgdl = sum(map(len, toks.values())) / n_docs
+        df = {t: sum(t in v for v in toks.values()) for t in terms}
+        for i, tk in toks.items():
+            exp, n = 0.0, 0
+            for t in terms:
+                tf = tk.count(t)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                exp += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(tk) / avgdl)
+                )
+                n += 1
+            if n == 0:
+                assert i not in got, (trial, i)
+            else:
+                assert got[i][1] == n, (trial, i)
+                assert abs(got[i][0] - exp) < 1e-9, (trial, i, got[i][0], exp)
