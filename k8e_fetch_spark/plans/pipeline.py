@@ -232,6 +232,11 @@ class Pipeline:
                 snap.checkpoint(
                     self.spark, path, n_files=max(1, math.ceil(live / target_bytes))
                 )
+                # OCC tables vacuum under the default retention window
+                # (ADVICE r13): superseded dirs younger than the window
+                # survive this pass — a concurrent writer's in-flight
+                # delta must never be deleted — and age out of a later
+                # vacuum. Pointer tables are single-writer: immediate.
                 snap.vacuum_manifest(path)
                 components[name] = snap.read_manifest_table(self.spark, path)
             else:
@@ -255,15 +260,17 @@ class Pipeline:
             paths = self.sync(selected, data_dir)
             tables = self.load(paths)
         else:  # memoized: re-read landed tables from the warehouse
-            # component tables in snapshot/manifest format live beside
-            # the landed tables but are NOT flat parquet dirs — skip
-            # anything carrying a table-format pointer file
+            # component tables in snapshot/manifest/occ format live
+            # beside the landed tables but are NOT flat parquet dirs —
+            # skip anything carrying a table-format marker file (OCC
+            # tables have no pointer, only the _OCC marker; reading one
+            # flat would treat its manifest-*.json files as data)
             tables = {
                 n: self.spark.read.parquet(os.path.join(self.warehouse, n))
                 for n in os.listdir(self.warehouse)
                 if not any(
                     os.path.exists(os.path.join(self.warehouse, n, ptr))
-                    for ptr in ("_CURRENT", "_CURRENT_MANIFEST")
+                    for ptr in ("_CURRENT", "_CURRENT_MANIFEST", "_OCC")
                 )
             }
         if "compress" in skip:

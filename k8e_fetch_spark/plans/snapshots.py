@@ -347,7 +347,9 @@ def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> 
     return manifest_name
 
 
-def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
+def vacuum_manifest(
+    table_dir: str | Path, keep: int = 1, retain_seconds: float | None = None
+) -> list[str]:
     """Remove data directories and manifests not reachable from the
     kept manifest set: the LIVE manifest plus its ``keep - 1``
     predecessors (time travel on the cheap — the same window semantics
@@ -355,10 +357,28 @@ def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
     writer died before the pointer flip, or a torn HIGHER-numbered
     manifest) are unreachable garbage by construction — protection
     flows from the pointer, never from lexical order, so an orphan
-    numbered above live is never protected."""
+    numbered above live is never protected.
+
+    ``retain_seconds`` (ADVICE r13): on an OCC table — advertised for
+    CONCURRENT writers — an unreferenced delta dir is not necessarily
+    garbage: it may be a concurrent merge's fully-written delta whose
+    CAS commit has not landed yet, and a manifest above the live one
+    may be a commit that won the race after this vacuum computed its
+    keep set. Deleting either turns a committed transaction into an
+    unreadable table (corruption, not garbage collection). So OCC
+    vacuums only remove candidates whose mtime is older than the
+    retention window — Delta Lake's VACUUM retention, same reasoning —
+    defaulting to :data:`OCC_VACUUM_RETAIN_SECONDS`. Pass
+    ``retain_seconds=0.0`` only under exclusive access (no concurrent
+    writers), e.g. a maintenance window. Pointer tables are
+    single-writer by protocol and default to 0 (unchanged behavior)."""
     import shutil
+    import time
 
     table_dir = Path(table_dir)
+    if retain_seconds is None:
+        retain_seconds = OCC_VACUUM_RETAIN_SECONDS if _is_occ_table(table_dir) else 0.0
+    cutoff = time.time() - retain_seconds
     live_manifest = current_manifest(table_dir)
     manifests = sorted(
         p.name
@@ -380,16 +400,28 @@ def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
     keep_dirs: set[str] = set()
     for m in keep_manifests:
         keep_dirs.update(_manifest_dirs(table_dir, m))
+    def _retained(p: Path) -> bool:
+        # fresh candidates stay inside the retention window (in-flight
+        # concurrent deltas / just-won commits); stat races with a
+        # concurrent rmtree resolve to "retained" — never delete on doubt
+        if retain_seconds <= 0:
+            return False
+        try:
+            return p.stat().st_mtime >= cutoff
+        except OSError:
+            return True
+
     removed = []
     for p in sorted(table_dir.iterdir()):
         if p.is_dir() and p.name.startswith(("delta-", "base-")):
-            if p.name not in keep_dirs:
+            if p.name not in keep_dirs and not _retained(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p.name)
         elif (
             p.is_file()
             and p.name.startswith("manifest-")
             and p.name not in keep_manifests
+            and not _retained(p)
         ):
             p.unlink()
             removed.append(p.name)
@@ -419,6 +451,13 @@ def vacuum_manifest(table_dir: str | Path, keep: int = 1) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _OCC_MARKER = "_OCC"
+
+# Default vacuum retention for OCC tables (see vacuum_manifest): an
+# unreferenced dir younger than this is presumed to be a concurrent
+# writer's in-flight delta, not garbage. Delta Lake defaults to 7 days;
+# one day is generous for a merge attempt's write-to-CAS gap while
+# keeping local test garbage collectable by backdating mtimes.
+OCC_VACUUM_RETAIN_SECONDS = 24 * 3600.0
 
 
 class ManifestConflictError(RuntimeError):

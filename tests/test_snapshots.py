@@ -387,7 +387,8 @@ def test_occ_checkpoint_vacuum_and_pointer_table_isolation(spark, tmp_path):
     assert _occ_rows(snap.read_manifest_table(spark, t)) == expect
     m4 = snap.checkpoint(spark, t, n_files=1)
     assert m4 == "manifest-000004.json"
-    removed = snap.vacuum_manifest(t)
+    # exclusive access here, so opt out of the OCC retention window
+    removed = snap.vacuum_manifest(t, retain_seconds=0.0)
     assert any(r.startswith("delta-") for r in removed)
     assert _occ_rows(snap.read_manifest_table(spark, t)) == expect
     dirs = snap._manifest_dirs(Path(t), m4)
@@ -449,7 +450,7 @@ def test_manifest_time_travel_reads_inside_keep_window(spark, tmp_path):
     assert _occ_rows(snap.read_manifest_table(spark, t, version=2)) == [
         (i, f"v{i}") for i in range(5)
     ]
-    snap.vacuum_manifest(t, keep=2)  # keeps v2, v3
+    snap.vacuum_manifest(t, keep=2, retain_seconds=0.0)  # keeps v2, v3
     assert snap.manifest_versions(t) == [2, 3]
     with _pytest.raises(FileNotFoundError, match=r"readable versions: \[2, 3\]"):
         snap.read_manifest_table(spark, t, version=1)
@@ -510,3 +511,87 @@ def test_occ_real_two_process_race(tmp_path):
     spark = get_spark(app_name="occ-race-verify", cpus=2, shuffle_partitions=2)
     got = sorted(map(tuple, snap.read_manifest_table(spark, t).collect()))
     assert got == [(i, f"v{i}") for i in range(9)]
+
+
+def test_occ_vacuum_retention_protects_inflight_delta(spark, tmp_path):
+    """ADVICE r13: on an OCC table, vacuum under the default retention
+    window must NOT delete (a) a fresh unreferenced delta dir — it may
+    be a concurrent writer's fully-written, not-yet-CAS-committed merge
+    — nor (b) a manifest committed above the live one mid-vacuum. The
+    in-flight writer's commit then publishes a manifest whose dirs all
+    still exist: the table stays readable (no corruption). Backdated
+    (retention-expired) garbage IS removed."""
+    import json
+    import os
+
+    from k8e_fetch_spark.plans import snapshots as snap
+
+    t = str(tmp_path / "occ")
+    for lo in (0, 2):
+        snap.merge_insert_ignore_occ(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 2)], "k int, v string"
+            ),
+        )
+    live = snap.current_manifest(t)
+    assert live == "manifest-000002.json"
+    live_dirs = snap._manifest_dirs(Path(t), live)
+
+    # simulate a concurrent writer between delta-write and CAS: a fully
+    # written delta dir that no manifest references yet
+    inflight = "delta-000003-9999deadbe"
+    spark.createDataFrame([(9, "v9")], "k int, v string").write.parquet(
+        str(Path(t) / inflight)
+    )
+    removed = snap.vacuum_manifest(t)  # default OCC retention
+    assert inflight not in removed
+    assert (Path(t) / inflight).exists()
+    # … the writer's CAS now lands: table must read back whole
+    snap._commit_manifest_cas(
+        Path(t), "manifest-000003.json", json.dumps({"dirs": [*live_dirs, inflight]})
+    )
+    assert _occ_rows(snap.read_manifest_table(spark, t)) == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"), (9, "v9"),
+    ]
+
+    # a retention-expired unreferenced dir is garbage and goes
+    stale = "delta-000004-0000aaaaaa"
+    spark.createDataFrame([(7, "x")], "k int, v string").write.parquet(
+        str(Path(t) / stale)
+    )
+    old = 1.0  # epoch 1970: far outside any retention window
+    os.utime(Path(t) / stale, (old, old))
+    removed = snap.vacuum_manifest(t)
+    assert stale in removed
+    assert not (Path(t) / stale).exists()
+    # live state untouched
+    assert snap.current_manifest(t) == "manifest-000003.json"
+
+
+def test_pipeline_memoized_rerun_skips_occ_component_tables(spark, tmp_path):
+    """ADVICE r13 (pipeline.py): run(skip={'load'}) re-reads landed
+    source tables as flat parquet but must skip OCC component tables
+    (no pointer file, only the _OCC marker — reading one flat would hit
+    its manifest-*.json files). The memoized rerun must reproduce the
+    first run's content and keep the version chain idempotent."""
+    from k8e_fetch_spark.plans.pipeline import Pipeline
+    from k8e_fetch_spark.plans.snapshots import current_manifest
+    from k8e_fetch_spark.plans.spec import DEFAULT_SPEC
+    from k8e_fetch_spark.resources import fixtures_root
+
+    fixtures = fixtures_root()
+    wh = tmp_path / "wh_occ_memo"
+    pipe = Pipeline(spark, DEFAULT_SPEC, str(wh), table_format="occ")
+    first = pipe.run(str(fixtures / "manifest.json"), str(fixtures))
+    memo = pipe.run(
+        str(fixtures / "manifest.json"), str(fixtures), skip=frozenset({"load"})
+    )
+    assert set(memo) == set(first)
+    for name in first:
+        cols = sorted(first[name].columns)
+        a = sorted(map(tuple, first[name].select(*cols).collect()))
+        b = sorted(map(tuple, memo[name].select(*cols).collect()))
+        assert a == b, name
+        assert current_manifest(wh / name) == "manifest-000001.json"
