@@ -285,9 +285,18 @@ def write_zordered(
     skipping 16/16 touched raw vs 4/16 normalized). Scaling is a
     monotone per-dimension map (double multiply then floor — ties
     collapse, order never inverts), the same range-id trick
-    production OPTIMIZE ZORDER implementations use. Dimensions are
-    assumed non-null (coalesce sentinel values upstream; a null key
-    would range-partition into the null bucket unsorted).
+    production OPTIMIZE ZORDER implementations use.
+
+    Null contract (VERDICT r12 #4, enforced r14): a NULL dimension
+    value takes the sentinel key 0 — the domain minimum — in the
+    Z-key computation ONLY (row content is untouched; layout is the
+    only thing a sort key decides, so the collision with real minima
+    is harmless). Null rows therefore cluster at the low end of the
+    curve instead of landing unsorted in a null range-partition
+    bucket. Read-side consequence (see :func:`read_zordered`): a
+    BOUNDED dimension never matches its null rows — SQL BETWEEN
+    semantics, same as any predicate — while a dimension omitted from
+    ``col_bounds`` keeps its null rows in the scan.
 
     ``keep_key=True`` retains the ``_zkey`` column in the written files
     and drops a ``_zorder_meta.json`` sidecar (underscore-prefixed —
@@ -318,16 +327,20 @@ def write_zordered(
             if mx is None or mn is None or mx <= mn:
                 key_cols.append(F.lit(0))
             else:
+                # null dimension -> sentinel key 0 (see null contract)
                 key_cols.append(
-                    (
-                        (F.col(c) - F.lit(mn)).cast("double")
-                        / F.lit(float(mx - mn))
-                        * F.lit(float(top))
-                    ).cast("long")
+                    F.coalesce(
+                        (
+                            (F.col(c) - F.lit(mn)).cast("double")
+                            / F.lit(float(mx - mn))
+                            * F.lit(float(top))
+                        ).cast("long"),
+                        F.lit(0),
+                    )
                 )
         key = zorder_key(key_cols).alias("_zkey")
     else:
-        key = zorder_key(cs).alias("_zkey")
+        key = zorder_key([F.coalesce(F.col(c), F.lit(0)) for c in cs]).alias("_zkey")
     ranged = df.withColumn("_zkey", key).repartitionByRange(n_files, F.col("_zkey"))
     out = ranged.sortWithinPartitions("_zkey")
     if not keep_key:
@@ -457,7 +470,23 @@ def read_zordered(
     min/max on the sort key — the engine-side exploitation of the
     layout (VERDICT r12 #5; measured in tests/test_scale.py via the
     scan node's output-rows metric). Dimensions omitted from
-    ``col_bounds`` default to their full domain."""
+    ``col_bounds`` default to their full domain.
+
+    Null contract (matches the writer's): a bounded dimension never
+    returns its null rows — ``BETWEEN`` is null-rejecting, and the
+    writer's sentinel (key 0) keeps those rows prunable rather than
+    special; omit the dimension from ``col_bounds`` to keep null rows
+    in the result.
+
+    Domain guard (ADVICE r13): on a ``normalize=False`` layout the
+    writer masked raw values to the interleave bit width, so a row
+    whose raw value exceeded the domain carries a WRAPPED ``_zkey`` —
+    while query bounds get clamped to the domain. Pruning on that pair
+    can silently drop a row the exact predicate matches. If any
+    requested bound falls outside ``[0, 2^bits - 1]`` the scan falls
+    back to the exact per-dimension predicates only (no z-range
+    OR-set, no file skipping): correct always, merely unpruned — the
+    writer could not guarantee in-domain data either."""
     import json
     from functools import reduce
     from pathlib import Path
@@ -469,6 +498,7 @@ def read_zordered(
     if unknown:
         raise ValueError(f"not z-order dimensions of {path}: {sorted(unknown)}")
     norm_bounds, exact = [], []
+    out_of_domain = False
     for i, c in enumerate(cols):
         if c not in col_bounds:
             norm_bounds.append((0, top))
@@ -486,7 +516,17 @@ def read_zordered(
 
             norm_bounds.append((_key(lo), _key(hi)))
         else:
+            # out-of-domain flag checked after the loop so every
+            # dimension's exact predicate is collected first
+            out_of_domain = out_of_domain or int(lo) < 0 or int(hi) > top
             norm_bounds.append((int(lo), int(hi)))
+    if out_of_domain:
+        # unnormalized layout + bound outside [0, top]: data may carry
+        # wrapped z-keys — exact predicates only (see docstring)
+        base = spark.read.parquet(path)
+        if exact:
+            base = base.filter(reduce(lambda a, b: a & b, exact))
+        return base.drop("_zkey")
     ranges = zorder_range_set(norm_bounds, bits=bits, max_ranges=max_ranges)
     if not ranges:
         return spark.read.parquet(path).filter(F.lit(False)).drop("_zkey")

@@ -857,9 +857,13 @@ def bm25_scores_multi(
     matching (doc, q, term) rows shuffle, and the aggregates map-side
     combine. The corpus-stats pass (N, avgdl) is shared by all queries.
     """
-    q_rows = [(int(q), t) for q, terms in queries.items() for t in terms]
+    # dedup (q_id, token) pairs: a term listed twice in one query must
+    # weigh once, matching bm25_scores' isin() set semantics (a dup row
+    # here would fan the posting join out and double that term's w and
+    # n_terms) — ADVICE r13
+    q_rows = sorted({(int(q), t) for q, terms in queries.items() for t in terms})
     spark = docs.sparkSession
-    qterms = spark.createDataFrame(q_rows, f"q_id int, token string")
+    qterms = spark.createDataFrame(q_rows, "q_id int, token string")
     toks = docs.select(
         id_col,
         F.filter(

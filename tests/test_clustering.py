@@ -938,3 +938,31 @@ def test_bm25_fuzz_against_pure_python(spark):
             else:
                 assert got[i][1] == n, (trial, i)
                 assert abs(got[i][0] - exp) < 1e-9, (trial, i, got[i][0], exp)
+
+
+def test_bm25_multi_duplicate_term_weighs_once(spark):
+    """ADVICE r13: a term listed twice in one query's term sequence
+    must weigh ONCE — bit-identical to the deduped query and to
+    bm25_scores (whose isin() filter is set-semantic by construction).
+    A dup (q_id, token) row would fan the posting join out and double
+    both that term's weight and n_terms."""
+    from k8e_fetch_spark.operators.text import bm25_scores, bm25_scores_multi
+
+    docs = spark.createDataFrame(
+        [(1, "scan scan merge alpha"), (2, "merge beta"), (3, "scan delta")],
+        "doc_id long, text string",
+    )
+
+    def _rows(df, q=None):
+        if q is not None:
+            df = df.filter(f"q_id = {q}")
+        return {r.doc_id: (r.bm25, r.n_terms) for r in df.collect()}
+
+    clean = bm25_scores_multi(docs, {0: ("scan", "merge")})
+    dup = bm25_scores_multi(docs, {0: ("scan", "merge", "scan", "scan")})
+    assert _rows(dup, 0) == _rows(clean, 0)
+    single = {
+        r.doc_id: (r.bm25, r.n_terms)
+        for r in bm25_scores(docs, ("scan", "merge", "scan")).collect()
+    }
+    assert _rows(dup, 0) == single

@@ -814,3 +814,82 @@ def test_read_zordered_file_level_skipping_index(spark, tmp_path):
     (tmp_path / "zidx" / "_zorder_meta.json").write_text(json.dumps(meta))
     again = read_zordered(spark, path, {"y": (64, 95)})
     assert sorted(tuple(r) for r in again.select("x", "y").collect()) == want
+
+
+def test_zorder_null_dimension_sentinel(spark, tmp_path):
+    """Null contract (VERDICT r12 #4, enforced r14): a NULL dimension
+    value takes sentinel key 0 in the layout — every row is written
+    (content identity holds with nulls present), a BOUNDED dimension
+    never returns its null rows (BETWEEN is null-rejecting), and a
+    dimension OMITTED from col_bounds keeps its null rows. Matches
+    plain-DataFrame filter semantics exactly, both normalize modes."""
+    from k8e_fetch_spark.operators.scale import read_zordered, write_zordered
+
+    rows = [(x, None if x % 7 == 0 else (x * 3) % 50) for x in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    want_all = sorted(rows, key=lambda r: (r[0], -1 if r[1] is None else r[1]))
+
+    for normalize in (True, False):
+        path = str(tmp_path / f"znull_{normalize}")
+        write_zordered(df, path, ["x", "y"], n_files=4, normalize=normalize,
+                       keep_key=True)
+        back = spark.read.parquet(path).drop("_zkey")
+        got_all = sorted(
+            ((r.x, r.y) for r in back.collect()),
+            key=lambda r: (r[0], -1 if r[1] is None else r[1]),
+        )
+        assert got_all == want_all  # no row lost to the null bucket
+
+        # bounded y: null-y rows excluded, exactly like a plain filter
+        want_y = sorted(
+            (x, y) for x, y in rows if y is not None and 10 <= y <= 30
+        )
+        got_y = sorted(
+            (r.x, r.y)
+            for r in read_zordered(spark, path, {"y": (10, 30)}).collect()
+        )
+        assert got_y == want_y, normalize
+
+        # y omitted, x bounded: null-y rows INSIDE the x band survive
+        want_x = sorted(
+            ((x, y) for x, y in rows if 0 <= x <= 49),
+            key=lambda r: (r[0], -1 if r[1] is None else r[1]),
+        )
+        got_x = sorted(
+            ((r.x, r.y) for r in read_zordered(spark, path, {"x": (0, 49)}).collect()),
+            key=lambda r: (r[0], -1 if r[1] is None else r[1]),
+        )
+        assert got_x == want_x, normalize
+        assert any(y is None for _, y in got_x)  # the contract's point
+
+
+def test_read_zordered_out_of_domain_falls_back_exact(spark, tmp_path):
+    """Domain guard (ADVICE r13): on a normalize=False layout, raw
+    values above the interleave domain carry WRAPPED z-keys while query
+    bounds are clamped — pruning on that pair can silently drop a
+    matching row. Out-of-domain bounds must fall back to the exact
+    predicates only and return every matching row."""
+    from k8e_fetch_spark.operators.scale import read_zordered, write_zordered
+
+    big = (1 << 31) + 5  # exceeds the 2-dim 31-bit interleave domain
+    rows = [(5, 1), (big, 2), (7, 3), (-3, 4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "zwild")
+    write_zordered(df, path, ["x", "y"], n_files=2, normalize=False, keep_key=True)
+
+    # bound above the domain: the wrapped-key row must come back
+    got = sorted(
+        (r.x, r.y)
+        for r in read_zordered(spark, path, {"x": (1 << 31, big + 10)}).collect()
+    )
+    assert got == [(big, 2)]
+    # negative bound: same fallback, in-domain rows unaffected
+    got = sorted(
+        (r.x, r.y) for r in read_zordered(spark, path, {"x": (-5, 10)}).collect()
+    )
+    assert got == [(-3, 4), (5, 1), (7, 3)]
+    # fully in-domain bounds still take the pruned path and stay right
+    got = sorted(
+        (r.x, r.y) for r in read_zordered(spark, path, {"x": (4, 8)}).collect()
+    )
+    assert got == [(5, 1), (7, 3)]
