@@ -55,6 +55,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="post-compress small-files maintenance: rewrite each "
         "component to ~N MB files (manifest tables: checkpoint+vacuum)",
     )
+    pl.add_argument(
+        "--zorder-by",
+        default=None,
+        metavar="COL,COL[,COL]",
+        help="post-compress Z-order layout: cluster each component "
+        "that has these 2-3 columns (string keys supported via "
+        "sampled range-id bucketing); composes with "
+        "--compact-target-mb in one rewrite",
+    )
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
     return p
@@ -104,6 +113,11 @@ def main(argv: list[str] | None = None) -> int:
             args.warehouse,
             table_format=args.table_format,
             compact_target_mb=args.compact_target_mb,
+            zorder_by=(
+                [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                if args.zorder_by
+                else None
+            ),
         )
         components = pipe.run(manifest, data_dir, group=args.group)
         for name in sorted(components):

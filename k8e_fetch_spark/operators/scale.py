@@ -580,3 +580,93 @@ def epoch_bucket(col: Column | str, seconds: int = 60) -> Column:
     data."""
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(F.unix_timestamp(c) / F.lit(seconds)).cast("long")
+
+
+def sampled_range_cuts(
+    df: DataFrame,
+    cols: Sequence[str],
+    buckets: int = 256,
+    sample_rows: int = 65536,
+    seed: int = 41,
+) -> dict[str, list]:
+    """Per-column order-statistic cut points from ONE bounded sample —
+    the range-id construction production OPTIMIZE ZORDER BY
+    implementations use for arbitrary orderable types (Delta samples
+    the table, derives per-column range partition ids, interleaves the
+    ids). Two jobs total regardless of column count: a count (to size
+    the sample fraction) and a sample collect bounded at roughly
+    ``sample_rows`` rows driver-side — never O(table) driver state.
+    Returns ``{col: sorted cut values}`` with at most ``buckets - 1``
+    cuts per column; a column with no non-null sample values gets no
+    cuts (every row buckets to 0)."""
+    total = df.count()
+    frac = min(1.0, float(sample_rows) / float(max(total, 1)))
+    rows = df.select(*cols).sample(False, frac, seed=seed).collect()
+    cuts: dict[str, list] = {}
+    for c in cols:
+        vals = sorted(r[c] for r in rows if r[c] is not None)
+        if not vals:
+            cuts[c] = []
+            continue
+        step = max(1, len(vals) // buckets)
+        picked = sorted({vals[i] for i in range(step, len(vals), step)})
+        cuts[c] = picked[: buckets - 1]
+    return cuts
+
+
+def range_bucket_id(col: Column | str, cuts: Sequence) -> Column:
+    """Order-preserving bucket id for one dimension: the number of cut
+    points <= the value — monotone by construction (v1 <= v2 implies
+    bucket(v1) <= bucket(v2)), so Z-order locality and footer-stats
+    pruning semantics carry over from the integer form; collisions
+    within a bucket only coarsen pruning, never break it. NULL buckets
+    to 0 (the write_zordered null-sentinel contract). Compiles to a
+    JVM-side fold over the broadcast cut literals — scan-local
+    whole-stage codegen, no Python, no join."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not cuts:
+        return F.lit(0).cast("long")
+    return F.aggregate(
+        F.lit(list(cuts)),
+        F.lit(0).cast("long"),
+        lambda acc, cut: acc + F.when(c >= cut, 1).otherwise(0),
+    )
+
+
+def write_zordered_auto(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    buckets: int = 256,
+    sample_rows: int = 65536,
+    seed: int = 41,
+) -> None:
+    """Z-ordered table sink for ARBITRARY orderable column types
+    (strings, dates, timestamps, numerics) — the pipeline front door's
+    layout action (VERDICT r13 #7). :func:`write_zordered` interleaves
+    INTEGER dimensions; real component tables carry string keys, so
+    this form first maps each dimension to a balanced integer bucket
+    id via :func:`sampled_range_cuts` + :func:`range_bucket_id`, then
+    range-partitions and sorts by :func:`zorder_key` of the bucket
+    ids. Content is a pure LAYOUT change (row identity pinned in
+    tests/test_scale.py); bucket ids are already balanced in
+    ``[0, buckets)`` so no normalization pass is needed.
+
+    Cost: the bounded sample (two jobs, <= ``sample_rows`` rows on the
+    driver) plus the same range exchange the integer form pays — holds
+    at 100 TB because nothing here is O(table) off-executor."""
+    cs = list(cols)
+    if len(cs) not in (2, 3):
+        raise ValueError(f"write_zordered_auto takes 2 or 3 columns, got {len(cs)}")
+    cuts = sampled_range_cuts(df, cs, buckets=buckets,
+                              sample_rows=sample_rows, seed=seed)
+    key = zorder_key([range_bucket_id(c, cuts[c]) for c in cs]).alias("_zkey")
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -76,6 +76,16 @@ class Pipeline:
     (plans/snapshots.py:checkpoint). Snapshot tables skip it: every
     merge already rewrites the full table in one pass, so there is no
     small-file accretion to repair.
+
+    ``zorder_by`` (optional, r14 — VERDICT r13 #7) lays each component
+    out in Z-order on 2-3 columns as the same post-compress pass —
+    Delta's ``OPTIMIZE ... ZORDER BY`` from the pipeline front door.
+    Works on every format (parquet rewrite+swap; snapshot pointer
+    flip; manifest/occ checkpoint) and on string keys
+    (operators/scale.py:write_zordered_auto — sampled range-id
+    bucketing). Components missing a named column keep their plain
+    layout. Composes with ``compact_target_mb``: one rewrite does
+    both (files sized by the target, rows Z-clustered).
     """
 
     def __init__(
@@ -85,16 +95,22 @@ class Pipeline:
         warehouse: str,
         table_format: str = "parquet",
         compact_target_mb: int | None = None,
+        zorder_by: Sequence[str] | None = None,
     ):
         if table_format not in ("parquet", "snapshot", "manifest", "occ"):
             raise ValueError(
                 f"table_format must be parquet|snapshot|manifest|occ, got {table_format!r}"
+            )
+        if zorder_by is not None and len(zorder_by) not in (2, 3):
+            raise ValueError(
+                f"zorder_by takes 2 or 3 columns, got {list(zorder_by)!r}"
             )
         self.spark = spark
         self.spec = spec
         self.warehouse = warehouse
         self.table_format = table_format
         self.compact_target_mb = compact_target_mb
+        self.zorder_by = tuple(zorder_by) if zorder_by else None
         os.makedirs(warehouse, exist_ok=True)
 
     # --- stage 1: FetchVersions ---------------------------------------
@@ -210,27 +226,64 @@ class Pipeline:
         return components
 
     def _maybe_compact(self, components: dict[str, DataFrame]) -> None:
-        """Post-compress small-files maintenance (opt-in via
-        ``compact_target_mb``); re-points each entry at the compacted
-        table. Snapshot format: no-op (see class docstring)."""
-        if self.compact_target_mb is None or self.table_format == "snapshot":
+        """Post-compress table maintenance (opt-in): small-files
+        compaction via ``compact_target_mb`` and/or Z-order layout via
+        ``zorder_by`` (VERDICT r13 #7 — the Delta ``OPTIMIZE [ZORDER
+        BY]`` pair as one pass); re-points each entry at the rewritten
+        table. A component missing any ``zorder_by`` column keeps its
+        plain layout (the spec's component column lists differ — only
+        tables that HAVE the dimensions get the clustering). Snapshot
+        format: compaction is a no-op (every merge already rewrites
+        the table in one file set) but Z-order applies
+        (plans/snapshots.py:rewrite_snapshot_zordered)."""
+        if self.compact_target_mb is None and not self.zorder_by:
             return
         import math
 
-        from k8e_fetch_spark.operators.scale import compact_small_files
+        from k8e_fetch_spark.operators.scale import (
+            compact_small_files,
+            write_zordered_auto,
+        )
         from k8e_fetch_spark.plans import snapshots as snap
 
-        target_bytes = self.compact_target_mb << 20
+        target_bytes = (self.compact_target_mb or 128) << 20
         for name in list(components):
             path = self._component_path(name)
+            zcols = (
+                list(self.zorder_by)
+                if self.zorder_by
+                and set(self.zorder_by) <= set(components[name].columns)
+                else None
+            )
+            if self.table_format == "snapshot":
+                if zcols:
+                    live = sum(
+                        f.stat().st_size
+                        for f in (
+                            Path(path) / snap.current_snapshot(path)
+                        ).rglob("*.parquet")
+                    )
+                    snap.rewrite_snapshot_zordered(
+                        self.spark,
+                        path,
+                        zcols,
+                        n_files=max(1, math.ceil(live / target_bytes)),
+                    )
+                    components[name] = snap.read_table(self.spark, path)
+                continue
             if self.table_format in ("manifest", "occ"):
+                if self.compact_target_mb is None and not zcols:
+                    continue
                 live = sum(
                     f.stat().st_size
                     for d in snap._manifest_dirs(Path(path), snap.current_manifest(path))
                     for f in (Path(path) / d).rglob("*.parquet")
                 )
                 snap.checkpoint(
-                    self.spark, path, n_files=max(1, math.ceil(live / target_bytes))
+                    self.spark,
+                    path,
+                    n_files=max(1, math.ceil(live / target_bytes)),
+                    zorder_by=zcols,
                 )
                 # OCC tables vacuum under the default retention window
                 # (ADVICE r13): superseded dirs younger than the window
@@ -240,9 +293,22 @@ class Pipeline:
                 snap.vacuum_manifest(path)
                 components[name] = snap.read_manifest_table(self.spark, path)
             else:
-                tmp = path + ".__compact__"
-                compact_small_files(self.spark, path, tmp, target_bytes=target_bytes)
-                shutil.rmtree(path)
+                if zcols:
+                    tmp = path + ".__zorder__"
+                    src = self.spark.read.parquet(path)
+                    live = sum(
+                        f.stat().st_size for f in Path(path).rglob("*.parquet")
+                    )
+                    write_zordered_auto(
+                        src, tmp, zcols, n_files=max(1, math.ceil(live / target_bytes))
+                    )
+                    shutil.rmtree(path)
+                elif self.compact_target_mb is not None:
+                    tmp = path + ".__compact__"
+                    compact_small_files(self.spark, path, tmp, target_bytes=target_bytes)
+                    shutil.rmtree(path)
+                else:
+                    continue
                 os.replace(tmp, path)
                 components[name] = self.spark.read.parquet(path)
 

@@ -39,6 +39,7 @@ race, never a torn table.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,31 @@ def merge_insert_ignore(
         next_id = int(cur_name.split("-")[1]) + 1
     snap_name = f"snap-{next_id:06d}"
     merged.write.mode("overwrite").parquet(str(table_dir / snap_name))
+    _publish(table_dir, snap_name)
+    return snap_name
+
+
+def rewrite_snapshot_zordered(
+    spark: SparkSession,
+    table_dir: str | Path,
+    zorder_by: Sequence[str],
+    n_files: int = 1,
+) -> str:
+    """Maintenance action for snapshot-pointer tables (VERDICT r13 #7):
+    rewrite the live snapshot in Z-order on the given columns and flip
+    the pointer — content identity, layout change only (the snapshot
+    analog of :func:`checkpoint`'s ``zorder_by``). The superseded
+    snapshot becomes ordinary :func:`vacuum` garbage."""
+    from k8e_fetch_spark.operators.scale import write_zordered_auto
+
+    table_dir = Path(table_dir)
+    cur = current_snapshot(table_dir)
+    if cur is None:
+        raise ValueError(f"empty snapshot table: {table_dir}")
+    next_id = int(cur.split("-")[1]) + 1
+    snap_name = f"snap-{next_id:06d}"
+    df = spark.read.parquet(str(table_dir / cur))
+    write_zordered_auto(df, str(table_dir / snap_name), zorder_by, n_files=n_files)
     _publish(table_dir, snap_name)
     return snap_name
 
@@ -301,14 +327,27 @@ def merge_insert_ignore_incremental(
     return manifest_name
 
 
-def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> str:
+def checkpoint(
+    spark: SparkSession,
+    table_dir: str | Path,
+    n_files: int = 1,
+    zorder_by: Sequence[str] | None = None,
+) -> str:
     """Rewrite the live set into ONE compacted base directory and
     publish a manifest referencing only it — the Iceberg
     rewrite-data-files maintenance action. Bounds read amplification
     (per-merge deltas accumulate one directory each) and restores scan
     locality. Coalesce-based (narrow, zero shuffle) like
     compact_small_files; the old dirs become garbage for
-    :func:`vacuum_manifest`."""
+    :func:`vacuum_manifest`.
+
+    ``zorder_by`` (VERDICT r13 #7): lay the compacted base out in
+    Z-order on the given 2-3 columns instead of plain coalesce —
+    Delta's ``OPTIMIZE ... ZORDER BY`` as one maintenance action
+    (operators/scale.py:write_zordered_auto — sampled range-id
+    bucketing, so string/date keys work). Costs one range exchange
+    where plain compaction is shuffle-free; content identity is
+    unchanged (the manifest/CAS publish protocol is identical)."""
     table_dir = Path(table_dir)
     cur_name = current_manifest(table_dir)
     if cur_name is None:
@@ -324,7 +363,12 @@ def checkpoint(spark: SparkSession, table_dir: str | Path, n_files: int = 1) -> 
         else f"base-{next_id:06d}"
     )
     df = read_manifest_table(spark, table_dir)
-    df.coalesce(n_files).write.mode("overwrite").parquet(str(table_dir / base_name))
+    if zorder_by:
+        from k8e_fetch_spark.operators.scale import write_zordered_auto
+
+        write_zordered_auto(df, str(table_dir / base_name), zorder_by, n_files=n_files)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(str(table_dir / base_name))
     import json
 
     manifest_name = f"manifest-{next_id:06d}.json"

@@ -2216,3 +2216,169 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_vec",
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+_HYBRID_RRF_MULTI_ORACLE = f"""
+    WITH qterms(q_id, token) AS (
+        VALUES (0, 'scan'), (0, 'merge'), (0, 'vector'),
+               (1, 'vector'), (1, 'window'),
+               (2, 'fast'), (2, 'key'), (2, 'merge')
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (SELECT doc_id, dl, unnest(ts) AS token FROM dl),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM posting
+        WHERE token IN (SELECT DISTINCT token FROM qterms)
+        GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.q_id, tf.doc_id,
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        FROM tf JOIN dft USING (token) JOIN qterms q USING (token)
+        CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT q_id, doc_id,
+               floor(sum(w) * 10000.0 + 0.5) / 10000.0 AS score
+        FROM scored GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT q_id, doc_id, CAST(rnk AS INTEGER) AS r_lex FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, doc_id
+                   ) AS rnk
+            FROM agg
+        ) WHERE rnk <= 20
+    ),
+    qv AS (
+        SELECT vec_id AS q_id, embedding AS q
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    cos AS (
+        SELECT q.q_id, c.vec_id AS doc_id,
+               {sql_round(sql_cosine('c.embedding', 'q.q'), 6)} AS score
+        FROM embeddings c CROSS JOIN qv q
+        WHERE c.vec_id != q.q_id
+    ),
+    vec AS (
+        SELECT q_id, doc_id, CAST(rnk AS INTEGER) AS r_vec FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, doc_id
+                   ) AS rnk
+            FROM cos
+        ) WHERE rnk <= 20
+    ),
+    fused AS (
+        SELECT q_id, doc_id,
+               floor((COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+                      + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0)) * 1000000.0
+                     + 0.5) / 1000000.0 AS rrf,
+               r_lex, r_vec
+        FROM lex FULL OUTER JOIN vec USING (q_id, doc_id)
+    )
+    SELECT q_id, doc_id, rrf, r_lex, r_vec FROM (
+        SELECT q_id, doc_id, rrf, r_lex, r_vec,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf DESC, doc_id
+               ) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+"""
+
+
+@register(
+    "sim_hybrid_rrf_multi",
+    oracle=_HYBRID_RRF_MULTI_ORACLE,
+    tags=("ext-topk-sim", "hybrid-retrieval", "rrf", "multi-query"),
+)
+def sim_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion for a BATCH of three hybrid queries in
+    one pass per leg (VERDICT r13 #5) — the production retrieval
+    workload shape of :func:`sim_hybrid_rrf`: the lexical leg serves
+    every query from ONE corpus scan (operators/text.py:
+    bm25_scores_multi — broadcast (q_id, token) posting filter inside
+    the scan stage, df computed once over distinct terms), the dense
+    leg broadcasts the 3-row query-vector table against one embeddings
+    scan, and fusion joins the two 20-rows-per-query rank lists.
+
+    q_id 0 is EXACTLY sim_hybrid_rrf's query (same 3 terms, query
+    vector vec_id=0, same rounding at every stage), so the single-query
+    form is pinned in pytest as this row's q_id=0 slice — bit
+    equality, not approx (tests/test_clustering.py).
+
+    Scale shape: both legs cut to 20 rows per query with a rank-window
+    filter that compiles to WindowGroupLimit BELOW the exchange (each
+    map partition ships <=20 survivors per q_id — never corpus-sized
+    sort input); fusion is a (3x20)x(3x20) full outer join on
+    (q_id, doc_id); the final per-query top-10 windows over <=40 rows
+    per query. Corpus-sized work is exactly two scans, both
+    scale-audited (posting filter, broadcast query vectors)."""
+    from k8e_fetch_spark.operators.text import bm25_scores_multi
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    qmap = {
+        0: ("scan", "merge", "vector"),
+        1: ("vector", "window"),
+        2: ("fast", "key", "merge"),
+    }
+    bm = bm25_scores_multi(docs, qmap, k1=1.2, b=0.75).select(
+        "q_id", "doc_id", round_fixed(F.col("bm25"), 4).alias("score")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm.withColumn("r_lex", F.row_number().over(wq).cast("int"))
+        .filter(F.col("r_lex") <= 20)
+        .select("q_id", "doc_id", "r_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    vec = (
+        cos.withColumn("r_vec", F.row_number().over(wq).cast("int"))
+        .filter(F.col("r_vec") <= 20)
+        .select("q_id", "doc_id", "r_vec")
+    )
+
+    fused = lex.join(vec, on=["q_id", "doc_id"], how="full_outer").select(
+        "q_id",
+        "doc_id",
+        round_fixed(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "r_lex",
+        "r_vec",
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "doc_id", "rrf", "r_lex", "r_vec")
+    )

@@ -966,3 +966,34 @@ def test_bm25_multi_duplicate_term_weighs_once(spark):
         for r in bm25_scores(docs, ("scan", "merge", "scan")).collect()
     }
     assert _rows(dup, 0) == single
+
+
+def test_hybrid_rrf_multi_pins_single_query_slice(spark):
+    """sim_hybrid_rrf_multi's q_id=0 slice must BIT-equal
+    sim_hybrid_rrf (same terms, same query vector, same rounding at
+    every stage) — the batched form is the production shape and the
+    single form is pinned as its slice (VERDICT r13 #5)."""
+    from k8e_fetch_spark.queries import REGISTRY, queries
+
+    queries()  # force registration
+    sf = "/root/testdata/sf0.001"
+    single = {
+        r.doc_id: (r.rrf, r.r_lex, r.r_vec)
+        for r in REGISTRY["sim_hybrid_rrf"].fn(spark, sf).collect()
+    }
+    multi = REGISTRY["sim_hybrid_rrf_multi"].fn(spark, sf).collect()
+    q0 = {r.doc_id: (r.rrf, r.r_lex, r.r_vec) for r in multi if r.q_id == 0}
+    assert q0 == single  # bit-identical, not approx
+    # all three queries produce full top-10 lists with sane rank fields
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert sorted(by_q) == [0, 1, 2]
+    for q, rows in by_q.items():
+        assert len(rows) == 10, q
+        assert all(
+            (r.r_lex is None or 1 <= r.r_lex <= 20)
+            and (r.r_vec is None or 1 <= r.r_vec <= 20)
+            and (r.r_lex is not None or r.r_vec is not None)
+            for r in rows
+        ), q

@@ -277,3 +277,100 @@ def test_pipeline_front_door_occ_format(spark, tmp_path):
         assert _rows(again[name], cols) == _rows(ref_components[name], cols)
         assert current_manifest(wh / name) == "manifest-000001.json"
     assert read_manifest_table(spark, wh / "c_name").count() == 5
+
+
+def test_pipeline_front_door_zorder_layout_all_formats(spark, tmp_path):
+    """VERDICT r13 #7: fetch→compress→zorder lifecycle from the front
+    door. zorder_by clusters each component that HAS the named columns
+    (string keys — the sampled range-id path), leaves the others in
+    their plain layout, and composes with compact_target_mb. Content
+    identity against the plain-parquet flow on every table format;
+    parquet additionally pins that the layout actually changed row
+    order within the rewritten files (clustered, not pass-through)."""
+    from k8e_fetch_spark.plans.snapshots import (
+        current_manifest,
+        current_snapshot,
+        read_manifest_table,
+        read_table,
+    )
+
+    ref = Pipeline(spark, DEFAULT_SPEC, str(tmp_path / "ref"))
+    ref_components = ref.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+    zcols = ["ncid", "last_name"]  # c_name has both; c_status has neither
+
+    for fmt in ("parquet", "snapshot", "manifest", "occ"):
+        wh = tmp_path / f"wh_z_{fmt}"
+        pipe = Pipeline(
+            spark,
+            DEFAULT_SPEC,
+            str(wh),
+            table_format=fmt,
+            compact_target_mb=64,
+            zorder_by=zcols,
+        )
+        components = pipe.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+        assert set(components) == set(ref_components), fmt
+        for name in components:
+            cols = sorted(ref_components[name].columns)
+            assert _rows(components[name], cols) == _rows(
+                ref_components[name], cols
+            ), (fmt, name)
+        tdir = wh / "c_name"
+        if fmt == "parquet":
+            assert not (tdir / "_CURRENT").exists()
+        elif fmt == "snapshot":
+            assert current_snapshot(tdir) is not None
+            assert read_table(spark, tdir).count() == 5
+        else:
+            assert current_manifest(tdir) is not None
+            assert read_manifest_table(spark, tdir).count() == 5
+
+    # the layout is real: on a larger synthetic component the rewritten
+    # parquet orders rows by the interleaved bucket key, not input order
+    from k8e_fetch_spark.operators.scale import (
+        range_bucket_id,
+        sampled_range_cuts,
+        write_zordered_auto,
+        zorder_key,
+    )
+
+    import random as _random
+
+    rng = _random.Random(13)
+    rows = [
+        (f"id{rng.randrange(500):04d}", rng.choice("abcdefgh") * 3) for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "ncid string, last_name string")
+    out = str(tmp_path / "zcheck")
+    write_zordered_auto(df, out, ["ncid", "last_name"], n_files=4)
+    back = spark.read.parquet(out)
+    k = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, back.collect()), key=k) == sorted(
+        map(tuple, df.collect()), key=k
+    )
+    cuts = sampled_range_cuts(df, ["ncid", "last_name"])
+    keyed = back.withColumn(
+        "_zk",
+        zorder_key(
+            [
+                range_bucket_id("ncid", cuts["ncid"]),
+                range_bucket_id("last_name", cuts["last_name"]),
+            ]
+        ),
+    )
+    import pyspark.sql.functions as _F
+
+    per_file = (
+        keyed.groupBy(_F.spark_partition_id().alias("pid"))
+        .agg(_F.min("_zk").alias("mn"), _F.max("_zk").alias("mx"))
+        .collect()
+    )
+    spans = sorted((r.mn, r.mx) for r in per_file)
+    assert len(spans) >= 3
+    # range-partitioned on the key: file spans are (near-)disjoint —
+    # each file covers a compact z segment, which is what footer
+    # min/max pruning exploits
+    overlaps = sum(
+        1 for a, b in zip(spans, spans[1:]) if b[0] <= a[1]
+    )
+    assert overlaps <= 1, spans
