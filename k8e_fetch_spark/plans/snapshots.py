@@ -44,6 +44,14 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from k8e_fetch_spark.plans.cas import (  # noqa: F401  (re-export: public API)
+    DEFAULT_CAS,
+    CasBackend,
+    ConditionalPutCas,
+    LinkCas,
+    ManifestConflictError,
+)
+
 _POINTER = "_CURRENT"
 
 
@@ -332,6 +340,7 @@ def checkpoint(
     table_dir: str | Path,
     n_files: int = 1,
     zorder_by: Sequence[str] | None = None,
+    cas: CasBackend | None = None,
 ) -> str:
     """Rewrite the live set into ONE compacted base directory and
     publish a manifest referencing only it — the Iceberg
@@ -375,7 +384,7 @@ def checkpoint(
     if occ:
         try:
             _commit_manifest_cas(
-                table_dir, manifest_name, json.dumps({"dirs": [base_name]})
+                table_dir, manifest_name, json.dumps({"dirs": [base_name]}), cas=cas
             )
         except ManifestConflictError:
             import shutil
@@ -481,10 +490,12 @@ def vacuum_manifest(
 # last-pointer-wins silently drops a committed merge. The fix is the
 # protocol Delta Lake uses on S3 and Iceberg uses against its catalog:
 # the VERSION NUMBER is the compare-and-swap token. A commit claims
-# `manifest-{N+1}` atomically (here: `os.link` from a fully-written
-# temp file — link fails with FileExistsError if the version is taken;
-# on an object store the same move is a conditional PUT / If-None-Match,
-# in a catalog it is the row CAS). The loser recomputes its delta
+# `manifest-{N+1}` atomically through the CAS seam (plans/cas.py):
+# LinkCas (default) hard-links a fully-written temp file — link fails
+# with FileExistsError if the version is taken; ConditionalPutCas is
+# the object-store form of the same claim (If-None-Match PUT, lost
+# race -> 409/412); a catalog row CAS slots in as another backend.
+# The loser recomputes its delta
 # against the NEW current table and retries — its abandoned delta dir
 # is unreachable garbage for vacuum_manifest, never corruption. Delta
 # dirs carry a per-writer suffix so concurrent writers can never write
@@ -503,9 +514,6 @@ _OCC_MARKER = "_OCC"
 # keeping local test garbage collectable by backdating mtimes.
 OCC_VACUUM_RETAIN_SECONDS = 24 * 3600.0
 
-
-class ManifestConflictError(RuntimeError):
-    """Another writer claimed the manifest version this commit targeted."""
 
 
 def _is_occ_table(table_dir: Path) -> bool:
@@ -535,23 +543,19 @@ def _max_valid_manifest(table_dir: Path) -> str | None:
     return None
 
 
-def _commit_manifest_cas(table_dir: Path, manifest_name: str, payload: str) -> None:
-    """Atomically claim ``manifest_name``: fully write a temp file,
-    then hard-link it to the final name — the link either creates the
-    name (commit wins) or fails because another writer claimed the
-    version first (ManifestConflictError). Readers can never observe a
-    torn manifest: the final name only ever appears fully written."""
-    table_dir = Path(table_dir)
-    tmp = table_dir / f".{manifest_name}.{os.getpid()}.{os.urandom(4).hex()}.tmp"
-    tmp.write_text(payload)
-    try:
-        os.link(tmp, table_dir / manifest_name)
-    except FileExistsError as e:
-        raise ManifestConflictError(
-            f"{manifest_name} already claimed in {table_dir}"
-        ) from e
-    finally:
-        tmp.unlink(missing_ok=True)
+def _commit_manifest_cas(
+    table_dir: Path,
+    manifest_name: str,
+    payload: str,
+    cas: CasBackend | None = None,
+) -> None:
+    """Atomically claim ``manifest_name`` through the CAS seam
+    (plans/cas.py). Default :class:`LinkCas` is the hard-link claim
+    the OCC tables shipped with; :class:`ConditionalPutCas` commits
+    through an object store's ``If-None-Match`` PUT. Either way the
+    claim wins exactly once — a taken version raises
+    :class:`ManifestConflictError` and the merge recomputes."""
+    (cas or DEFAULT_CAS).claim(Path(table_dir), manifest_name, payload)
 
 
 def merge_insert_ignore_occ(
@@ -560,6 +564,7 @@ def merge_insert_ignore_occ(
     new: DataFrame,
     *,
     max_retries: int = 3,
+    cas: CasBackend | None = None,
 ) -> str:
     """op-insert-ignore MERGE safe under CONCURRENT writers: the
     incremental manifest merge with a compare-and-swap commit. Each
@@ -626,7 +631,10 @@ def merge_insert_ignore_occ(
         manifest_name = f"manifest-{next_id:06d}.json"
         try:
             _commit_manifest_cas(
-                table_dir, manifest_name, json.dumps({"dirs": [*live, delta_name]})
+                table_dir,
+                manifest_name,
+                json.dumps({"dirs": [*live, delta_name]}),
+                cas=cas,
             )
             return manifest_name
         except ManifestConflictError as e:

@@ -317,7 +317,7 @@ def test_occ_lost_race_recomputes_and_preserves_both_writers(
     real_cas = snap._commit_manifest_cas
     state = {"raced": False}
 
-    def racy_cas(table_dir, manifest_name, payload):
+    def racy_cas(table_dir, manifest_name, payload, cas=None):
         if not state["raced"]:
             state["raced"] = True
             # the competitor lands its commit for the SAME version first
