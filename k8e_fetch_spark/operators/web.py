@@ -170,3 +170,86 @@ def sql_registered_domain_psl(host_expr: str) -> str:
         f"WHEN len({parts}) >= 2 THEN array_to_string({parts}[-2:], '.') "
         f"ELSE {host_expr} END"
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (r14): the dedup key the crawl pipelines cut on
+# FIRST. CCNet/C4-class corpora dedup at the URL level before any text
+# work; raw crawl URLs carry presentation noise (case, default ports,
+# fragments, tracking params, param order, trailing slashes) that
+# splits one logical page across many raw keys. Everything below is a
+# pure column expression — scan-local, whole-stage codegen, no UDF —
+# and the dedup itself is one hash aggregate on the canonical key.
+# --------------------------------------------------------------------------
+
+# scheme://host[:port][path][?query][#fragment] piecewise extractors
+SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+
+# query params that identify the CLICK, not the page
+TRACKING_PARAM_RE = r"^(utm_|fbclid=|gclid=)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL: lowercase scheme and host, default
+    port stripped (http:80 / https:443), fragment dropped, tracking
+    params (``utm_*``, ``fbclid``, ``gclid``) dropped, remaining query
+    params sorted bytewise, one trailing path slash stripped (so
+    ``/a/`` == ``/a`` and the bare-root ``/`` folds into the empty
+    path). Non-parsing URLs (no ``scheme://``) canonicalize to
+    ``'://'``-prefixed empties — filter upstream if they matter.
+
+    RE2-compatible patterns and engine-paired list functions only, so
+    :func:`sql_canonical_url` renders the identical rule for DuckDB."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, HOST_RE, 1))
+    port = F.regexp_extract(url, PORT_RE, 1)
+    path = F.regexp_replace(F.regexp_extract(url, PATH_RE, 1), r"/$", "")
+    qs = F.regexp_extract(url, QUERY_RE, 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    port_part = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda x: (x != F.lit("")) & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs_norm = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(qs_norm != F.lit(""), F.concat(F.lit("?"), qs_norm)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def sql_canonical_url(url_expr: str) -> str:
+    """DuckDB rendering of :func:`canonical_url` — generated from the
+    SAME regexes so the two engines cannot drift."""
+    scheme = f"lower(regexp_extract({url_expr}, '{SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({url_expr}, '{HOST_RE}', 1))"
+    port = f"regexp_extract({url_expr}, '{PORT_RE}', 1)"
+    path = f"regexp_replace(regexp_extract({url_expr}, '{PATH_RE}', 1), '/$', '')"
+    qs = f"regexp_extract({url_expr}, '{QUERY_RE}', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    qs_norm = (
+        f"array_to_string(list_sort(list_filter(string_split({qs}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || "
+        f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || {path} || "
+        f"(CASE WHEN {qs_norm} <> '' THEN '?' || {qs_norm} ELSE '' END)"
+    )

@@ -101,125 +101,110 @@ _PRIORITY = (
     # OLDEST current-form evidence; rotated-out ops keep their recorded
     # history plus per-session pytest parity
     # (tests/test_oracle_parity.py) as evidence. Rotation comments
-    # carry their round number (r7 post-mortem rule); the full
-    # per-round rationale for rounds 8-12 lives in git history of this
-    # block (r12 tree: a7c48c7).
+    # carry their round number (r7 post-mortem rule); per-round
+    # rationale for rounds 8-13 lives in git history of this block
+    # (r13 tree: 720f224).
     #
-    # ROUND-13 ROTATION (VERDICT r12 next-round #1/#2). Three groups:
+    # ROUND-14 ROTATION (VERDICT r13 next-round #1/#2). Groups:
     #
-    # KEEP (3): the three r12 first-row ops hold their seats for
-    # SECOND greens on unchanged-since-r12 forms —
-    # maintenance_compact_small_files, maintenance_zorder_layout,
-    # compress_insert_ignore_manifest. They are the only oracle-bearing
-    # rows below 2 greens; after a green window the whole 158-row
-    # oracle surface holds >=2 driver greens on current form and
-    # rotation becomes pure freshness maintenance (VERDICT r12 #1).
+    # KEEP (5): the five r13-new ops hold their seats for SECOND
+    # greens on unchanged forms (the only oracle-bearing rows below
+    # 2 greens) — after a green window the whole oracle surface holds
+    # >=2 driver greens on current form again (VERDICT r13 #1).
+    # NOTE: text_bm25_multi_topk's underlying bm25_scores_multi had
+    # the ADVICE r13 dup-term dedup applied post-r13-window (9c18a83),
+    # so its r14 seat doubles as the changed-code reseat.
     #
-    # OUT (47 of the r12 window): the 45 r3-r5 backfill reseats and the
-    # two r11-first-row queries (compress_insert_ignore_tx,
-    # stream_session_window_append) all took r12 greens — every one now
-    # holds >=2 greens on current form.
+    # NEW-CODE (1): sim_hybrid_rrf_multi (late-r13/early-r14 session:
+    # batched RRF fusion, 3eb91db) takes its first driver row.
     #
-    # IN (47): the longest-unseen oracle-bearing rows, oldest-first by
-    # last green round (computed from the CORRECTNESS_r01-r12 union):
-    # the 2 rows last green in ROUND 5 (text_language_id,
-    # text_stats_per_lang — displaced by the late-r12 swaps, 8 rounds
-    # stale, head of the queue per the r12 registry comment), the 6
-    # rows last green in ROUND 7 (corpus_source_profile,
-    # dedup_containment_ngram, mm_decode_features, sample_token_budget,
-    # sim_quantize_int8, text_tfidf_topk), the 4 rows last green in
-    # ROUND 8, the 9 rows last green in ROUND 9, and the first 26 (of
-    # 31, alphabetical) rows last green in ROUND 10. The five r10 rows
-    # left standing (tpch_q18/q20/q21/q2/q8) plus tpch_q9 and the r11
-    # block head the r14 queue. Every seat is oracle-bearing: the
-    # window stays 50/50 comparable. No code touched any of these
-    # query paths in r11-r13, so their r5-r10 oracle forms are the
-    # current forms.
+    # CHANGED-CODE RESEATS (3): the post-r13-window commits touched
+    # write_zordered/read_zordered (null sentinel + domain guard,
+    # 9c18a83; auto/string Z-order + front door, 3eb91db), the
+    # pipeline loader (_OCC memoized-rerun skip + zorder_by wiring,
+    # 391a7fd/3eb91db) and the snapshot/manifest vacuum (retention
+    # window, 391a7fd) — so maintenance_zorder_layout,
+    # pipeline_end_to_end and compress_insert_ignore_manifest reseat
+    # even though each took an r13 green (changed-code policy beats
+    # freshness).
     #
-    # SEAT COMPACTION (r11, VERDICT r10 #7): six planted twins plus
-    # text_decontaminate_ngram are NEVER_RESEAT (see below) — still
-    # registered and pytest-parity-checked, but their semantics are
-    # subsumed by seated natural-corpus full-oracle rows. Rotating
-    # surface after the r13 additions: 156 oracle-bearing rows (the
-    # rows-only pair agg_approx_sketches / text_compression_ratio
-    # cannot hold comparable seats by construction).
+    # BACKFILL r10 (11): the whole remaining ROUND-10 cohort —
+    # the five rows displaced by the late-r13 seats plus
+    # tpch_q17/q18/q20/q21/q2/q8/q9 (VERDICT r13 #2 names all of
+    # them; 4 rounds stale).
     #
-    # LATE-R13 AMENDMENT: the session added FIVE new oracle-bearing ops
-    # (mm_jvm_image_decode, text_bm25_search, sim_hybrid_rrf,
-    # compress_insert_ignore_occ, text_bm25_multi_topk — registry now
-    # 165 declared / 163 oracle-bearing). Changed/new-code policy seats
-    # all five for first greens; to keep the window at 50 comparable
-    # seats, the LAST five alphabetical r10-backfill rows yielded
-    # (tpch_q17_small_quantity, text_pii_scrub, text_line_cleaning,
-    # stream_enrich_dimension, text_decontaminate_bloom — so 21 of the
-    # 31 r10 rows keep r13 seats) and join the r14 queue ahead of
-    # tpch_q18/q20/q21/q2/q8.
+    # NEW-CODE AMENDMENT (mid-r14): the session added TWO new
+    # oracle-bearing ops (join_interval_overlap — bucketed
+    # interval-overlap join, web_url_canonical_dedup — URL
+    # canonicalization dedup). Changed/new-code policy seats both for
+    # first greens; to keep 50 comparable seats the LAST two
+    # alphabetical r11-backfill rows yielded (sim_topk_pq_trained,
+    # stream_session_window) and head the r15 queue.
     #
-    # -- first driver rows for the r13-new ops (changed/new-code policy) --
+    # BACKFILL r11 (28): the first 28 alphabetical of the 48 rows
+    # last green in ROUND 11; the remaining 20 (sim_topk_pq_trained,
+    # stream_session_window, string_funcs_parts,
+    # text_bpe_apply, text_bpe_learn_merges, text_domain_filter,
+    # text_lm_perplexity_filter, text_winnowing_fingerprint,
+    # top_customers_by_revenue + the eleven r11 tpch variants
+    # q11/q12/q13/q14/q15/q16/q19/q22/q4/q6/q7) head the r15 queue.
+    # Every seat is oracle-bearing: the window stays 50/50 comparable.
+    #
+    # -- second greens for the r13-new ops (KEEP) --
     "mm_jvm_image_decode",
     "text_bm25_search",
     "sim_hybrid_rrf",
     "compress_insert_ignore_occ",
     "text_bm25_multi_topk",
-    # -- second greens for the three r12 first-row ops (VERDICT r12 #1) --
-    "maintenance_compact_small_files",
+    # -- first driver rows: new code (changed/new-code policy) --
+    "sim_hybrid_rrf_multi",
+    "join_interval_overlap",
+    "web_url_canonical_dedup",
+    # -- changed-code reseats (post-r13-window commits) --
     "maintenance_zorder_layout",
-    "compress_insert_ignore_manifest",
-    # -- backfill: the 2 rows last green in ROUND 5 (VERDICT r12 #2) --
-    "text_language_id",
-    "text_stats_per_lang",
-    # -- backfill: the 6 rows last green in ROUND 7 --
-    "corpus_source_profile",
-    "dedup_containment_ngram",
-    "mm_decode_features",
-    "sample_token_budget",
-    "sim_quantize_int8",
-    "text_tfidf_topk",
-    # -- backfill: the 4 rows last green in ROUND 8 --
-    "corpus_split_assign",
-    "stream_join_attribution",
-    "text_shingle_novelty",
-    "text_vocabulary",
-    # -- backfill: the 9 rows last green in ROUND 9 --
-    "dedup_cluster_keep_best",
-    "dedup_paragraphs",
-    "events_funnel_conversion",
     "pipeline_end_to_end",
-    "stream_dedup_redelivery",
-    "text_repetition_filter",
-    "text_sequence_packing",
-    "text_unigram_logprob",
-    "tpch_q10_returned_items",
-    # -- backfill: 26 of the 31 rows last green in ROUND 10 --
-    "corpus_clean_mix_pipeline",
-    "dedup_apply_retention",
-    "dedup_cross_source_overlap",
-    "dedup_incremental_minhash",
-    "dedup_incremental_snapshot",
-    "dedup_substring_spans",
-    "events_retention_cohort",
-    "join_salted_skew",
-    "mm_decode_audio_real",
-    "mm_decode_gif_real",
-    "mm_decode_jpeg_real",
-    "mm_decode_png_variants",
-    "mm_decode_real",
-    "mm_gif_frame_stats",
-    "mm_resize_real",
-    "quality_constraint_checks",
-    "sample_source_temperature",
-    "sim_hybrid_search",
-    "sim_topk_ivf_trained",
-    "sim_topk_ivfpq_adc",
-    "sim_topk_pq_adc",
-    # (text_decontaminate_bloom + stream_enrich_dimension +
-    # text_line_cleaning + text_pii_scrub + tpch_q17_small_quantity —
-    # displaced by the r13-new mm_jvm_image_decode / text_bm25_search /
-    # sim_hybrid_rrf / compress_insert_ignore_occ /
-    # text_bm25_multi_topk seats — plus tpch_q18_large_volume,
-    # tpch_q20_potential_promotion, tpch_q21_waiting_supplier,
-    # tpch_q2_min_cost_supplier, tpch_q8_market_share head the r14
-    # backfill queue)
+    "compress_insert_ignore_manifest",
+    # -- backfill: the 11 rows last green in ROUND 10 --
+    "stream_enrich_dimension",
+    "text_decontaminate_bloom",
+    "text_line_cleaning",
+    "text_pii_scrub",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # -- backfill: 28 of the 48 rows last green in ROUND 11 --
+    "agg_percentiles",
+    "agg_statistics",
+    "bag_set_ops_orders",
+    "catalog_flatten_tree",
+    "correlated_min_supplier",
+    "date_arithmetic_orders",
+    "dedup_clusters_minhash",
+    "dedup_minhash_lsh",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "disjunctive_part_filter",
+    "events_json_extract",
+    "exists_late_shipments",
+    "having_big_orders",
+    "join_anti_customers",
+    "join_bucketed_colocated",
+    "join_semi_customers",
+    "mm_decode_video_real",
+    "null_semantics_customer",
+    "orders_by_month",
+    "pivot_event_types",
+    "profile_customer_table",
+    "sample_dsir_importance",
+    "scalar_subquery_rich_idle",
+    "set_ops_customers",
+    "sim_cosine_lsh",
+    "sim_kmeans_assign",
+    "sim_topk_ivf",
 )
 
 

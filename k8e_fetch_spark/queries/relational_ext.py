@@ -965,3 +965,72 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.lit(100.0)).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+                   event_type, value
+            FROM events
+        ),
+        visits AS (
+            SELECT event_id AS vid, es AS v_start,
+                   es + LEAST(CAST(FLOOR(value * 60) AS BIGINT), 7200) AS v_end
+            FROM ev WHERE event_type = 'view'
+        ),
+        outages AS (
+            SELECT event_id AS oid, es AS o_start, es + 1800 AS o_end
+            FROM ev WHERE event_type = 'error'
+        )
+        SELECT oid, count(*) AS n_visits,
+               CAST(sum(LEAST(v_end, o_end) - GREATEST(v_start, o_start)) AS BIGINT)
+                   AS overlap_seconds,
+               min(vid) AS first_vid
+        FROM outages JOIN visits
+          ON v_start <= o_end AND o_start <= v_end
+        GROUP BY oid
+    """,
+    tags=("ext-typed-relational", "range-join", "interval-overlap"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval-overlap join, bucketed: view events become
+    visit intervals ``[ts, ts + value minutes]`` (capped at 2 h — the
+    cap bounds the bin-explode factor, see operators/intervals.py),
+    error events become 30-minute outage windows; for each outage,
+    count the overlapping visits and total overlap seconds.
+
+    Unlike join_range_price_bands (tiny broadcast side), BOTH sides
+    here grow with the data, so the non-equi predicate must not reach
+    the join strategy: interval_overlap_join turns it into a hash
+    equi-join on 1-hour epoch bins with the exact predicate as a
+    post-filter and first-shared-bin dedup (no distinct). The oracle
+    is the plain inequality join DuckDB runs natively (IEJoin)."""
+    from k8e_fetch_spark.operators.intervals import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    es = F.floor(F.col("ts").cast("double")).cast("long")
+    visits = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        es.alias("v_start"),
+        (es + F.least(F.floor(F.col("value") * 60).cast("long"), F.lit(7200))).alias(
+            "v_end"
+        ),
+    )
+    outages = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("oid"),
+        es.alias("o_start"),
+        (es + F.lit(1800)).alias("o_end"),
+    )
+    pairs = interval_overlap_join(
+        visits, outages, "v_start", "v_end", "o_start", "o_end", bin_width=3600
+    )
+    return pairs.groupBy("oid").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum(
+            F.least(F.col("v_end"), F.col("o_end"))
+            - F.greatest(F.col("v_start"), F.col("o_start"))
+        ).alias("overlap_seconds"),
+        F.min("vid").alias("first_vid"),
+    )

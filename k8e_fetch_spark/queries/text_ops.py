@@ -2316,3 +2316,93 @@ def text_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "doc_id", "rank", "score")
     )
+
+
+def _url_canonical_oracle() -> str:
+    from k8e_fetch_spark.operators.web import sql_canonical_url
+
+    return f"""
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM' ELSE 'example.com' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+               || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+               || '?'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN 'utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR) || '&'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0
+                        THEN 'b=2&a=' || CAST((doc_id % 200) % 7 AS VARCHAR)
+                        ELSE 'a=' || CAST((doc_id % 200) % 7 AS VARCHAR) || '&b=2' END)
+               || (CASE WHEN doc_id % 7 = 0
+                        THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+               AS url
+        FROM documents
+    )
+    SELECT {sql_canonical_url("url")} AS canonical_url,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_dupes
+    FROM urls
+    GROUP BY canonical_url
+    """
+
+
+@register(
+    "web_url_canonical_dedup",
+    oracle=_url_canonical_oracle(),
+    tags=("ext-text-stats", "web-curation", "dedup"),
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the first cut of a crawl pipeline: canonicalize
+    raw URLs (operators/web.py:canonical_url — case, default ports,
+    fragments, tracking params, param order, trailing slash) and keep
+    the first document per canonical key.
+
+    The documents table carries no URL column, so raw URLs are planted
+    deterministically from doc_id with every noise axis the
+    canonicalizer must fold (mixed-case scheme/host, :80, utm_*
+    click-ids that differ per doc inside one group, shuffled param
+    order, fragments, trailing slashes); group-keyed ``a=`` params vary
+    across groups so sorting is exercised, and distinct raw URLs
+    collapse into exactly 200 canonical groups at every SF. Scale: canonicalization
+    is a scan-local expression (no UDF); the dedup is ONE hash
+    aggregate on the canonical key — same shape at 100 TB."""
+    from k8e_fetch_spark.operators.web import canonical_url
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = (d % 200).cast("string")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("Example.COM")).otherwise(F.lit("example.com")),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        g,
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("utm_source=feed&utm_id="), d.cast("string"), F.lit("&")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("b=2&a="), ((d % 200) % 7).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("a="), ((d % 200) % 7).cast("string"), F.lit("&b=2"))
+        ),
+        F.when(d % 7 == 0, F.concat(F.lit("#sec"), d.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.select(d.alias("doc_id"), canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )

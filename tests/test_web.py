@@ -107,3 +107,47 @@ def test_registered_domain_psl_fold(spark):
         ).fetchone()[0]
         assert got == want, (host, got, want)
     con.close()
+
+
+CANON_CASES = [
+    # (raw, canonical) — each axis the canonicalizer must fold
+    ("HTTP://WWW.Example.COM:80/A/b/", "http://www.example.com/A/b"),
+    ("http://www.example.com/A/b", "http://www.example.com/A/b"),
+    ("https://h.io:443/x?b=2&a=1", "https://h.io/x?a=1&b=2"),
+    ("https://h.io:8443/x?a=1&b=2", "https://h.io:8443/x?a=1&b=2"),
+    ("http://h.io:8080/", "http://h.io:8080"),
+    ("http://h.io/p?utm_source=f&utm_id=9&id=3#frag", "http://h.io/p?id=3"),
+    ("http://h.io/p?fbclid=XYZ&gclid=1", "http://h.io/p"),
+    ("http://h.io/?", "http://h.io"),
+    ("http://h.io", "http://h.io"),
+    # path case is NOT folded (case-significant per RFC 3986); only
+    # scheme/host are
+    ("hTtPs://MiXeD.Io/KeepCase", "https://mixed.io/KeepCase"),
+    # utm_ prefix match must not eat a legit 'utmost' param
+    ("http://h.io/p?utmost=1&z=2", "http://h.io/p?utmost=1&z=2"),
+]
+
+
+def test_canonical_url_pinned_cases(spark):
+    from k8e_fetch_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CANON_CASES)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_sql_canonical_url_twin_matches_spark(spark):
+    """The DuckDB rendering is generated from the same regexes; run it
+    on the same fixtures and require bit equality with the Spark side
+    (the drift guard every paired operator carries)."""
+    import duckdb
+
+    from k8e_fetch_spark.operators.web import sql_canonical_url
+
+    con = duckdb.connect()
+    expr = sql_canonical_url("url")
+    for raw, want in CANON_CASES:
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS url)", [raw]).fetchone()[0]
+        assert got == want, (raw, got, want)
