@@ -1,0 +1,94 @@
+"""MMR (maximal marginal relevance) re-ranking — the diversification
+pass a retrieval stack runs AFTER scoring (Carbonell & Goldstein 1998):
+greedily pick the candidate maximizing
+``lam * rel(d) - mu * max_{s in chosen} sim(d, s)``,
+so near-duplicate hits stop crowding the top-k.
+
+Execution shape: MMR is inherently sequential *per query* (each pick
+depends on the set chosen so far) but embarrassingly parallel *across
+queries* — exactly ``applyInPandas``'s contract. Each group is one
+query's bounded candidate pool (top-N from any retrieval leg, N tens
+not thousands) carried as (rel, pairwise-sim) rows; the greedy loop
+runs on ≤N² numbers inside one Arrow batch. At 100 TB the corpus-sized
+work (scoring, top-N cut) happens upstream in scan/TakeOrdered stages;
+this operator only ever touches pools, distributed one group per task
+across however many queries the batch carries. The driver sees
+nothing.
+
+Float-parity contract (the DuckDB oracle runs the same greedy as a
+recursive CTE): ``rel`` and ``sim`` arrive PRE-ROUNDED, and ``mu`` is
+an explicit parameter — NEVER computed as ``1 - lam`` (``1 - 0.7`` is
+``0.30000000000000004`` in binary float; the SQL literal ``0.3`` is
+not). With identical operands, ``lam*rel - mu*max_sim`` is the same
+IEEE double on both engines, so argmax decisions agree bit-for-bit;
+ties break on doc_id.
+
+Reference parity: no counterpart in k8e-fetch; part of the
+similarity-search extension surface (SURVEY.md §2.6, ext-topk-sim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = "q_id int, rank int, doc_id bigint, mmr double"
+
+
+def mmr_rerank(
+    rel: DataFrame,
+    sims: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Greedy MMR over per-query candidate pools.
+
+    ``rel``: (q_id int, doc_id, rel double) — the pool with retrieval
+    scores, pre-rounded. ``sims``: (q_id int, ad, bd, sim double) —
+    pairwise similarities within each pool for ``ad != bd``,
+    pre-rounded (symmetric pairs both ways, or rely on max over the
+    present direction — the query below ships both). Returns
+    (q_id, rank, doc_id, mmr): rank 1 is the pure-relevance anchor
+    (its mmr IS its rel); ranks 2..k carry the marginal score. Pools
+    smaller than ``k`` return their full size.
+    """
+    import pandas as pd
+
+    payload = rel.join(
+        sims,
+        (rel["q_id"] == sims["q_id"]) & (rel["doc_id"] == sims["ad"]),
+        "left",
+    ).select(rel["q_id"], rel["doc_id"], rel["rel"], sims["bd"], sims["sim"])
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = int(pdf["q_id"].iloc[0])
+        pool = (
+            pdf[["doc_id", "rel"]]
+            .drop_duplicates("doc_id")
+            .sort_values(["rel", "doc_id"], ascending=[False, True])
+        )
+        rels = dict(zip(pool["doc_id"], pool["rel"]))
+        sim = {}
+        for a, b, s in zip(pdf["doc_id"], pdf["bd"], pdf["sim"]):
+            if pd.notna(s):
+                sim[(int(a), int(b))] = float(s)
+        # anchor: pure relevance, doc_id tie-break (pool is pre-sorted)
+        first = int(pool["doc_id"].iloc[0])
+        chosen = [first]
+        out = [(q, 1, first, float(rels[first]))]
+        remaining = set(int(d) for d in pool["doc_id"]) - {first}
+        while remaining and len(chosen) < k:
+            best = None
+            for d in sorted(remaining):  # ascending: first win keeps low id
+                max_sim = max(sim.get((d, c), 0.0) for c in chosen)
+                score = lam * rels[d] - mu * max_sim
+                if best is None or score > best[0]:
+                    best = (score, d)
+            score, d = best
+            chosen.append(d)
+            out.append((q, len(chosen), d, float(score)))
+            remaining.discard(d)
+        return pd.DataFrame(out, columns=["q_id", "rank", "doc_id", "mmr"])
+
+    return payload.groupBy("q_id").applyInPandas(greedy, _OUT_SCHEMA)

@@ -133,17 +133,19 @@ _PRIORITY = (
     # tpch_q17/q18/q20/q21/q2/q8/q9 (VERDICT r13 #2 names all of
     # them; 4 rounds stale).
     #
-    # NEW-CODE AMENDMENT (mid-r14): the session added TWO new
+    # NEW-CODE AMENDMENT (mid-r14): the session added THREE new
     # oracle-bearing ops (join_interval_overlap — bucketed
     # interval-overlap join, web_url_canonical_dedup — URL
-    # canonicalization dedup). Changed/new-code policy seats both for
-    # first greens; to keep 50 comparable seats the LAST two
-    # alphabetical r11-backfill rows yielded (sim_topk_pq_trained,
-    # stream_session_window) and head the r15 queue.
+    # canonicalization dedup, sim_topk_mmr — MMR diversification via
+    # applyInPandas vs a recursive-CTE oracle). Changed/new-code
+    # policy seats all three for first greens; to keep 50 comparable
+    # seats the LAST three alphabetical r11-backfill rows yielded
+    # (sim_topk_ivf, sim_topk_pq_trained, stream_session_window) and
+    # head the r15 queue.
     #
-    # BACKFILL r11 (28): the first 28 alphabetical of the 48 rows
-    # last green in ROUND 11; the remaining 20 (sim_topk_pq_trained,
-    # stream_session_window, string_funcs_parts,
+    # BACKFILL r11 (27): the first 27 alphabetical of the 48 rows
+    # last green in ROUND 11; the remaining 21 (sim_topk_ivf,
+    # sim_topk_pq_trained, stream_session_window, string_funcs_parts,
     # text_bpe_apply, text_bpe_learn_merges, text_domain_filter,
     # text_lm_perplexity_filter, text_winnowing_fingerprint,
     # top_customers_by_revenue + the eleven r11 tpch variants
@@ -160,6 +162,7 @@ _PRIORITY = (
     "sim_hybrid_rrf_multi",
     "join_interval_overlap",
     "web_url_canonical_dedup",
+    "sim_topk_mmr",
     # -- changed-code reseats (post-r13-window commits) --
     "maintenance_zorder_layout",
     "pipeline_end_to_end",
@@ -176,7 +179,7 @@ _PRIORITY = (
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- backfill: 28 of the 48 rows last green in ROUND 11 --
+    # -- backfill: 27 of the 48 rows last green in ROUND 11 --
     "agg_percentiles",
     "agg_statistics",
     "bag_set_ops_orders",
@@ -204,7 +207,6 @@ _PRIORITY = (
     "set_ops_customers",
     "sim_cosine_lsh",
     "sim_kmeans_assign",
-    "sim_topk_ivf",
 )
 
 

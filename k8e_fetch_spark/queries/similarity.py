@@ -2382,3 +2382,103 @@ def sim_hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("q_id", "doc_id", "rrf", "r_lex", "r_vec")
     )
+
+
+_MMR_ORACLE = f"""
+WITH RECURSIVE
+cands AS (
+    SELECT c.vec_id AS doc_id,
+           {sql_round(sql_cosine('q.embedding', 'c.embedding'), 6)} AS rel,
+           c.embedding AS emb
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> 0
+    WHERE q.vec_id = 0
+    ORDER BY rel DESC, doc_id
+    LIMIT 30
+),
+sims AS (
+    SELECT a.doc_id AS ad, b.doc_id AS bd,
+           {sql_round(sql_cosine('a.emb', 'b.emb'), 6)} AS sim
+    FROM cands a JOIN cands b ON a.doc_id <> b.doc_id
+),
+sel AS (
+    SELECT 1 AS rank, doc_id, rel AS mmr, [doc_id] AS chosen
+    FROM (SELECT doc_id, rel FROM cands ORDER BY rel DESC, doc_id LIMIT 1)
+    UNION ALL
+    SELECT sel.rank + 1, pick.doc_id, pick.mmr,
+           list_append(sel.chosen, pick.doc_id)
+    FROM sel, LATERAL (
+        SELECT c.doc_id AS doc_id,
+               0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+        FROM cands c JOIN sims s
+          ON s.ad = c.doc_id AND list_contains(sel.chosen, s.bd)
+        WHERE NOT list_contains(sel.chosen, c.doc_id)
+        GROUP BY c.doc_id, c.rel
+        ORDER BY mmr DESC, doc_id
+        LIMIT 1
+    ) pick
+    WHERE sel.rank < 10
+)
+SELECT CAST(rank AS INT) AS rank, doc_id,
+       {sql_round('mmr', 6)} AS mmr_score
+FROM sel
+"""
+
+
+@register(
+    "sim_topk_mmr",
+    oracle=_MMR_ORACLE,
+    tags=("ext-topk-sim", "mmr", "diversification"),
+)
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/rerank.py) of the dense leg's
+    top-30 pool for query vec_id=0: greedy top-10 by
+    ``0.7*rel - 0.3*max-sim-to-chosen``, the re-rank that stops
+    near-duplicate hits crowding the cut. Completes the retrieval
+    stack's post-processing: fusion (sim_hybrid_rrf*) merges legs,
+    MMR diversifies the merged pool.
+
+    Scale shape: the corpus-sized stage is the candidate scan +
+    TakeOrdered top-30 (same plan as sim_topk_cosine_exact's leg);
+    pairwise sims are pool-bounded (30x30 broadcast self-join); the
+    sequential greedy runs per-query inside applyInPandas — one
+    bounded Arrow group per query, parallel ACROSS queries, nothing
+    at the driver. Float parity with the recursive-CTE oracle per
+    operators/rerank.py's contract (pre-rounded inputs, mu=0.3
+    explicit, doc_id ties)."""
+    from k8e_fetch_spark.operators.rerank import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "rel"
+            ),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(30)
+    )
+    a = pool.select(
+        F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a")
+    )
+    b = pool.select(
+        F.col("doc_id").alias("bd"), F.col("embedding").alias("emb_b")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ad") != F.col("bd"))
+        .select(
+            F.lit(0).alias("q_id"),
+            "ad",
+            "bd",
+            round_fixed(cosine_arrow(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+    )
+    rel = pool.select(F.lit(0).alias("q_id"), "doc_id", "rel")
+    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    return out.select(
+        "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
+    )

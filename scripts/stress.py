@@ -97,6 +97,18 @@ PROBES = [
     # measures the decode+checksum scan itself; zero shuffles, the
     # curve should be ~linear in file count
     "mm_jvm_image_decode",
+    # r14: URL canonicalization dedup (scan-local expression + one hash
+    # aggregate on the canonical key; the id shift is a multiple of the
+    # 200-group modulus, so groups deepen 20x rather than multiply)
+    "web_url_canonical_dedup",
+    # r14: MMR diversification — corpus-sized stage is the top-30
+    # candidate scan; pairwise sims + greedy are pool-bounded, so the
+    # curve should track the scan. NOTE join_interval_overlap is NOT
+    # probed by registry name: replication lands 20x the events in the
+    # SAME 30-day window, so the TRUE pair count grows ~N^2 (x400) —
+    # the dedicated lower-N curve is recorded in SCALE.md instead
+    # (same treatment as dedup_semantic_semdedup).
+    "sim_topk_mmr",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
