@@ -11,7 +11,7 @@ you want at 100 TB (backfill and live path share one query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.rounding import round_fixed
@@ -536,3 +536,74 @@ def stream_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_fixed(F.col("total_value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, event_type, value,
+                   count(value) OVER w AS n,
+                   sum(value) OVER w AS s,
+                   sum(value * value) OVER w AS ss
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+            )
+        ),
+        scored AS (
+            SELECT event_id, event_type,
+                   floor((value - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                         * 10000.0 + 0.5) / 10000.0 AS z_score
+            FROM stats
+            WHERE n >= 10 AND (ss - s * s / n) / (n - 1) > 0
+        )
+        SELECT event_id, event_type, z_score
+        FROM scored WHERE abs(z_score) > 3.0
+    """,
+    tags=("ext-stream-window", "anomaly", "zscore"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly gate: per event_type, z-score each
+    event's value against the PREVIOUS 20 events (min 10 — the
+    warm-up guard) and flag |z| > 3 — the monitoring primitive a
+    streaming deployment runs as a stateful operator, declared here in
+    its batch-window form (the stream_* rows carry the availableNow
+    machinery; per SURVEY §5 the batch twin is what the oracle can
+    check).
+
+    Float-parity: mean/variance come from EXPLICIT n/sum/sum-sq frame
+    aggregates — identical formulas on both engines — with z rounded
+    to 4 dp BEFORE the threshold compare, so a segment-tree vs
+    recompute summation-order wobble in the engines' window internals
+    cannot flip a flag. Zero-variance frames are excluded on both
+    sides (division, not NaN semantics). Scale: ONE keyed shuffle on
+    event_type; the frame is 20 rows per task regardless of corpus
+    size (bounded sliding state — the same contract as the streaming
+    form); at real scale the partition key widens to (entity, day) to
+    keep partitions bounded."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    stats = events.select(
+        "event_id",
+        "event_type",
+        v.alias("value"),
+        F.count(v).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    scored = stats.filter((F.col("n") >= 10) & (var > 0)).select(
+        "event_id",
+        "event_type",
+        round_fixed(
+            (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var), 4
+        ).alias("z_score"),
+    )
+    return scored.filter(F.abs(F.col("z_score")) > 3.0)

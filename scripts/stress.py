@@ -109,6 +109,9 @@ PROBES = [
     # the dedicated lower-N curve is recorded in SCALE.md instead
     # (same treatment as dedup_semantic_semdedup).
     "sim_topk_mmr",
+    # r14: trailing-window z-score anomaly gate (one keyed shuffle on
+    # event_type; 20-row frame per task regardless of corpus size)
+    "events_anomaly_zscore",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
