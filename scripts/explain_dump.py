@@ -59,6 +59,10 @@ SHOWCASE = [
     ("mm_jvm_image_decode", "JVM-native media decode (r13): the scan node IS the decoder — `Scan image` runs javax.imageio inside the executor JVM, so dims, channel count and the SWAR byte-sum (one conv per 7-byte chunk + shift/mask folds, visible as pure codegen in the Project) come off decoded pixels with ZERO Python workers and ZERO Exchange anywhere in the plan"),
     ("text_bm25_search", "BM25 lexical retrieval (r13): the inverted-index discipline relationally — tokenize + the posting filter (token IN query terms) run INSIDE the scan stage, so only the query's own posting rows reach the first Exchange; df and (N, avgdl) ride broadcast aggregates; the cutoff is TakeOrderedAndProject on the rounded score (no global sort)"),
     ("sim_hybrid_rrf", "RRF hybrid retrieval (r13): each leg (BM25 lexical, exact cosine with the broadcast query vector) ends in TakeOrderedAndProject — per-partition heaps, no global sort exchange; the rank windows then run over EXACTLY 20 rows per leg, and the fusion join is 20x20 — nothing corpus-sized past the two scans"),
+    ("join_interval_overlap", "interval-overlap join (r14): the non-equi overlap condition never reaches the join strategy — both sides explode into 1-hour epoch bins scan-local, the join is a plain hash/sort-merge EQUI-join on the bin id with the exact overlap predicate and the first-shared-bin dedup as post-join filters (no distinct, no CartesianProduct, no BroadcastNestedLoop)"),
+    ("web_url_canonical_dedup", "URL canonicalization dedup (r14): the whole canonical rule (case folds, default-port strip, fragment/tracking drop, array_sort over split params, trailing-slash fold) is ONE scan-side codegen Project; the only Exchange is the hash aggregate on the canonical key"),
+    ("sim_topk_mmr", "MMR diversification (r14): candidate top-30 is TakeOrderedAndProject off the scored scan; pairwise sims a pool-bounded broadcast self-join; the sequential greedy is the ONE ArrowEvalPython/FlatMapGroupsInPandas node, fed by a single q_id exchange over pool-sized rows — the corpus never reaches Python"),
+    ("events_anomaly_zscore", "windowed z-score anomaly gate (r14): ONE event_type exchange; the 20-row trailing frame computes explicit n/sum/sum-sq in the Window node (no engine stddev), z + threshold are scan-side projections after it"),
 ]
 
 
