@@ -83,6 +83,17 @@ HEADLINE = [
     # closed form instead of decoding 5000 PNGs, so a ratio would price
     # real decode work against arithmetic.
     "text_bm25_search",
+    # round-14 flagships. All three are apples-to-apples with their
+    # oracles (identical semantics both engines): interval overlap prices
+    # the bin equi-join vs DuckDB's native IEJoin, URL dedup the codegen
+    # canonical expression vs DuckDB's list functions, the anomaly gate
+    # the 20-row-frame window vs DuckDB's window engine. sim_topk_mmr is
+    # NOT seated: its oracle is a 30-doc recursive CTE after the same
+    # top-30 scan — both engines' wall is the scan, so the row would
+    # re-price sim_topk_cosine_exact's leg twice.
+    "join_interval_overlap",
+    "web_url_canonical_dedup",
+    "events_anomaly_zscore",
 ]
 
 
