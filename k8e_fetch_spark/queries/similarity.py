@@ -2482,3 +2482,117 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )
+
+
+_MMR_MULTI_ORACLE = f"""
+WITH RECURSIVE
+qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+    SELECT q.q_id, c.vec_id AS doc_id,
+           {sql_round(sql_cosine('c.embedding', 'q.q'), 6)} AS rel,
+           c.embedding AS emb
+    FROM embeddings c CROSS JOIN qv q WHERE c.vec_id != q.q_id
+),
+cands AS (
+    SELECT q_id, doc_id, rel, emb FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 30
+),
+sims AS (
+    SELECT a.q_id, a.doc_id AS ad, b.doc_id AS bd,
+           {sql_round(sql_cosine('a.emb', 'b.emb'), 6)} AS sim
+    FROM cands a JOIN cands b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id
+),
+sel AS (
+    SELECT q_id, 1 AS rank, doc_id, rel AS mmr, [doc_id] AS chosen FROM (
+        SELECT q_id, doc_id, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS rnk
+        FROM cands
+    ) WHERE rnk = 1
+    UNION ALL
+    SELECT sel.q_id, sel.rank + 1, pick.doc_id, pick.mmr,
+           list_append(sel.chosen, pick.doc_id)
+    FROM sel, LATERAL (
+        SELECT c.doc_id AS doc_id, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+        FROM cands c JOIN sims s
+          ON s.q_id = sel.q_id AND s.ad = c.doc_id AND list_contains(sel.chosen, s.bd)
+        WHERE c.q_id = sel.q_id AND NOT list_contains(sel.chosen, c.doc_id)
+        GROUP BY c.doc_id, c.rel
+        ORDER BY mmr DESC, doc_id
+        LIMIT 1
+    ) pick
+    WHERE sel.rank < 10
+)
+SELECT q_id, CAST(rank AS INT) AS rank, doc_id, {sql_round('mmr', 6)} AS mmr_score
+FROM sel
+"""
+
+
+@register(
+    "sim_topk_mmr_multi",
+    oracle=_MMR_MULTI_ORACLE,
+    tags=("ext-topk-sim", "mmr", "diversification", "multi-query"),
+)
+def sim_topk_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification for a BATCH of three queries (vec_id 0/1/2)
+    in one pass — the production shape of :func:`sim_topk_mmr`, and
+    the batch symmetry the retrieval stack now keeps throughout
+    (bm25_scores_multi, sim_hybrid_rrf_multi, this). ONE corpus scan
+    scores every query against the broadcast 3-row query-vector table
+    (per-query self-exclusion, same rule as sim_hybrid_rrf_multi);
+    per-query top-30 pools cut by a WindowGroupLimit-compiling rank
+    filter; pairwise sims and the sequential greedy are pool-bounded,
+    with applyInPandas distributing one query's greedy per task.
+
+    q_id 0 is EXACTLY sim_topk_mmr's query (same corpus exclusion,
+    same rounding at every stage), so the single form is pinned in
+    pytest as this row's q_id=0 slice — bit equality
+    (tests/test_rerank.py)."""
+    from k8e_fetch_spark.operators.rerank import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").cast("int").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "rel"
+            ),
+            "embedding",
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 30)
+        .drop("rnk")
+    )
+    a = pool.select("q_id", F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a"))
+    b = pool.select(
+        F.col("q_id").alias("q_id_b"),
+        F.col("doc_id").alias("bd"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sims = (
+        a.join(
+            F.broadcast(b),
+            (F.col("q_id") == F.col("q_id_b")) & (F.col("ad") != F.col("bd")),
+        )
+        .select(
+            "q_id",
+            "ad",
+            "bd",
+            round_fixed(cosine_arrow(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+    )
+    rel = pool.select("q_id", "doc_id", "rel")
+    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    return out.select(
+        "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
+    )

@@ -115,3 +115,23 @@ def test_matches_independent_python_reference_on_seeded_pool(spark):
     assert [(rank, d, m) for _, rank, d, m in got] == [
         (rank, d, round(m, 9)) for rank, d, m in expect
     ]
+
+
+def test_multi_q0_slice_bit_equals_single_form(spark):
+    """sim_topk_mmr_multi's q_id=0 slice must BIT-equal sim_topk_mmr
+    (same corpus exclusion, same rounding at every stage) — the batch
+    form is the single form run three times, not a reimplementation."""
+    from k8e_fetch_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    single = {
+        (r["rank"], r["doc_id"]): r["mmr_score"]
+        for r in REGISTRY["sim_topk_mmr"].fn(spark, sf).collect()
+    }
+    multi = {
+        (r["rank"], r["doc_id"]): r["mmr_score"]
+        for r in REGISTRY["sim_topk_mmr_multi"].fn(spark, sf).collect()
+        if r["q_id"] == 0
+    }
+    assert multi == single and len(single) == 10
