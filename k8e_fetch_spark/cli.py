@@ -64,6 +64,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "sampled range-id bucketing); composes with "
         "--compact-target-mb in one rewrite",
     )
+    pl.add_argument(
+        "--cas-endpoint",
+        default=None,
+        metavar="URL",
+        help="occ format only: commit manifest versions through an "
+        "object store's conditional PUT (If-None-Match; lost race -> "
+        "409/412) at this endpoint instead of the local hard-link CAS",
+    )
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
     return p
@@ -107,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
         spec = from_yaml(args.spec) if args.spec else DEFAULT_SPEC
         manifest = args.manifest or str(fixtures_root() / "manifest.json")
         data_dir = args.data_dir or str(fixtures_root())
+        from k8e_fetch_spark.plans.cas import ConditionalPutCas
+
         pipe = Pipeline(
             spark,
             spec,
@@ -116,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
             zorder_by=(
                 [c.strip() for c in args.zorder_by.split(",") if c.strip()]
                 if args.zorder_by
+                else None
+            ),
+            cas=(
+                ConditionalPutCas(args.cas_endpoint)
+                if args.cas_endpoint
                 else None
             ),
         )

@@ -96,6 +96,7 @@ class Pipeline:
         table_format: str = "parquet",
         compact_target_mb: int | None = None,
         zorder_by: Sequence[str] | None = None,
+        cas=None,
     ):
         if table_format not in ("parquet", "snapshot", "manifest", "occ"):
             raise ValueError(
@@ -105,12 +106,22 @@ class Pipeline:
             raise ValueError(
                 f"zorder_by takes 2 or 3 columns, got {list(zorder_by)!r}"
             )
+        if cas is not None and table_format != "occ":
+            # the claim primitive only exists in the OCC commit path;
+            # accepting it elsewhere would silently change nothing
+            raise ValueError(
+                f"cas backend requires table_format='occ', got {table_format!r}"
+            )
         self.spark = spark
         self.spec = spec
         self.warehouse = warehouse
         self.table_format = table_format
         self.compact_target_mb = compact_target_mb
         self.zorder_by = tuple(zorder_by) if zorder_by else None
+        #: CAS backend for OCC commits (plans/cas.py) — None = LinkCas.
+        #: ConditionalPutCas routes every version claim through an
+        #: object store's If-None-Match PUT (the Delta-on-S3 shape).
+        self.cas = cas
         os.makedirs(warehouse, exist_ok=True)
 
     # --- stage 1: FetchVersions ---------------------------------------
@@ -214,13 +225,11 @@ class Pipeline:
             if self.table_format == "snapshot":
                 snap.merge_insert_ignore(self.spark, tdir, batch)
                 components[name] = snap.read_table(self.spark, tdir)
+            elif self.table_format == "occ":
+                snap.merge_insert_ignore_occ(self.spark, tdir, batch, cas=self.cas)
+                components[name] = snap.read_manifest_table(self.spark, tdir)
             else:
-                merge = (
-                    snap.merge_insert_ignore_occ
-                    if self.table_format == "occ"
-                    else snap.merge_insert_ignore_incremental
-                )
-                merge(self.spark, tdir, batch)
+                snap.merge_insert_ignore_incremental(self.spark, tdir, batch)
                 components[name] = snap.read_manifest_table(self.spark, tdir)
         self._maybe_compact(components)
         return components
@@ -284,6 +293,7 @@ class Pipeline:
                     path,
                     n_files=max(1, math.ceil(live / target_bytes)),
                     zorder_by=zcols,
+                    cas=self.cas,
                 )
                 # OCC tables vacuum under the default retention window
                 # (ADVICE r13): superseded dirs younger than the window

@@ -374,3 +374,52 @@ def test_pipeline_front_door_zorder_layout_all_formats(spark, tmp_path):
         1 for a, b in zip(spans, spans[1:]) if b[0] <= a[1]
     )
     assert overlaps <= 1, spans
+
+
+def test_pipeline_front_door_occ_over_conditional_put(spark, tmp_path):
+    """--cas-endpoint (r14): the OCC pipeline with EVERY manifest
+    commit travelling over an object store's conditional PUT — content
+    and version chain identical to the link-CAS run; the endpoint saw
+    only 201 wins (no conflicts in a serial run); a non-occ format
+    refuses the backend loudly."""
+    import http.server
+    import threading
+
+    import pytest as _pytest
+
+    from k8e_fetch_spark.plans.cas import ConditionalPutCas
+    from k8e_fetch_spark.plans.snapshots import current_manifest
+    from test_cas import _make_store_handler
+
+    responses: list[int] = []
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_store_handler(responses)
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        cas = ConditionalPutCas(f"http://127.0.0.1:{server.server_address[1]}")
+        ref = Pipeline(spark, DEFAULT_SPEC, str(tmp_path / "ref"), table_format="occ")
+        ref_components = ref.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+
+        wh = tmp_path / "wh_occ_http"
+        pipe = Pipeline(
+            spark, DEFAULT_SPEC, str(wh), table_format="occ", cas=cas
+        )
+        components = pipe.run(str(FIXTURES / "manifest.json"), str(FIXTURES))
+        assert set(components) == set(ref_components)
+        for name in components:
+            cols = sorted(ref_components[name].columns)
+            assert _rows(components[name], cols) == _rows(
+                ref_components[name], cols
+            ), name
+            assert current_manifest(wh / name) == "manifest-000001.json"
+        # one 201 win per component table, zero conflicts
+        assert responses == [201] * len(components)
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
+    with _pytest.raises(ValueError, match="occ"):
+        Pipeline(
+            spark, DEFAULT_SPEC, str(tmp_path / "bad"), table_format="manifest", cas=cas
+        )
