@@ -133,22 +133,24 @@ _PRIORITY = (
     # tpch_q17/q18/q20/q21/q2/q8/q9 (VERDICT r13 #2 names all of
     # them; 4 rounds stale).
     #
-    # NEW-CODE AMENDMENT (mid-r14): the session added FIVE new
+    # NEW-CODE AMENDMENT (mid-r14): the session added SIX new
     # oracle-bearing ops (join_interval_overlap — bucketed
     # interval-overlap join, web_url_canonical_dedup — URL
     # canonicalization dedup, sim_topk_mmr — MMR diversification via
     # applyInPandas vs a recursive-CTE oracle, sim_topk_mmr_multi —
     # its one-corpus-pass batch form with the single form pinned as
     # the q_id=0 slice, events_anomaly_zscore — trailing-window
-    # z-score anomaly gate). Changed/new-code policy seats all five
-    # for first greens; to keep 50 comparable seats the LAST five
-    # alphabetical r11-backfill rows yielded (sim_cosine_lsh,
-    # sim_kmeans_assign, sim_topk_ivf, sim_topk_pq_trained,
-    # stream_session_window) and head the r15 queue.
+    # z-score anomaly gate, quality_outlier_robust — Tukey-fence
+    # chars-per-token outlier gate). Changed/new-code policy seats all
+    # six for first greens; to keep 50 comparable seats the LAST six
+    # alphabetical r11-backfill rows yielded (set_ops_customers,
+    # sim_cosine_lsh, sim_kmeans_assign, sim_topk_ivf,
+    # sim_topk_pq_trained, stream_session_window) and head the r15
+    # queue.
     #
-    # BACKFILL r11 (25): the first 25 alphabetical of the 48 rows
-    # last green in ROUND 11; the remaining 23 (sim_cosine_lsh,
-    # sim_kmeans_assign, sim_topk_ivf,
+    # BACKFILL r11 (24): the first 24 alphabetical of the 48 rows
+    # last green in ROUND 11; the remaining 24 (set_ops_customers,
+    # sim_cosine_lsh, sim_kmeans_assign, sim_topk_ivf,
     # sim_topk_pq_trained, stream_session_window, string_funcs_parts,
     # text_bpe_apply, text_bpe_learn_merges, text_domain_filter,
     # text_lm_perplexity_filter, text_winnowing_fingerprint,
@@ -169,6 +171,7 @@ _PRIORITY = (
     "sim_topk_mmr",
     "sim_topk_mmr_multi",
     "events_anomaly_zscore",
+    "quality_outlier_robust",
     # -- changed-code reseats (post-r13-window commits) --
     "maintenance_zorder_layout",
     "pipeline_end_to_end",
@@ -185,7 +188,7 @@ _PRIORITY = (
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- backfill: 25 of the 48 rows last green in ROUND 11 --
+    # -- backfill: 24 of the 48 rows last green in ROUND 11 --
     "agg_percentiles",
     "agg_statistics",
     "bag_set_ops_orders",
@@ -210,7 +213,6 @@ _PRIORITY = (
     "profile_customer_table",
     "sample_dsir_importance",
     "scalar_subquery_rich_idle",
-    "set_ops_customers",
 )
 
 

@@ -2406,3 +2406,73 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+@register(
+    "quality_outlier_robust",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang, source,
+                   CAST(n_chars AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+')) AS cpt
+            FROM documents
+        ),
+        fences AS (
+            SELECT lang, source,
+                   floor(quantile_cont(cpt, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
+                   floor(quantile_cont(cpt, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3
+            FROM m GROUP BY lang, source
+        )
+        SELECT doc_id, lang, source,
+               floor(cpt * 10000.0 + 0.5) / 10000.0 AS cpt,
+               CASE WHEN cpt < q1 - 1.5 * (q3 - q1) THEN 'low'
+                    ELSE 'high' END AS side
+        FROM m JOIN fences USING (lang, source)
+        WHERE cpt < q1 - 1.5 * (q3 - q1)
+           OR cpt > q3 + 1.5 * (q3 - q1)
+    """,
+    tags=("ext-text-stats", "quality", "outlier"),
+)
+def quality_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Tukey-fence) quality-outlier gate per (lang, source):
+    docs whose chars-per-token ratio falls outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] — the distribution-free companion to
+    the z-score gate (median/IQR shrug off the very outliers a
+    mean/std gate lets drag its own threshold), on the mean-word-length
+    signal the C4/Gopher-class filters use (too-long tokens: code/
+    minified junk; too-short: character-soup).
+
+    Parity: Spark ``percentile`` == DuckDB ``quantile_cont`` (the
+    agg_percentiles pin); the ratio is the identical expression on
+    both engines and quartiles round to 4 dp on BOTH sides before the
+    fence arithmetic so an interpolation low-bit cannot flip a
+    boundary doc. Scale: the ratio is scan-local; ONE group aggregate
+    over (lang, source) — bounded cardinality — whose tiny fence table
+    broadcasts back against the scan; at 100 TB swap percentile for
+    approx_percentile and widen the fence rounding to the sketch's
+    error bound — noted, not silently done."""
+    docs = load(spark, sf_dir, "documents")
+    cpt = F.col("n_chars").cast("double") / F.size(
+        F.split(F.trim(F.col("text")), r"\s+")
+    )
+    m = docs.select("doc_id", "lang", "source", cpt.alias("cpt"))
+    fences = m.groupBy("lang", "source").agg(
+        round_fixed(F.percentile("cpt", F.lit(0.25)).cast("double"), 4).alias("q1"),
+        round_fixed(F.percentile("cpt", F.lit(0.75)).cast("double"), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        m.join(F.broadcast(fences), ["lang", "source"])
+        .filter((F.col("cpt") < lo) | (F.col("cpt") > hi))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            round_fixed(F.col("cpt"), 4).alias("cpt"),
+            F.when(F.col("cpt") < lo, F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("side"),
+        )
+    )
