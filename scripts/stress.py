@@ -112,6 +112,9 @@ PROBES = [
     # r14: trailing-window z-score anomaly gate (one keyed shuffle on
     # event_type; 20-row frame per task regardless of corpus size)
     "events_anomaly_zscore",
+    # r14: Tukey-fence chars-per-token outlier gate (scan-local ratio,
+    # one bounded-cardinality group aggregate, broadcast fence join)
+    "quality_outlier_robust",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
