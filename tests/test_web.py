@@ -151,3 +151,118 @@ def test_sql_canonical_url_twin_matches_spark(spark):
     for raw, want in CANON_CASES:
         got = con.execute(f"SELECT {expr} FROM (SELECT ? AS url)", [raw]).fetchone()[0]
         assert got == want, (raw, got, want)
+
+
+# --- canonical_url fuzz: three-way agreement on generated URLs --------
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.fixture(name="spark_holder", scope="module")
+def _spark_holder(spark):
+    return spark
+
+
+def _py_canonical(url: str) -> str:
+    """Independent reference: urllib.parse + the documented rule
+    (written against the docstring, not the regexes)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    port_part = ""
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        port_part = f":{port}"
+    path = parts.path
+    if path.endswith("/"):
+        path = path[:-1]
+    params = sorted(
+        p
+        for p in parts.query.split("&")
+        if p and not (p.startswith("utm_") or p.startswith("fbclid=") or p.startswith("gclid="))
+    )
+    qs = "&".join(params)
+    return f"{scheme}://{host}{port_part}{path}" + (f"?{qs}" if qs else "")
+
+
+_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8)
+_param = st.one_of(
+    st.tuples(st.sampled_from(["a", "b", "zz", "id", "utm_source", "utm_id", "fbclid", "gclid", "utmost"]), _label).map(lambda t: f"{t[0]}={t[1]}"),
+    st.just(""),
+)
+_url = st.builds(
+    lambda scheme, labels, port, segs, slash, params, frag: (
+        scheme
+        + "://"
+        + ".".join(labels)
+        + (f":{port}" if port else "")
+        + ("/" + "/".join(segs) if segs else "")
+        + ("/" if slash and segs else "")
+        + ("?" + "&".join(params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "hTtPs"]),
+    labels=st.lists(_label, min_size=1, max_size=3),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    segs=st.lists(_label, min_size=0, max_size=3),
+    slash=st.booleans(),
+    params=st.lists(_param, min_size=0, max_size=5),
+    frag=st.sampled_from([None, "frag", "x"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(url=_url)
+def test_canonical_url_sql_twin_matches_urllib_reference_fuzz(url):
+    """Fuzz: the DuckDB rendering (generated from the same regexes as
+    the Spark column) must agree with an INDEPENDENT urllib.parse
+    reference on generated well-formed URLs — catches two-sided-wrong
+    mistranslations the paired twins can't."""
+    import duckdb
+
+    from k8e_fetch_spark.operators.web import sql_canonical_url
+
+    got = duckdb.execute(
+        f"SELECT {sql_canonical_url('url')} FROM (SELECT ? AS url)", [url]
+    ).fetchone()[0]
+    assert got == _py_canonical(url), url
+
+
+def test_canonical_url_spark_matches_urllib_reference_on_seeded_batch(spark_holder):
+    """The Spark column over one seeded batch of generated URLs — same
+    three-way agreement, executed through the real engine once (the
+    per-example fuzz above runs the cheap SQL twin)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.operators.web import canonical_url
+
+    rng = random.Random(1414)
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "HTTP", "https", "hTtPs"])
+        host = ".".join(
+            rng.choice(["Example", "example", "WWW", "a1", "b-2"])
+            for _ in range(rng.randint(1, 3))
+        )
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        segs = "/".join(rng.choice(["Doc", "x", "y9"]) for _ in range(rng.randint(0, 3)))
+        path = ("/" + segs if segs else "") + ("/" if segs and rng.random() < 0.4 else "")
+        params = "&".join(
+            rng.choice(["a=1", "b=2", "utm_source=f", "fbclid=Z", "utmost=1", ""])
+            for _ in range(rng.randint(0, 4))
+        )
+        frag = rng.choice(["", "#s"])
+        urls.append(f"{scheme}://{host}{port}{path}" + (f"?{params}" if params else "") + frag)
+    df = spark_holder.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical(u), u
