@@ -133,7 +133,7 @@ _PRIORITY = (
     # tpch_q17/q18/q20/q21/q2/q8/q9 (VERDICT r13 #2 names all of
     # them; 4 rounds stale).
     #
-    # NEW-CODE AMENDMENT (mid-r14): the session added SIX new
+    # NEW-CODE AMENDMENT (mid-r14): the session added SEVEN new
     # oracle-bearing ops (join_interval_overlap — bucketed
     # interval-overlap join, web_url_canonical_dedup — URL
     # canonicalization dedup, sim_topk_mmr — MMR diversification via
@@ -141,15 +141,17 @@ _PRIORITY = (
     # its one-corpus-pass batch form with the single form pinned as
     # the q_id=0 slice, events_anomaly_zscore — trailing-window
     # z-score anomaly gate, quality_outlier_robust — Tukey-fence
-    # chars-per-token outlier gate). Changed/new-code policy seats all
-    # six for first greens; to keep 50 comparable seats the LAST six
-    # alphabetical r11-backfill rows yielded (set_ops_customers,
-    # sim_cosine_lsh, sim_kmeans_assign, sim_topk_ivf,
-    # sim_topk_pq_trained, stream_session_window) and head the r15
-    # queue.
+    # chars-per-token outlier gate, join_asof_tolerance — as-of join
+    # with an attribution-window tolerance). Changed/new-code policy
+    # seats all seven for first greens; to keep 50 comparable seats
+    # the LAST seven alphabetical r11-backfill rows yielded
+    # (scalar_subquery_rich_idle, set_ops_customers, sim_cosine_lsh,
+    # sim_kmeans_assign, sim_topk_ivf, sim_topk_pq_trained,
+    # stream_session_window) and head the r15 queue.
     #
-    # BACKFILL r11 (24): the first 24 alphabetical of the 48 rows
-    # last green in ROUND 11; the remaining 24 (set_ops_customers,
+    # BACKFILL r11 (23): the first 23 alphabetical of the 48 rows
+    # last green in ROUND 11; the remaining 25
+    # (scalar_subquery_rich_idle, set_ops_customers,
     # sim_cosine_lsh, sim_kmeans_assign, sim_topk_ivf,
     # sim_topk_pq_trained, stream_session_window, string_funcs_parts,
     # text_bpe_apply, text_bpe_learn_merges, text_domain_filter,
@@ -172,6 +174,7 @@ _PRIORITY = (
     "sim_topk_mmr_multi",
     "events_anomaly_zscore",
     "quality_outlier_robust",
+    "join_asof_tolerance",
     # -- changed-code reseats (post-r13-window commits) --
     "maintenance_zorder_layout",
     "pipeline_end_to_end",
@@ -188,7 +191,7 @@ _PRIORITY = (
     "tpch_q2_min_cost_supplier",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    # -- backfill: 24 of the 48 rows last green in ROUND 11 --
+    # -- backfill: 23 of the 48 rows last green in ROUND 11 --
     "agg_percentiles",
     "agg_statistics",
     "bag_set_ops_orders",
@@ -212,7 +215,6 @@ _PRIORITY = (
     "pivot_event_types",
     "profile_customer_table",
     "sample_dsir_importance",
-    "scalar_subquery_rich_idle",
 )
 
 

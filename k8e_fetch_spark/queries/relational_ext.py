@@ -1034,3 +1034,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overlap_seconds"),
         F.min("vid").alias("first_vid"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CASE WHEN date_diff('second', last_purchase_ts, ts) <= 3600
+                    THEN last_purchase_ts END AS last_purchase_ts,
+               (last_purchase_ts IS NOT NULL
+                AND date_diff('second', last_purchase_ts, ts) <= 3600) AS attributed
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+            FROM events
+        ) WHERE event_type = 'click'
+    """,
+    tags=("ext-typed-relational", "asof-join", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    / QuestDB ``ASOF JOIN ... TOLERANCE`` semantics): the most recent
+    strictly-earlier purchase counts only within a 1-hour attribution
+    window — stale matches null out instead of attributing forever.
+    Same single-window plan as join_asof_purchase (one shuffle on
+    user_id, no self-join, no range explosion); the tolerance is a
+    post-window projection, so the scale shape is unchanged. The
+    boundary is integer seconds on both engines (exactly 3600 s is
+    IN)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    within = (
+        F.col("last_purchase_ts").isNotNull()
+        & (
+            F.col("ts").cast("long") - F.col("last_purchase_ts").cast("long")
+            <= 3600
+        )
+    )
+    return (
+        events.withColumn(
+            "last_purchase_ts", F.last(purchase_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(within, F.col("last_purchase_ts")).alias("last_purchase_ts"),
+            within.alias("attributed"),
+        )
+    )
