@@ -64,6 +64,7 @@ SHOWCASE = [
     ("sim_topk_mmr", "MMR diversification (r14): candidate top-30 is TakeOrderedAndProject off the scored scan; pairwise sims a pool-bounded broadcast self-join; the sequential greedy is the ONE ArrowEvalPython/FlatMapGroupsInPandas node, fed by a single q_id exchange over pool-sized rows — the corpus never reaches Python"),
     ("events_anomaly_zscore", "windowed z-score anomaly gate (r14): ONE event_type exchange; the 20-row trailing frame computes explicit n/sum/sum-sq in the Window node (no engine stddev), z + threshold are scan-side projections after it"),
     ("quality_outlier_robust", "Tukey-fence outlier gate (r14): the chars-per-token ratio is a scan-side codegen projection; ONE bounded-cardinality (lang, source) percentile aggregate whose fence table BROADCASTS back against the scan — the corpus never shuffles"),
+    ("join_asof_tolerance", "as-of with tolerance (r14): identical single-window plan to join_asof_purchase (one user_id exchange, last_value ignoreNulls over preceding rows); the 1-hour attribution window is a post-window projection — tolerance costs ZERO extra operators"),
 ]
 
 

@@ -115,6 +115,9 @@ PROBES = [
     # r14: Tukey-fence chars-per-token outlier gate (scan-local ratio,
     # one bounded-cardinality group aggregate, broadcast fence join)
     "quality_outlier_robust",
+    # r14: as-of with tolerance (same single-window plan as the plain
+    # as-of; the tolerance is a post-window projection)
+    "join_asof_tolerance",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
