@@ -78,7 +78,20 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+
+    # surface flag-combination mistakes as CLI errors, not as a
+    # Pipeline.__init__ traceback (ADVICE r14); message mirrors the
+    # library-level ValueError
+    if (
+        args.cmd == "pipeline"
+        and args.cas_endpoint
+        and args.table_format != "occ"
+    ):
+        parser.error(
+            f"cas backend requires table_format='occ', got {args.table_format!r}"
+        )
 
     if args.cmd == "bench":
         # the packaged harness owns its session/config; works from an

@@ -58,6 +58,16 @@ def interval_overlap_join(
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
+    # the bin columns are internal scratch; silently overwriting (then
+    # dropping) a caller column of the same name would corrupt output
+    # (ADVICE r14) — refuse loudly instead
+    for df, scratch in ((left, "_l_bin"), (right, "_r_bin")):
+        if scratch in df.columns:
+            raise ValueError(
+                f"input already has a {scratch!r} column, which "
+                "interval_overlap_join uses as internal scratch — "
+                "rename it before joining"
+            )
     w = F.lit(int(bin_width))
     lb = left.withColumn(
         "_l_bin",

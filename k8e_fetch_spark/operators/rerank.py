@@ -47,8 +47,14 @@ def mmr_rerank(
     ``rel``: (q_id int, doc_id, rel double) — the pool with retrieval
     scores, pre-rounded. ``sims``: (q_id int, ad, bd, sim double) —
     pairwise similarities within each pool for ``ad != bd``,
-    pre-rounded (symmetric pairs both ways, or rely on max over the
-    present direction — the query below ships both). Returns
+    pre-rounded. Direction rule: the greedy takes the MAX over
+    whichever of (candidate, chosen) / (chosen, candidate) is present
+    and treats a fully absent pair as 0.0, so shipping one direction
+    of a symmetric sim is sufficient for THIS operator. Callers pinned
+    against the recursive-CTE oracle pattern must still ship BOTH
+    directions: the oracle's inner join sees only (candidate→chosen)
+    rows and drops a candidate with no present pair entirely (all
+    in-repo callers ship both, so the engines agree). Returns
     (q_id, rank, doc_id, mmr): rank 1 is the pure-relevance anchor
     (its mmr IS its rel); ranks 2..k carry the marginal score. Pools
     smaller than ``k`` return their full size.
@@ -81,7 +87,10 @@ def mmr_rerank(
         while remaining and len(chosen) < k:
             best = None
             for d in sorted(remaining):  # ascending: first win keeps low id
-                max_sim = max(sim.get((d, c), 0.0) for c in chosen)
+                # max over the present direction(s); absent pair -> 0.0
+                max_sim = max(
+                    max(sim.get((d, c), 0.0), sim.get((c, d), 0.0)) for c in chosen
+                )
                 score = lam * rels[d] - mu * max_sim
                 if best is None or score > best[0]:
                     best = (score, d)

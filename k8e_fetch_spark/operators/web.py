@@ -35,13 +35,19 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# scheme://host[:port]/... -> host (no port, no path/query/fragment)
-HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+# scheme://[userinfo@]host[:port]/... -> host (no port, no path/query/
+# fragment). A ``user[:pass]@`` userinfo prefix is skipped (ADVICE r14:
+# it used to be captured AS the host); a bracketed IPv6 literal is
+# matched whole, brackets kept (``[::1]`` stays ``[::1]``, so the
+# colon-terminated reg-name branch never truncates it).
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/:?#]+)"
 
 
 def host_of(url: Column) -> Column:
     """Lowercased hostname of a URL ('' when the URL does not parse —
-    RE2-compatible pattern so the DuckDB oracle runs it verbatim)."""
+    RE2-compatible pattern so the DuckDB oracle runs it verbatim).
+    Userinfo prefixes are skipped; bracketed IPv6 hosts come back
+    bracketed and lowercased."""
     return F.lower(F.regexp_extract(url, HOST_RE, 1))
 
 
@@ -182,9 +188,17 @@ def sql_registered_domain_psl(host_expr: str) -> str:
 # and the dedup itself is one hash aggregate on the canonical key.
 # --------------------------------------------------------------------------
 
-# scheme://host[:port][path][?query][#fragment] piecewise extractors
+# scheme://[userinfo@]host[:port][path][?query][#fragment] piecewise
+# extractors (the authority grammar mirrors HOST_RE: optional userinfo
+# skip, bracketed-IPv6-or-reg-name host, then the :port). The port is
+# anchored to end at /?# or end-of-string: RE2 has no lookahead, and
+# without the anchor a failed greedy parse of 'user:123@host/' would
+# backtrack into reading the numeric PASSWORD as the port.
 SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"
+PORT_RE = (
+    r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?"
+    r"(?:\[[^\]/?#]*\]|[^/:?#]+):([0-9]+)(?:[/?#]|$)"
+)
 PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 QUERY_RE = r"\?([^#]*)"
 
@@ -198,7 +212,10 @@ def canonical_url(url: Column) -> Column:
     params (``utm_*``, ``fbclid``, ``gclid``) dropped, remaining query
     params sorted bytewise, one trailing path slash stripped (so
     ``/a/`` == ``/a`` and the bare-root ``/`` folds into the empty
-    path). Non-parsing URLs (no ``scheme://``) canonicalize to
+    path). A ``user[:pass]@`` userinfo prefix is DROPPED from the
+    canonical form (it names the session, not the page); bracketed
+    IPv6 hosts keep their brackets (``[::1]:8080`` parses — ADVICE
+    r14). Non-parsing URLs (no ``scheme://``) canonicalize to
     ``'://'``-prefixed empties — filter upstream if they matter.
 
     RE2-compatible patterns and engine-paired list functions only, so

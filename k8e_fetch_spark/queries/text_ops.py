@@ -1563,7 +1563,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_filter_oracle() -> str:
-    from k8e_fetch_spark.operators.web import sql_registered_domain_psl
+    from k8e_fetch_spark.operators.web import HOST_RE, sql_registered_domain_psl
 
     return f"""
     WITH urls AS (
@@ -1584,7 +1584,7 @@ def _domain_filter_oracle() -> str:
     ),
     parsed AS (
         SELECT doc_id,
-               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+               lower(regexp_extract(url, '{HOST_RE}', 1)) AS host
         FROM urls
     ),
     dom AS (

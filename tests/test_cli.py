@@ -59,3 +59,18 @@ def test_cli_bench_dispatches_to_packaged_runner(monkeypatch):
     monkeypatch.setattr(br, "main", lambda: called.append(True))
     assert cli.main(["bench"]) == 0
     assert called == [True]
+
+
+def test_cli_pipeline_cas_endpoint_requires_occ(capsys):
+    """--cas-endpoint with a non-occ --table-format is a CLI usage
+    error (exit 2 via parser.error), not a Pipeline.__init__
+    traceback (ADVICE r14)."""
+    with pytest.raises(SystemExit) as exc:
+        cli.main([
+            "pipeline", "--warehouse", "/tmp/w",
+            "--table-format", "manifest",
+            "--cas-endpoint", "http://localhost:9999",
+        ])
+    assert exc.value.code == 2
+    err = capsys.readouterr().err
+    assert "cas backend requires table_format='occ'" in err

@@ -113,3 +113,20 @@ def test_plan_is_equi_join_no_cartesian(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_rejects_scratch_column_collision(spark):
+    """ADVICE r14: inputs already carrying the internal '_l_bin' /
+    '_r_bin' scratch names must be refused, not silently overwritten
+    and dropped."""
+    clean = spark.createDataFrame([(1, 0, 10)], "vid long, v_start long, v_end long")
+    dirty_l = clean.withColumn("_l_bin", F.lit(1))
+    dirty_r = spark.createDataFrame(
+        [(1, 0, 10, 9)], "oid long, o_start long, o_end long, _r_bin long"
+    )
+    with pytest.raises(ValueError, match="_l_bin"):
+        interval_overlap_join(dirty_l, clean.toDF("oid", "o_start", "o_end"),
+                              "v_start", "v_end", "o_start", "o_end", 10)
+    with pytest.raises(ValueError, match="_r_bin"):
+        interval_overlap_join(clean, dirty_r,
+                              "v_start", "v_end", "o_start", "o_end", 10)

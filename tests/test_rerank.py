@@ -135,3 +135,19 @@ def test_multi_q0_slice_bit_equals_single_form(spark):
         if r["q_id"] == 0
     }
     assert multi == single and len(single) == 10
+
+
+def test_one_directional_sims_match_symmetric(spark):
+    """Direction rule (ADVICE r14): the greedy takes the max over
+    whichever direction of a pair is present, so shipping ONE
+    direction of a symmetric sim gives the same ranking and scores as
+    shipping both."""
+    rel = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.5)]
+    both = _sym(0, 1, 2, 0.95) + _sym(0, 1, 3, 0.1) + _sym(0, 2, 3, 0.1)
+    # chosen->candidate direction only (the one the old lookup missed)
+    one_cd = [(0, 1, 2, 0.95), (0, 1, 3, 0.1), (0, 2, 3, 0.1)]
+    # candidate->chosen direction only
+    one_dc = [(0, 2, 1, 0.95), (0, 3, 1, 0.1), (0, 3, 2, 0.1)]
+    want = _run(spark, rel, both, k=3)
+    assert _run(spark, rel, one_cd, k=3) == want
+    assert _run(spark, rel, one_dc, k=3) == want
