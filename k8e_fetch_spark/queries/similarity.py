@@ -2596,3 +2596,253 @@ def sim_topk_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: the retrieval stack composed END TO END as one declared query —
+# BM25 lexical leg + dense cosine leg -> RRF fusion -> MMR diversified
+# cut, for a batch of three queries in one pass. The components are
+# individually proven (text_bm25_multi_topk, sim_hybrid_rrf_multi,
+# sim_topk_mmr_multi); composition exposes seam bugs parity on parts
+# cannot (the r5 split/sample salt precedent), so the oracle below is
+# the composition of the three proven oracle CTE chains.
+# ---------------------------------------------------------------------------
+
+_RETRIEVAL_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+qterms(q_id, token) AS (
+    VALUES (0, 'scan'), (0, 'merge'), (0, 'vector'),
+           (1, 'vector'), (1, 'window'),
+           (2, 'fast'), (2, 'key'), (2, 'merge')
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '') AS ts
+    FROM documents
+),
+dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+posting AS (SELECT doc_id, dl, unnest(ts) AS token FROM dl),
+tf AS (
+    SELECT doc_id, dl, token, count(*) AS tf
+    FROM posting
+    WHERE token IN (SELECT DISTINCT token FROM qterms)
+    GROUP BY 1, 2, 3
+),
+dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+    SELECT q.q_id, tf.doc_id,
+           ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+    FROM tf JOIN dft USING (token) JOIN qterms q USING (token)
+    CROSS JOIN stats
+),
+agg AS (
+    SELECT q_id, doc_id,
+           floor(sum(w) * 10000.0 + 0.5) / 10000.0 AS score
+    FROM scored GROUP BY 1, 2
+),
+lex AS (
+    SELECT q_id, doc_id, CAST(rnk AS INTEGER) AS r_lex FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id
+               ) AS rnk
+        FROM agg
+    ) WHERE rnk <= 20
+),
+qv AS (
+    SELECT vec_id AS q_id, embedding AS q
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+cos AS (
+    SELECT q.q_id, c.vec_id AS doc_id,
+           {sql_round(sql_cosine('c.embedding', 'q.q'), 6)} AS score
+    FROM embeddings c CROSS JOIN qv q
+    WHERE c.vec_id != q.q_id
+),
+vec AS (
+    SELECT q_id, doc_id, CAST(rnk AS INTEGER) AS r_vec FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id
+               ) AS rnk
+        FROM cos
+    ) WHERE rnk <= 20
+),
+fused AS (
+    SELECT q_id, doc_id,
+           floor((COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+                  + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0)) * 1000000.0
+                 + 0.5) / 1000000.0 AS rrf
+    FROM lex FULL OUTER JOIN vec USING (q_id, doc_id)
+),
+-- MMR pool: the fused candidates we have vectors for (inner join —
+-- identical rule on the Spark side; at sf0.1 the lexical leg can rank
+-- docs with no embedding row), top-30 per query by fused score
+cands AS (
+    SELECT q_id, doc_id, rrf AS rel, emb FROM (
+        SELECT f.q_id, f.doc_id, f.rrf, e.embedding AS emb,
+               row_number() OVER (
+                   PARTITION BY f.q_id ORDER BY f.rrf DESC, f.doc_id
+               ) AS rnk
+        FROM fused f JOIN embeddings e ON e.vec_id = f.doc_id
+    ) WHERE rnk <= 30
+),
+sims AS (
+    SELECT a.q_id, a.doc_id AS ad, b.doc_id AS bd,
+           {sql_round(sql_cosine('a.emb', 'b.emb'), 6)} AS sim
+    FROM cands a JOIN cands b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id
+),
+sel AS (
+    SELECT q_id, 1 AS rank, doc_id, rel AS mmr, [doc_id] AS chosen FROM (
+        SELECT q_id, doc_id, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS rnk
+        FROM cands
+    ) WHERE rnk = 1
+    UNION ALL
+    SELECT sel.q_id, sel.rank + 1, pick.doc_id, pick.mmr,
+           list_append(sel.chosen, pick.doc_id)
+    FROM sel, LATERAL (
+        SELECT c.doc_id AS doc_id, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+        FROM cands c JOIN sims s
+          ON s.q_id = sel.q_id AND s.ad = c.doc_id AND list_contains(sel.chosen, s.bd)
+        WHERE c.q_id = sel.q_id AND NOT list_contains(sel.chosen, c.doc_id)
+        GROUP BY c.doc_id, c.rel
+        ORDER BY mmr DESC, doc_id
+        LIMIT 1
+    ) pick
+    WHERE sel.rank < 10
+)
+SELECT q_id, CAST(rank AS INT) AS rank, doc_id, {sql_round('mmr', 6)} AS mmr_score
+FROM sel
+"""
+
+
+def _retrieval_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's fusion stage: BM25 leg + dense leg -> per-query
+    RRF scores over the union of both top-20 rank lists. Kept as a
+    separate stage so pytest can pin it against sim_hybrid_rrf_multi
+    (its per-query top-10 must BIT-equal that row's output — the
+    composed pipeline is the proven parts wired together, not a
+    reimplementation)."""
+    from k8e_fetch_spark.operators.text import bm25_scores_multi
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    qmap = {
+        0: ("scan", "merge", "vector"),
+        1: ("vector", "window"),
+        2: ("fast", "key", "merge"),
+    }
+    bm = bm25_scores_multi(docs, qmap, k1=1.2, b=0.75).select(
+        "q_id", "doc_id", round_fixed(F.col("bm25"), 4).alias("score")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm.withColumn("r_lex", F.row_number().over(wq).cast("int"))
+        .filter(F.col("r_lex") <= 20)
+        .select("q_id", "doc_id", "r_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    vec = (
+        cos.withColumn("r_vec", F.row_number().over(wq).cast("int"))
+        .filter(F.col("r_vec") <= 20)
+        .select("q_id", "doc_id", "r_vec")
+    )
+
+    return lex.join(vec, on=["q_id", "doc_id"], how="full_outer").select(
+        "q_id",
+        "doc_id",
+        round_fixed(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "r_lex",
+        "r_vec",
+    )
+
+
+@register(
+    "sim_retrieval_pipeline_multi",
+    oracle=_RETRIEVAL_PIPELINE_ORACLE,
+    tags=("ext-topk-sim", "hybrid-retrieval", "rrf", "mmr", "pipeline", "multi-query"),
+)
+def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack END TO END for a batch of three queries
+    (VERDICT r14 #4): ONE corpus pass per leg serves the whole query
+    workload — BM25 lexical top-20 (operators/text.py:
+    bm25_scores_multi, broadcast posting filter inside the scan) and
+    dense cosine top-20 (broadcast 3-row query-vector table) — fused
+    by reciprocal-rank (k=60), then the fused pool is MMR-diversified
+    (operators/rerank.py, lam=0.7/mu=0.3) to the final top-10.
+
+    The MMR pool is the fused candidates WITH embedding rows (inner
+    join; at sf0.1 the lexical leg ranks docs outside the embeddings
+    table — the absent-pair rule must be identical on both engines,
+    per operators/rerank.py's direction contract), cut to top-30 per
+    query by fused score.
+
+    Component pins (tests/test_rerank.py): the fusion stage's
+    per-query top-10 BIT-equals sim_hybrid_rrf_multi; the greedy is
+    the same mmr_rerank operator sim_topk_mmr_multi runs. The oracle
+    is the composition of those rows' proven CTE chains.
+
+    Scale shape: corpus-sized work is exactly the two leg scans (both
+    scale-audited); every later stage is rank-bounded — both legs cut
+    to 20 rows/query below the exchange (WindowGroupLimit), fusion
+    joins two 60-row lists, the pool join against embeddings is a
+    <=40-rows/query probe of one table, pairwise sims are 30x30
+    pool-bounded, and the sequential greedy runs per-query inside
+    applyInPandas with <=N^2 numbers per task."""
+    from k8e_fetch_spark.operators.rerank import mmr_rerank
+
+    fused = _retrieval_fused(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    pool = (
+        fused.join(emb, fused["doc_id"] == emb["vec_id"])
+        .select("q_id", "doc_id", F.col("rrf").alias("rel"), "embedding")
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 30)
+        .drop("rnk")
+    )
+    a = pool.select(
+        "q_id", F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a")
+    )
+    b = pool.select(
+        F.col("q_id").alias("q_id_b"),
+        F.col("doc_id").alias("bd"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sims = a.join(
+        F.broadcast(b),
+        (F.col("q_id") == F.col("q_id_b")) & (F.col("ad") != F.col("bd")),
+    ).select(
+        "q_id",
+        "ad",
+        "bd",
+        round_fixed(cosine_arrow(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+    )
+    rel = pool.select("q_id", "doc_id", "rel")
+    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    return out.select(
+        "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
+    )
