@@ -607,3 +607,57 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_score"),
     )
     return scored.filter(F.abs(F.col("z_score")) > 3.0)
+
+
+@register(
+    "stream_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, event_type, value,
+                   count(value) OVER w AS n,
+                   sum(value) OVER w AS s,
+                   sum(value * value) OVER w AS ss
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+            )
+        ),
+        scored AS (
+            SELECT event_id, event_type,
+                   floor((value - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                         * 10000.0 + 0.5) / 10000.0 AS z_score
+            FROM stats
+            WHERE n >= 10 AND (ss - s * s / n) / (n - 1) > 0
+        )
+        SELECT event_id, event_type, z_score
+        FROM scored WHERE abs(z_score) > 3.0
+    """,
+    tags=("ext-stream-window", "anomaly", "zscore", "stateful", "applyInPandasWithState"),
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-score anomaly gate run as a REAL stateful stream
+    (VERDICT r14 #5): availableNow drain through
+    ``applyInPandasWithState`` (streaming/windows.py:trailing_zscore)
+    with the trailing-20 frame as EXPLICIT state — one <=20-double
+    array per event_type, a few hundred bytes per key regardless of
+    stream length. Same oracle as the batch twin
+    (events_anomaly_zscore): the stream form is pinned row-identical
+    to it in tests/test_streaming.py, the
+    stream_tumbling_available_now precedent.
+
+    Ordering: rows are processed in (ts, event_id) order within each
+    micro-batch; the fixture drain delivers in order, so the trailing
+    frames — and therefore every emitted z — match the batch window
+    exactly. Float parity per the twin's contract (explicit
+    n/sum/sum-sq, round 4dp BEFORE the threshold; fsum on the Python
+    side)."""
+    from k8e_fetch_spark.streaming import windows as sw
+
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        lambda ev: sw.trailing_zscore(ev, frame=20, min_n=10, threshold=3.0),
+        output_mode="append",
+        prefix="k8e_zscore_stream_",
+    )

@@ -393,3 +393,96 @@ def test_drain_stages_directory_shaped_tables(spark, tmp_path):
     )
     got = {(r["window_start"].minute, r["n_events"]) for r in out.collect()}
     assert got == {(0, 8)}, got
+
+
+def test_stream_zscore_row_identical_to_batch_twin(spark):
+    """VERDICT r14 #5: the stateful stream form of the z-score gate
+    (applyInPandasWithState, trailing-20 frame as explicit state) must
+    be ROW-IDENTICAL to the batch-window twin on the events fixture —
+    the stream_tumbling_available_now precedent. Also pins the state
+    bound: the state schema is one <=frame-double array per key."""
+    from k8e_fetch_spark.queries.registry import REGISTRY, _ensure_loaded
+    from k8e_fetch_spark.streaming.windows import _ZSCORE_STATE_SCHEMA
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    stream = sorted(
+        (r["event_id"], r["event_type"], r["z_score"])
+        for r in REGISTRY["stream_anomaly_zscore"].fn(spark, sf).collect()
+    )
+    batch = sorted(
+        (r["event_id"], r["event_type"], r["z_score"])
+        for r in REGISTRY["events_anomaly_zscore"].fn(spark, sf).collect()
+    )
+    assert stream == batch and len(stream) > 0
+    # documented state bound: a single array-of-double field
+    assert [f.dataType.typeName() for f in _ZSCORE_STATE_SCHEMA.fields] == ["array"]
+
+
+def test_trailing_zscore_state_carries_across_micro_batches(spark, tmp_path):
+    """Frames must span micro-batch boundaries: drain the same ordered
+    key in TWO files with maxFilesPerTrigger=1 and require the scores
+    to match a single-batch drain (state carries the trailing frame)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from k8e_fetch_spark.queries.streaming_ops import _drain_events_stream
+    from k8e_fetch_spark.streaming import windows as sw
+
+    # 30 rows, one key; a planted outlier at row 25 (second file)
+    vals = [10.0 + (i % 5) * 0.5 for i in range(30)]
+    vals[25] = 99.0
+    rows = pd.DataFrame(
+        {
+            "event_id": range(30),
+            "ts": [dt.datetime(2024, 1, 1, 0, 0, i) for i in range(30)],
+            "user_id": [1] * 30,
+            "event_type": ["click"] * 30,
+            "value": vals,
+        }
+    )
+    sf_one = tmp_path / "one"
+    sf_two = tmp_path / "two"
+    for d in (sf_one, sf_two):
+        d.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.parquet(
+        str(sf_one / "events.parquet")
+    )
+    # two-file staging: first 15 rows / last 15 rows, lexicographic
+    # file order == event-time order (the in-order delivery contract)
+    spark.createDataFrame(rows.iloc[:15]).coalesce(1).write.parquet(
+        str(sf_two / "events.parquet") + "_a"
+    )
+    spark.createDataFrame(rows.iloc[15:]).coalesce(1).write.parquet(
+        str(sf_two / "events.parquet") + "_b"
+    )
+    import shutil
+    from pathlib import Path
+
+    # merge the two part dirs into one events.parquet dir, file order preserved
+    dst = sf_two / "events.parquet"
+    dst.mkdir()
+    for tag in ("_a", "_b"):
+        src = Path(str(dst) + tag)
+        for i, f in enumerate(sorted(src.glob("*.parquet"))):
+            shutil.copy(f, dst / f"part{tag}-{i}.parquet")
+        shutil.rmtree(src)
+
+    def run(sf_dir, mf):
+        out = _drain_events_stream(
+            spark,
+            str(sf_dir),
+            lambda ev: sw.trailing_zscore(ev, frame=20, min_n=10, threshold=3.0),
+            output_mode="append",
+            max_files_per_trigger=mf,
+            prefix="k8e_zscore_mb_test_",
+        )
+        return sorted(
+            (r["event_id"], r["z_score"]) for r in out.collect()
+        )
+
+    single = run(sf_one, None)
+    split = run(sf_two, 1)
+    assert single == split
+    assert any(eid == 25 for eid, _ in single)  # the planted outlier fires
