@@ -41,6 +41,14 @@ class ManifestConflictError(RuntimeError):
     """Another writer claimed the manifest version this commit targeted."""
 
 
+class CasContractError(RuntimeError):
+    """The store violated the CAS contract (``If-None-Match`` not
+    authoritative): a read-back after a 2xx claim returned different
+    bytes. NOT a lost race — recompute-and-retry against such a store
+    would 'succeed' again and still be unsafe, so this propagates as a
+    deployment fault, never as a retryable conflict."""
+
+
 @runtime_checkable
 class CasBackend(Protocol):
     """The one storage primitive OCC commits require."""
@@ -90,11 +98,33 @@ class ConditionalPutCas:
 
     ``timeout`` bounds each claim; a hung commit endpoint should fail
     the merge attempt, not wedge the writer.
+
+    CONTRACT (r15, VERDICT r14 #7): the store's ``If-None-Match``
+    answer must be AUTHORITATIVE — a store that answers 2xx to both
+    racers (eventual-consistency acks, last-writer-wins buckets) is
+    OUT OF CONTRACT, and no client-side read-back can make it safe:
+    in the last-writer-wins mode each racer's read-back returns its
+    own bytes, so both 'verify' cleanly while one commit is silently
+    destroyed (pinned in tests/test_cas.py). What read-back CAN do is
+    fail fast on the detectable misbehavior mode — a store that acks
+    2xx but keeps the first object — so ``verify_read_back=True``
+    GETs the object after a 2xx claim and raises
+    :class:`CasContractError` (not a conflict: retrying against a
+    broken store would 'win' again) when the bytes differ. It is a
+    deployment smoke check, not a correctness mechanism; default off
+    to keep the proven claim path byte-identical.
     """
 
-    def __init__(self, endpoint: str, *, timeout: float = 10.0) -> None:
+    def __init__(
+        self,
+        endpoint: str,
+        *,
+        timeout: float = 10.0,
+        verify_read_back: bool = False,
+    ) -> None:
         self.endpoint = endpoint.rstrip("/")
         self.timeout = timeout
+        self.verify_read_back = verify_read_back
 
     def _url(self, table_dir: Path, name: str) -> str:
         key = str(Path(table_dir).resolve()).lstrip("/")
@@ -120,6 +150,29 @@ class ConditionalPutCas:
                     f"(HTTP {e.code} from {self.endpoint})"
                 ) from e
             raise
+        if self.verify_read_back:
+            self._verify(table_dir, name, payload)
+
+    def _verify(self, table_dir: Path, name: str, payload: str) -> None:
+        """Fail-fast read-back after a 2xx claim (see class docstring:
+        detects the ack-but-keep-first misbehavior mode only)."""
+        get = urllib.request.Request(self._url(table_dir, name), method="GET")
+        try:
+            with urllib.request.urlopen(get, timeout=self.timeout) as resp:
+                body = resp.read()
+        except urllib.error.HTTPError as e:
+            raise CasContractError(
+                f"store acked the claim of {name} but read-back failed "
+                f"(HTTP {e.code} from {self.endpoint}) — If-None-Match "
+                "is not authoritative here; out of contract"
+            ) from e
+        if body != payload.encode("utf-8"):
+            raise CasContractError(
+                f"store acked the claim of {name} but read-back returned "
+                "different bytes — If-None-Match is not authoritative "
+                f"at {self.endpoint}; out of contract (this is a "
+                "deployment fault, not a lost race)"
+            )
 
 
 #: Default backend: the hard-link CAS the OCC tables shipped with.

@@ -296,3 +296,153 @@ def test_default_path_unchanged_is_linkcas(tmp_path):
     assert [p.name for p in tmp_path.iterdir()] == ["manifest-000001.json"]
     with pytest.raises(snap.ManifestConflictError):
         snap._commit_manifest_cas(tmp_path, "manifest-000001.json", "{}")
+
+
+# ---------------------------------------------------------------------------
+# Read-back verify (r15, VERDICT r14 #7): the If-None-Match-not-
+# authoritative contract edge, pinned in both misbehavior modes.
+# ---------------------------------------------------------------------------
+
+
+def _run_store(handler_cls):
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, t, f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def _broken_store_handler(mode: str):
+    """A store whose If-None-Match is NOT authoritative: answers 2xx to
+    every racer. mode='keep_first': acks but keeps the first object
+    (detectable by read-back). mode='last_wins': overwrites (each
+    racer's read-back returns its OWN bytes — undetectable)."""
+    objects: dict[str, bytes] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_PUT(self):
+            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                if self.path not in objects or mode == "last_wins":
+                    objects[self.path] = raw
+                # keep_first: silently drop the loser's bytes — but ACK
+            self.send_response(200)
+            self.end_headers()
+
+        def do_GET(self):
+            with lock:
+                body = objects.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def test_read_back_verify_rejects_ack_but_keep_first_store(tmp_path):
+    """A store that 200-acks a lost race while keeping the winner's
+    object must be REJECTED: the read-back returns the other writer's
+    bytes and the claim raises CasContractError — a deployment fault,
+    NOT ManifestConflictError (retry-with-recompute would 'win' again
+    on such a store and still be unsafe)."""
+    from k8e_fetch_spark.plans.cas import CasContractError
+
+    server, t, endpoint = _run_store(_broken_store_handler("keep_first"))
+    try:
+        a = ConditionalPutCas(endpoint, verify_read_back=True)
+        b = ConditionalPutCas(endpoint, verify_read_back=True)
+        a.claim(tmp_path, "manifest-000001.json", '{"dirs": ["a"]}')
+        with pytest.raises(CasContractError) as exc:
+            b.claim(tmp_path, "manifest-000001.json", '{"dirs": ["b"]}')
+        assert not isinstance(exc.value, ManifestConflictError)
+        # without the verify, the loser silently 'wins' — the hazard
+        # the read-back exists to surface
+        ConditionalPutCas(endpoint).claim(
+            tmp_path, "manifest-000001.json", '{"dirs": ["c"]}'
+        )
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
+
+
+def test_read_back_verify_cannot_detect_last_writer_wins_store(tmp_path):
+    """The documented limit that keeps such stores OUT OF CONTRACT
+    rather than 'handled': on a last-writer-wins store each racer's
+    read-back returns its OWN bytes, so both claims 'verify' cleanly
+    while the first commit is silently destroyed. Read-back is a
+    fail-fast smoke check, not a correctness mechanism — the contract
+    (plans/cas.py docstring) requires an authoritative If-None-Match."""
+    server, t, endpoint = _run_store(_broken_store_handler("last_wins"))
+    try:
+        a = ConditionalPutCas(endpoint, verify_read_back=True)
+        b = ConditionalPutCas(endpoint, verify_read_back=True)
+        a.claim(tmp_path, "manifest-000001.json", '{"dirs": ["a"]}')
+        # b SHOULD lose, but the broken store acks and read-back shows
+        # b's own bytes: no exception — exactly why this store class is
+        # out of contract, pinned here so the decision is explicit
+        b.claim(tmp_path, "manifest-000001.json", '{"dirs": ["b"]}')
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
+
+
+def test_read_back_verify_passes_on_strict_store(tmp_path):
+    """On a contract-honoring store the verify is invisible: winner's
+    read-back matches, loser still gets ManifestConflictError."""
+    from k8e_fetch_spark.plans.cas import LinkCas as _Link
+
+    link = _Link()
+
+    class StrictHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_PUT(self):
+            if self.headers.get("If-None-Match") != "*":
+                self.send_response(400)
+                self.end_headers()
+                return
+            raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            obj = Path("/" + urllib.parse.unquote(self.path).lstrip("/"))
+            obj.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                link.claim(obj.parent, obj.name, raw.decode("utf-8"))
+            except ManifestConflictError:
+                self.send_response(412)
+                self.end_headers()
+                return
+            self.send_response(201)
+            self.end_headers()
+
+        def do_GET(self):
+            obj = Path("/" + urllib.parse.unquote(self.path).lstrip("/"))
+            if not obj.exists():
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = obj.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server, t, endpoint = _run_store(StrictHandler)
+    try:
+        cas = ConditionalPutCas(endpoint, verify_read_back=True)
+        cas.claim(tmp_path, "manifest-000001.json", '{"dirs": ["a"]}')
+        with pytest.raises(ManifestConflictError):
+            cas.claim(tmp_path, "manifest-000001.json", '{"dirs": ["b"]}')
+        assert json.loads((tmp_path / "manifest-000001.json").read_text()) == {
+            "dirs": ["a"]
+        }
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
