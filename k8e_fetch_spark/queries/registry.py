@@ -102,71 +102,48 @@ _PRIORITY = (
     # history plus per-session pytest parity
     # (tests/test_oracle_parity.py) as evidence. Rotation comments
     # carry their round number (r7 post-mortem rule); per-round
-    # rationale for rounds 8-13 lives in git history of this block
-    # (r13 tree: 720f224).
+    # rationale for rounds 8-14 lives in git history of this block
+    # (r13 tree: 720f224; r14 tree: 262d18d).
     #
-    # ROUND-14 ROTATION (VERDICT r13 next-round #1/#2). Groups:
+    # ROUND-15 ROTATION (VERDICT r14 next-round #1/#2). Groups:
     #
-    # KEEP (5): the five r13-new ops hold their seats for SECOND
-    # greens on unchanged forms (the only oracle-bearing rows below
-    # 2 greens) — after a green window the whole oracle surface holds
-    # >=2 driver greens on current form again (VERDICT r13 #1).
-    # NOTE: text_bm25_multi_topk's underlying bm25_scores_multi had
-    # the ADVICE r13 dup-term dedup applied post-r13-window (9c18a83),
-    # so its r14 seat doubles as the changed-code reseat.
+    # KEEP (8): the eight r14-new ops hold their seats for SECOND
+    # greens (VERDICT r14 #1 — the only oracle-bearing rows below 2
+    # greens). Three of them double as changed-code reseats from the
+    # r15 ADVICE closures: sim_topk_mmr / sim_topk_mmr_multi (the
+    # rerank greedy now takes max over present sim directions —
+    # result-identical for the both-direction callers, pinned in
+    # tests/test_rerank.py) and web_url_canonical_dedup (HOST_RE/
+    # PORT_RE userinfo+IPv6 grammar — fixture results identical,
+    # re-verified at 3 SFs). join_interval_overlap gained only an
+    # input-validation guard; events_anomaly_zscore /
+    # quality_outlier_robust / join_asof_tolerance /
+    # sim_hybrid_rrf_multi are untouched.
     #
-    # NEW-CODE (1): sim_hybrid_rrf_multi (late-r13/early-r14 session:
-    # batched RRF fusion, 3eb91db) takes its first driver row.
+    # NEW-CODE (2): sim_retrieval_pipeline_multi (VERDICT r14 #4 — the
+    # composed BM25 -> RRF -> MMR retrieval pipeline, oracle = the
+    # components' CTE chains composed) and stream_anomaly_zscore
+    # (VERDICT r14 #5 — the z-score gate as a REAL stateful stream,
+    # applyInPandasWithState, pinned row-identical to the batch twin).
     #
-    # CHANGED-CODE RESEATS (3): the post-r13-window commits touched
-    # write_zordered/read_zordered (null sentinel + domain guard,
-    # 9c18a83; auto/string Z-order + front door, 3eb91db), the
-    # pipeline loader (_OCC memoized-rerun skip + zorder_by wiring,
-    # 391a7fd/3eb91db) and the snapshot/manifest vacuum (retention
-    # window, 391a7fd) — so maintenance_zorder_layout,
-    # pipeline_end_to_end and compress_insert_ignore_manifest reseat
-    # even though each took an r13 green (changed-code policy beats
-    # freshness).
+    # CHANGED-CODE RESEAT (1): compress_insert_ignore_occ — plans/
+    # cas.py gained CasContractError + the opt-in read-back verify
+    # (VERDICT r14 #7); the default claim path is byte-identical but
+    # the changed-code policy beats freshness (r14 precedent).
     #
-    # BACKFILL r10 (11): the whole remaining ROUND-10 cohort —
-    # the five rows displaced by the late-r13 seats plus
-    # tpch_q17/q18/q20/q21/q2/q8/q9 (VERDICT r13 #2 names all of
-    # them; 4 rounds stale).
+    # BACKFILL r11 (25): the ENTIRE remaining r11 cohort — the seven
+    # rows the r14 new-code seats displaced plus the 18 further rows
+    # VERDICT r14 #2 names; after a green window nothing on the
+    # rotating surface is older than r12.
     #
-    # NEW-CODE AMENDMENT (mid-r14): the session added SEVEN new
-    # oracle-bearing ops (join_interval_overlap — bucketed
-    # interval-overlap join, web_url_canonical_dedup — URL
-    # canonicalization dedup, sim_topk_mmr — MMR diversification via
-    # applyInPandas vs a recursive-CTE oracle, sim_topk_mmr_multi —
-    # its one-corpus-pass batch form with the single form pinned as
-    # the q_id=0 slice, events_anomaly_zscore — trailing-window
-    # z-score anomaly gate, quality_outlier_robust — Tukey-fence
-    # chars-per-token outlier gate, join_asof_tolerance — as-of join
-    # with an attribution-window tolerance). Changed/new-code policy
-    # seats all seven for first greens; to keep 50 comparable seats
-    # the LAST seven alphabetical r11-backfill rows yielded
-    # (scalar_subquery_rich_idle, set_ops_customers, sim_cosine_lsh,
-    # sim_kmeans_assign, sim_topk_ivf, sim_topk_pq_trained,
-    # stream_session_window) and head the r15 queue.
-    #
-    # BACKFILL r11 (23): the first 23 alphabetical of the 48 rows
-    # last green in ROUND 11; the remaining 25
-    # (scalar_subquery_rich_idle, set_ops_customers,
-    # sim_cosine_lsh, sim_kmeans_assign, sim_topk_ivf,
-    # sim_topk_pq_trained, stream_session_window, string_funcs_parts,
-    # text_bpe_apply, text_bpe_learn_merges, text_domain_filter,
-    # text_lm_perplexity_filter, text_winnowing_fingerprint,
-    # top_customers_by_revenue + the eleven r11 tpch variants
-    # q11/q12/q13/q14/q15/q16/q19/q22/q4/q6/q7) head the r15 queue.
+    # BACKFILL r12 (14): the first 14 alphabetical of the rows last
+    # green in ROUND 12; the remainder (compress_insert_ignore_tx was
+    # seated here as #14 by alphabet; the rest of the r12 cohort —
+    # cube_orders, dedup_exact_documents, dedup_ngram_jaccard,
+    # events_session_window, ... ) head the r16 queue.
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
-    # -- second greens for the r13-new ops (KEEP) --
-    "mm_jvm_image_decode",
-    "text_bm25_search",
-    "sim_hybrid_rrf",
-    "compress_insert_ignore_occ",
-    "text_bm25_multi_topk",
-    # -- first driver rows: new code (changed/new-code policy) --
+    # -- second greens for the r14-new ops (KEEP) --
     "sim_hybrid_rrf_multi",
     "join_interval_overlap",
     "web_url_canonical_dedup",
@@ -175,46 +152,52 @@ _PRIORITY = (
     "events_anomaly_zscore",
     "quality_outlier_robust",
     "join_asof_tolerance",
-    # -- changed-code reseats (post-r13-window commits) --
-    "maintenance_zorder_layout",
-    "pipeline_end_to_end",
-    "compress_insert_ignore_manifest",
-    # -- backfill: the 11 rows last green in ROUND 10 --
-    "stream_enrich_dimension",
-    "text_decontaminate_bloom",
-    "text_line_cleaning",
-    "text_pii_scrub",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # -- backfill: 23 of the 48 rows last green in ROUND 11 --
-    "agg_percentiles",
-    "agg_statistics",
-    "bag_set_ops_orders",
-    "catalog_flatten_tree",
-    "correlated_min_supplier",
-    "date_arithmetic_orders",
-    "dedup_clusters_minhash",
-    "dedup_minhash_lsh",
-    "dedup_semantic_semdedup",
-    "dedup_simhash",
-    "disjunctive_part_filter",
-    "events_json_extract",
-    "exists_late_shipments",
-    "having_big_orders",
-    "join_anti_customers",
-    "join_bucketed_colocated",
-    "join_semi_customers",
-    "mm_decode_video_real",
-    "null_semantics_customer",
-    "orders_by_month",
-    "pivot_event_types",
-    "profile_customer_table",
-    "sample_dsir_importance",
+    # -- first driver rows: new code (changed/new-code policy) --
+    "sim_retrieval_pipeline_multi",
+    "stream_anomaly_zscore",
+    # -- changed-code reseat (r15 CAS seam hardening) --
+    "compress_insert_ignore_occ",
+    # -- backfill: the 25 rows last green in ROUND 11 --
+    "scalar_subquery_rich_idle",
+    "set_ops_customers",
+    "sim_cosine_lsh",
+    "sim_kmeans_assign",
+    "sim_topk_ivf",
+    "sim_topk_pq_trained",
+    "stream_session_window",
+    "string_funcs_parts",
+    "text_bpe_apply",
+    "text_bpe_learn_merges",
+    "text_domain_filter",
+    "text_lm_perplexity_filter",
+    "text_winnowing_fingerprint",
+    "top_customers_by_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_sales_opportunity",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    # -- backfill: first 14 alphabetical of the ROUND-12 cohort --
+    "array_funcs_embeddings",
+    "catalog_include_keys",
+    "catalog_skip_unknown",
+    "catalog_sync_delta",
+    "catalog_temporal_prune",
+    "catalog_version_latest",
+    "compress_add_column",
+    "compress_component_union",
+    "compress_concat_expr",
+    "compress_distinct_status",
+    "compress_insert_ignore",
+    "compress_insert_ignore_tx",
+    "compress_schema_clone",
+    "corpus_prep_pipeline",
 )
 
 

@@ -65,6 +65,7 @@ SHOWCASE = [
     ("events_anomaly_zscore", "windowed z-score anomaly gate (r14): ONE event_type exchange; the 20-row trailing frame computes explicit n/sum/sum-sq in the Window node (no engine stddev), z + threshold are scan-side projections after it"),
     ("quality_outlier_robust", "Tukey-fence outlier gate (r14): the chars-per-token ratio is a scan-side codegen projection; ONE bounded-cardinality (lang, source) percentile aggregate whose fence table BROADCASTS back against the scan — the corpus never shuffles"),
     ("join_asof_tolerance", "as-of with tolerance (r14): identical single-window plan to join_asof_purchase (one user_id exchange, last_value ignoreNulls over preceding rows); the 1-hour attribution window is a post-window projection — tolerance costs ZERO extra operators"),
+    ("sim_retrieval_pipeline_multi", "the retrieval stack composed end to end (r15): BOTH legs cut to 20 rows/query below their exchanges (WindowGroupLimit / rank filters over the BM25 posting-filtered scan and the broadcast-query-vector cosine scan), fusion a 60x60-row full outer join, the MMR pool a <=40-rows/query probe of embeddings, and the sequential greedy the ONE FlatMapGroupsInPandas node over pool-sized rows — corpus-sized work is exactly the two leg scans"),
 ]
 
 
@@ -206,6 +207,18 @@ def main() -> None:
         " is in SCALE.md. The batch-expressible part of the semantics is the"
         " oracle's session CTE, hash-checked by the driver every seated"
         " round.*"
+    )
+    print(
+        "\n## stream_anomaly_zscore (pointer)"
+        "\n\n*The stateful z-score gate's per-batch plan lowers to"
+        " `FlatMapGroupsInPandasWithStateExec` over one event_type exchange"
+        " inside each micro-batch and exists only while the drain runs."
+        " Its contract is pinned empirically instead: row-identity with the"
+        " batch twin `events_anomaly_zscore` (whose window plan IS dumped"
+        " above), frames spanning micro-batch boundaries under"
+        " maxFilesPerTrigger=1, and the state bound (one <=20-double array"
+        " per key) — tests/test_streaming.py; 20× stress 1.8× (SCALE.md)."
+        " The oracle is the batch twin's, hash-checked by the driver.*"
     )
     spark.stop()
 

@@ -118,6 +118,17 @@ PROBES = [
     # r14: as-of with tolerance (same single-window plan as the plain
     # as-of; the tolerance is a post-window projection)
     "join_asof_tolerance",
+    # r15: the composed retrieval pipeline — corpus-sized work is the
+    # two leg scans (BM25 posting filter, broadcast query vectors);
+    # fusion/pool/greedy are rank-bounded, so the curve should track
+    # the scans like text_bm25_search and sim_topk_mmr do
+    "sim_retrieval_pipeline_multi",
+    # r15: the stateful streaming z-score gate — full availableNow
+    # drain through applyInPandasWithState; state is a <=20-double
+    # array per key, so growth is the drain's scan + the per-type
+    # group traffic (same partition-key widening rule as the batch
+    # twin)
+    "stream_anomaly_zscore",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -149,6 +149,7 @@ def test_write_side_effect_queries_stay_closed():
         "stream_session_window_append",
         "stream_stateful_user_stats",
         "stream_tumbling_available_now",
+        "stream_anomaly_zscore",  # r15: stateful z-score gate drain
     }
     MODS = [
         "catalog_ops", "compress_ops", "multimodal_ops", "relational",
