@@ -94,6 +94,19 @@ HEADLINE = [
     "join_interval_overlap",
     "web_url_canonical_dedup",
     "events_anomaly_zscore",
+    # round-15 flagship: the retrieval stack composed end to end.
+    # Apples-to-apples the corpus_clean_mix_pipeline way — the oracle
+    # composes the SAME CTE chains (BM25 scorer, cosine leg, RRF
+    # fusion, recursive-CTE MMR greedy) so both engines price the
+    # composition: two corpus passes + rank-bounded fusion/pool/greedy.
+    # (Per-leg overlap with text_bm25_search is the same accepted
+    # overlap corpus_clean_mix_pipeline has with the dedup rows.)
+    # stream_anomaly_zscore is NOT seated: its Spark side is an
+    # availableNow DRAIN (file staging + checkpoint + sink) while the
+    # oracle is the batch window query — that prices streaming
+    # machinery against a window function; its batch twin
+    # events_anomaly_zscore is the apples-to-apples seat.
+    "sim_retrieval_pipeline_multi",
 ]
 
 
