@@ -572,3 +572,95 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(zkey3)").alias("z3_xor"),
         )
     )
+
+
+@register(
+    "maintenance_scd2_merge",
+    oracle="""
+        WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        SELECT k AS custkey, seg AS segment,
+               0 AS effective_from, CAST(NULL AS INTEGER) AS effective_to,
+               TRUE AS is_current
+        FROM dim WHERE k % 7 != 3
+        UNION ALL
+        SELECT k, seg, 0, 1, FALSE FROM dim WHERE k % 7 = 3
+        UNION ALL
+        SELECT k, 'SEG_' || CAST(k % 3 AS VARCHAR), 1,
+               CASE WHEN k % 14 = 3 THEN 2 END,
+               k % 14 != 3
+        FROM dim WHERE k % 7 = 3
+        UNION ALL
+        SELECT k, 'SEG2_' || CAST(k % 3 AS VARCHAR), 2,
+               CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 14 = 3
+        UNION ALL
+        SELECT k + 10000000, 'NEWSEG', 1, CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 211 = 7
+    """,
+    tags=("ext-table-maintenance", "scd2", "planted-oracle"),
+)
+def maintenance_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension versioning (operators/scd.py:scd2_apply —
+    the Kimball pattern, the canonical Delta/Iceberg MERGE recipe)
+    hash-checked against a CLOSED-FORM oracle: the customer dimension
+    is versioned through TWO update batches planted deterministically
+    from c_custkey so every merge rule provably fires —
+
+    - batch v1: keys k%7==3 change segment (close + new version),
+      keys k%7==4 arrive with their CURRENT value (no-op — must not
+      version), keys k%211==7 also insert BRAND-NEW keys (k+10M);
+    - batch v2: half the v1-changed keys (k%14==3) change AGAIN
+      (three-row history: 0→1→2), the other half (k%14==10) arrive
+      as v2 no-ops against their VERSION-1 value (changed-detection
+      must look at the open row, not the original).
+
+    The operator is ONE full-outer key join + a row-local CASE
+    emitting 0-2 rows per key through a single explode — no second
+    table pass, no window, no distinct; closed history passes through
+    untouched across re-application (the v2 apply runs over v1's
+    output). Null-safe attribute compare, so NULL-valued tracked
+    attributes version stably. At dimension scale the batch side
+    broadcasts; at fact scale both sides hash-partition on the key
+    like any keyed merge."""
+    from k8e_fetch_spark.operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim = cust.select(
+        k.alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("int").alias("effective_from"),
+        F.lit(None).cast("int").alias("effective_to"),
+    )
+    seg1 = F.concat(F.lit("SEG_"), (k % 3).cast("string"))
+    batch1 = (
+        cust.filter(k % 7 == 3).select(k.alias("custkey"), seg1.alias("segment"))
+        .unionByName(
+            cust.filter(k % 7 == 4).select(
+                k.alias("custkey"), F.col("c_mktsegment").alias("segment")
+            )
+        )
+        .unionByName(
+            cust.filter(k % 211 == 7).select(
+                (k + 10_000_000).alias("custkey"), F.lit("NEWSEG").alias("segment")
+            )
+        )
+    )
+    v1 = scd2_apply(dim, batch1, "custkey", ["segment"], version=1)
+    seg2 = F.concat(F.lit("SEG2_"), (k % 3).cast("string"))
+    batch2 = (
+        cust.filter(k % 14 == 3).select(k.alias("custkey"), seg2.alias("segment"))
+        .unionByName(
+            cust.filter(k % 14 == 10).select(
+                k.alias("custkey"), seg1.alias("segment")
+            )
+        )
+    )
+    v2 = scd2_apply(v1, batch2, "custkey", ["segment"], version=2)
+    return v2.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )

@@ -2846,3 +2846,173 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: binary quantization + Hamming prefilter + exact rescore — the
+# third member of the quantization family (int8 scalar, PQ nibble
+# codes, and now 1-bit sign codes; 32x smaller vectors, the coarsest/
+# cheapest tier). Published shape: sign-binarize embeddings, prefilter
+# with XOR+popcount Hamming distance, rescore the survivors with the
+# exact metric (e.g. BPR — Yamada et al. 2021; faiss LSH index family).
+# The 64-dim fixture packs into TWO 32-bit halves carried in BIGINTs —
+# deliberately NOT one 64-bit word: bit 63 would need 1<<63, which
+# overflows signed BIGINT arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _binary_sig_spark(col, half: int):
+    """Spark column: pack sign bits (embedding[i] > 0) of one 32-dim
+    half into a BIGINT. Generated by the same loop as the SQL twin."""
+    import functools
+    import operator
+
+    base = half * 32
+    return functools.reduce(
+        operator.add,
+        [
+            F.when(
+                F.element_at(col, base + i + 1) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(32)
+        ],
+    )
+
+
+def _binary_sig_sql(expr: str, half: int) -> str:
+    """DuckDB rendering of :func:`_binary_sig_spark` — same loop, same
+    weights, so the engines cannot drift."""
+    base = half * 32
+    terms = " + ".join(
+        f"CASE WHEN {expr}[{base + i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(32)
+    )
+    return f"({terms})"
+
+
+_BINARY_RESCORE_ORACLE = f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               {_binary_sig_sql('embedding', 0)} AS s_lo,
+               {_binary_sig_sql('embedding', 1)} AS s_hi
+        FROM embeddings
+    ),
+    qsig AS (
+        SELECT vec_id AS q_id, embedding AS q, s_lo AS q_lo, s_hi AS q_hi
+        FROM sigs WHERE vec_id IN (0, 1, 2)
+    ),
+    ham AS (
+        SELECT q.q_id, s.vec_id AS doc_id,
+               CAST(bit_count(xor(s.s_lo, q.q_lo))
+                    + bit_count(xor(s.s_hi, q.q_hi)) AS INTEGER) AS hamming,
+               s.embedding AS emb, q.q AS q_emb
+        FROM sigs s CROSS JOIN qsig q
+        WHERE s.vec_id != q.q_id
+    ),
+    cand AS (
+        SELECT q_id, doc_id, hamming, emb, q_emb FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY hamming, doc_id
+            ) AS rnk FROM ham
+        ) WHERE rnk <= 100
+    ),
+    resc AS (
+        SELECT q_id, doc_id, hamming,
+               {sql_round(sql_cosine('emb', 'q_emb'), 6)} AS cos_score
+        FROM cand
+    )
+    SELECT CAST(q_id AS INT) AS q_id, doc_id, hamming, cos_score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_score DESC, doc_id
+        ) AS rnk FROM resc
+    ) WHERE rnk <= 10
+"""
+
+
+@register(
+    "sim_topk_binary_rescore",
+    oracle=_BINARY_RESCORE_ORACLE,
+    tags=("ext-topk-sim", "quantization", "binary", "scale-path", "multi-query"),
+)
+def sim_topk_binary_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN with exact rescoring for a batch of three
+    queries: sign-binarize every embedding into two 32-bit halves
+    (ONE scan-local codegen sum chain per half — 32x smaller than the
+    float vectors, the coarsest quantization tier alongside int8 and
+    PQ), prefilter per query by XOR+popcount Hamming distance to the
+    broadcast query signatures, keep the top-100, then rescore ONLY
+    the survivors with exact cosine and cut to top-10.
+
+    Engine parity: the packing expression is generated for BOTH
+    engines from the same Python loop (weights 1<<i per half —
+    deliberately two halves, bit 63 would overflow signed BIGINT);
+    Hamming is all-integer, so the prefilter cut is engine-stable
+    with no float hazard; only the final rescore rounds (6 dp).
+
+    Scale shape: signatures and Hamming distances are scan-local
+    codegen over ONE corpus pass (query signatures ride a 3-row
+    broadcast); the top-100 cut is a rank window that compiles to
+    WindowGroupLimit below the exchange, so each map partition ships
+    <=100 survivors per query; the rescore joins 300 candidate ids
+    back against embeddings (a bounded probe) and the final top-10
+    windows over 100 rows per query. The full-precision vectors are
+    only ever touched for candidates — the 32x-compressed signatures
+    carry the corpus-sized stage, which is the entire point of the
+    tier."""
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        _binary_sig_spark(F.col("embedding"), 0).alias("s_lo"),
+        _binary_sig_spark(F.col("embedding"), 1).alias("s_hi"),
+    )
+    qsig = sigs.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").cast("int").alias("q_id"),
+        F.col("s_lo").alias("q_lo"),
+        F.col("s_hi").alias("q_hi"),
+    )
+    # the corpus-sized stage carries ONLY (id, two signature longs) —
+    # the full float vectors are joined back for candidates below
+    ham = (
+        sigs.drop("embedding")
+        .crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.bit_count(F.col("s_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("s_hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("doc_id"))
+    cand = (
+        ham.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 100)
+        .drop("rnk")
+    )
+    qv = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").cast("int").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    resc = (
+        cand.join(emb, cand["doc_id"] == emb["vec_id"])
+        .join(F.broadcast(qv), on="q_id")
+        .select(
+            "q_id",
+            "doc_id",
+            "hamming",
+            round_fixed(cosine_arrow(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_score"
+            ),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_score"), F.asc("doc_id"))
+    return (
+        resc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "doc_id", "hamming", "cos_score")
+    )

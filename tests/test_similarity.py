@@ -837,3 +837,69 @@ def test_hybrid_rrf_fusion_semantics(spark):
         # and the best single-leg score is 1/(60+1) ~= 0.0164, so every
         # doc present in both lists strictly outranks every one-leg doc
         assert min(r.rrf for r in both) > max(r.rrf for r in single)
+
+
+def test_binary_sig_packing_matches_numpy_reference(spark):
+    """The sign-bit packing (both 32-bit halves) cross-checked against
+    an independent numpy reference on the real fixture vectors, and
+    the Hamming distance against numpy popcount."""
+    import numpy as np
+
+    from k8e_fetch_spark.queries.similarity import _binary_sig_spark
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["lo"], r["hi"])
+        for r in emb.select(
+            "vec_id",
+            _binary_sig_spark(F.col("embedding"), 0).alias("lo"),
+            _binary_sig_spark(F.col("embedding"), 1).alias("hi"),
+        )
+        .limit(50)
+        .collect()
+    }
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.limit(50).collect()}
+    for vid, v in rows.items():
+        bits = (v > 0).astype(np.uint64)
+        lo = sum(int(bits[i]) << i for i in range(32))
+        hi = sum(int(bits[32 + i]) << i for i in range(32))
+        assert got[vid] == (lo, hi), vid
+    # hamming between two fixture vectors
+    ids = sorted(rows)[:2]
+    a, b = (rows[i] > 0 for i in ids)
+    want_ham = int((a != b).sum())
+    ga, gb = got[ids[0]], got[ids[1]]
+    assert bin(ga[0] ^ gb[0]).count("1") + bin(ga[1] ^ gb[1]).count("1") == want_ham
+
+
+def test_binary_rescore_is_exact_cosine_over_hamming_candidates(spark):
+    """Two-stage property: the declared top-10 must equal brute-force
+    exact cosine restricted to the top-100 Hamming candidate set —
+    i.e. the prefilter defines the pool, the rescore the order."""
+    import numpy as np
+
+    from k8e_fetch_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["sim_topk_binary_rescore"].fn(spark, sf).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    for q in (0, 1, 2):
+        qv = emb[q]
+        sign_q = qv > 0
+        ham = sorted(
+            (int((sign_q != (v > 0)).sum()), vid)
+            for vid, v in emb.items()
+            if vid != q
+        )
+        pool = {vid for _, vid in ham[:100]}
+        def cos(v):
+            return round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6)
+        want = sorted(((-cos(emb[vid]), vid) for vid in pool))[:10]
+        got = sorted(
+            (-r["cos_score"], r["doc_id"]) for r in out if r["q_id"] == q
+        )
+        assert [w[1] for w in want] == [g[1] for g in got], q
