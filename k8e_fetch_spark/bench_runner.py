@@ -107,6 +107,15 @@ HEADLINE = [
     # machinery against a window function; its batch twin
     # events_anomaly_zscore is the apples-to-apples seat.
     "sim_retrieval_pipeline_multi",
+    # Binary-quantized ANN: apples-to-apples — the oracle runs the SAME
+    # generated packing chain, full-corpus Hamming, and survivor
+    # rescore in DuckDB, so the row prices 1-bit signature scans
+    # against DuckDB's expression engine. maintenance_scd2_merge is
+    # NOT seated: its oracle is the planted CLOSED FORM of the result
+    # (5 UNION branches), not the merge computation — a ratio would
+    # price a full-outer merge against literal row construction (the
+    # mm_jvm_image_decode reasoning).
+    "sim_topk_binary_rescore",
 ]
 
 

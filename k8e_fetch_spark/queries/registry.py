@@ -143,6 +143,17 @@ _PRIORITY = (
     # events_session_window, ... ) head the r16 queue.
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
+    # NEW-CODE AMENDMENT (mid-r15): the session added TWO more
+    # oracle-bearing ops — sim_topk_binary_rescore (binary-quantized
+    # ANN: sign-bit signatures, XOR+popcount Hamming prefilter, exact
+    # rescore of survivors — the third quantization tier) and
+    # maintenance_scd2_merge (SCD Type-2 dimension versioning, one
+    # full-outer join + explode, closed-form planted oracle).
+    # Changed/new-code policy seats both for first greens; to keep 50
+    # comparable seats the LAST two alphabetical r12-backfill rows
+    # yielded (compress_schema_clone, corpus_prep_pipeline) and head
+    # the r16 queue.
+    #
     # -- second greens for the r14-new ops (KEEP) --
     "sim_hybrid_rrf_multi",
     "join_interval_overlap",
@@ -155,6 +166,8 @@ _PRIORITY = (
     # -- first driver rows: new code (changed/new-code policy) --
     "sim_retrieval_pipeline_multi",
     "stream_anomaly_zscore",
+    "sim_topk_binary_rescore",
+    "maintenance_scd2_merge",
     # -- changed-code reseat (r15 CAS seam hardening) --
     "compress_insert_ignore_occ",
     # -- backfill: the 25 rows last green in ROUND 11 --
@@ -196,8 +209,6 @@ _PRIORITY = (
     "compress_distinct_status",
     "compress_insert_ignore",
     "compress_insert_ignore_tx",
-    "compress_schema_clone",
-    "corpus_prep_pipeline",
 )
 
 

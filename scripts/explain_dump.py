@@ -66,6 +66,8 @@ SHOWCASE = [
     ("quality_outlier_robust", "Tukey-fence outlier gate (r14): the chars-per-token ratio is a scan-side codegen projection; ONE bounded-cardinality (lang, source) percentile aggregate whose fence table BROADCASTS back against the scan — the corpus never shuffles"),
     ("join_asof_tolerance", "as-of with tolerance (r14): identical single-window plan to join_asof_purchase (one user_id exchange, last_value ignoreNulls over preceding rows); the 1-hour attribution window is a post-window projection — tolerance costs ZERO extra operators"),
     ("sim_retrieval_pipeline_multi", "the retrieval stack composed end to end (r15): BOTH legs cut to 20 rows/query below their exchanges (WindowGroupLimit / rank filters over the BM25 posting-filtered scan and the broadcast-query-vector cosine scan), fusion a 60x60-row full outer join, the MMR pool a <=40-rows/query probe of embeddings, and the sequential greedy the ONE FlatMapGroupsInPandas node over pool-sized rows — corpus-sized work is exactly the two leg scans"),
+    ("sim_topk_binary_rescore", "binary-quantized ANN (r15): the sign-bit packing is one scan-side codegen sum chain per 32-bit half; the corpus-sized Hamming stage carries ONLY (id, two longs) against the 3-row broadcast query signatures (bit_count(xor) — all integer, whole-stage codegen); the top-100 cut compiles to WindowGroupLimit below the exchange; the full float vectors appear ONLY in the bounded candidate join for the exact-cosine rescore"),
+    ("maintenance_scd2_merge", "SCD Type-2 merge (r15): ONE full-outer key join of the open dimension against each planted batch, then a row-local CASE emitting 0-2 rows per key through a single Generate explode — no second table pass, no Window, no Deduplicate; closed history passes through the same join untouched"),
 ]
 
 

@@ -129,6 +129,16 @@ PROBES = [
     # group traffic (same partition-key widening rule as the batch
     # twin)
     "stream_anomaly_zscore",
+    # r15: binary-quantized ANN — the corpus-sized stage is the
+    # signature scan + scan-local Hamming (two longs per row); the
+    # rescore is a 300-id bounded probe, so the curve should track
+    # the scan like the other quantization tiers.
+    # NOTE maintenance_scd2_merge is NOT probed by registry name: it
+    # reads customer, a DIMENSION this harness deliberately does not
+    # replicate, so the 20x run would time identical data (measured
+    # 1.0x — vacuous). The dedicated scaled-dimension curve is
+    # recorded in SCALE.md instead (the semdedup/interval treatment).
+    "sim_topk_binary_rescore",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
