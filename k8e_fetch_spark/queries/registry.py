@@ -152,7 +152,11 @@ _PRIORITY = (
     # Changed/new-code policy seats both for first greens; to keep 50
     # comparable seats the LAST two alphabetical r12-backfill rows
     # yielded (compress_schema_clone, corpus_prep_pipeline) and head
-    # the r16 queue.
+    # the r16 queue. A third late-session op — sample_weighted_aes
+    # (Efraimidis-Spirakis weighted sampling without replacement,
+    # length-weighted, scan-local md5+ln keys, pure-Python-reference
+    # pinned) — seats the same way; compress_insert_ignore_tx yields
+    # and joins the r16 queue head.
     #
     # -- second greens for the r14-new ops (KEEP) --
     "sim_hybrid_rrf_multi",
@@ -168,6 +172,7 @@ _PRIORITY = (
     "stream_anomaly_zscore",
     "sim_topk_binary_rescore",
     "maintenance_scd2_merge",
+    "sample_weighted_aes",
     # -- changed-code reseat (r15 CAS seam hardening) --
     "compress_insert_ignore_occ",
     # -- backfill: the 25 rows last green in ROUND 11 --
@@ -208,7 +213,6 @@ _PRIORITY = (
     "compress_concat_expr",
     "compress_distinct_status",
     "compress_insert_ignore",
-    "compress_insert_ignore_tx",
 )
 
 

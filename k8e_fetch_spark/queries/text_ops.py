@@ -2476,3 +2476,57 @@ def quality_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+_AES_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                  / 4294967296.0) / n_chars AS s
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, {sql_round('s', 9)} AS aes_key
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM scored
+    ) WHERE rnk <= 200
+"""
+
+
+@register(
+    "sample_weighted_aes",
+    oracle=_AES_ORACLE,
+    tags=("ext-text-stats", "sampling", "weighted"),
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-Res keys (Efraimidis & Spirakis 2006): each doc draws
+    a deterministic uniform u from the cross-engine md5_32 convention
+    (u = (h + 0.5) / 2^32 — never 0, so ln is finite) and the sample
+    is the top-k by ln(u)/w, here weighting by document length
+    (n_chars) — the quality/size-weighted subsample a mixing pipeline
+    cuts before training. One pass, no replacement bookkeeping: the
+    key transform IS the without-replacement semantics (the paper's
+    point), and a weight-w doc displaces weight-1 docs exactly w
+    times as often.
+
+    Cross-engine float contract: u and w are identical values on both
+    engines (md5_32 convention; integer n_chars), so ln(u)/w is the
+    same IEEE double and the top-k cut is engine-stable with doc_id
+    tie-break; the emitted key rounds to 9 dp for the hash compare
+    AFTER the cut.
+
+    Scale shape: scoring is scan-local codegen (md5 + ln — no Python,
+    no shuffle); the cut is TakeOrderedAndProject via the rank window
+    over a single ordering — per-partition heaps ship k rows each, no
+    corpus-sized sort. Weighted reservoir semantics with zero state:
+    the same expression runs as a streaming filter by thresholding
+    keys at deploy."""
+    from k8e_fetch_spark.operators.similarity import md5_32
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = md5_32(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    s = F.log(u) / F.col("n_chars")
+    scored = docs.select("doc_id", "n_chars", s.alias("s"))
+    top = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(200)
+    return top.select("doc_id", "n_chars", round_fixed(F.col("s"), 9).alias("aes_key"))

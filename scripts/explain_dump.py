@@ -68,6 +68,7 @@ SHOWCASE = [
     ("sim_retrieval_pipeline_multi", "the retrieval stack composed end to end (r15): BOTH legs cut to 20 rows/query below their exchanges (WindowGroupLimit / rank filters over the BM25 posting-filtered scan and the broadcast-query-vector cosine scan), fusion a 60x60-row full outer join, the MMR pool a <=40-rows/query probe of embeddings, and the sequential greedy the ONE FlatMapGroupsInPandas node over pool-sized rows — corpus-sized work is exactly the two leg scans"),
     ("sim_topk_binary_rescore", "binary-quantized ANN (r15): the sign-bit packing is one scan-side codegen sum chain per 32-bit half; the corpus-sized Hamming stage carries ONLY (id, two longs) against the 3-row broadcast query signatures (bit_count(xor) — all integer, whole-stage codegen); the top-100 cut compiles to WindowGroupLimit below the exchange; the full float vectors appear ONLY in the bounded candidate join for the exact-cosine rescore"),
     ("maintenance_scd2_merge", "SCD Type-2 merge (r15): ONE full-outer key join of the open dimension against each planted batch, then a row-local CASE emitting 0-2 rows per key through a single Generate explode — no second table pass, no Window, no Deduplicate; closed history passes through the same join untouched"),
+    ("sample_weighted_aes", "Efraimidis-Spirakis weighted sampling (r15): the A-Res key ln(u)/w is scan-local codegen (md5 + ln, no Python, ZERO keyed shuffle); the without-replacement cut is TakeOrderedAndProject — per-partition heaps ship 200 rows each, never a global sort"),
 ]
 
 

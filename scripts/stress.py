@@ -139,6 +139,9 @@ PROBES = [
     # 1.0x — vacuous). The dedicated scaled-dimension curve is
     # recorded in SCALE.md instead (the semdedup/interval treatment).
     "sim_topk_binary_rescore",
+    # r15: A-Res weighted sampling — scan-local md5+ln keys, top-200
+    # cut via per-partition heaps; the curve should track the scan
+    "sample_weighted_aes",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
