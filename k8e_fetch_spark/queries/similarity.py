@@ -2445,11 +2445,17 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the driver. Float parity with the recursive-CTE oracle per
     operators/rerank.py's contract (pre-rounded inputs, mu=0.3
     explicit, doc_id ties)."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.rerank import mmr_rerank
 
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    pool = (
+    # persisted (r15): the pool feeds THREE consumers (both self-join
+    # sides + rel) across broadcast boundaries exchange reuse cannot
+    # cross — unpinned, each re-ran the corpus score + top-30 cut
+    # (scan audit: embeddings x6; pinned x3). 30 rows + embeddings.
+    pool = persist_scoped(
+        "topk_mmr.pool",
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
@@ -2460,7 +2466,7 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
         .orderBy(F.desc("rel"), F.asc("doc_id"))
-        .limit(30)
+        .limit(30),
     )
     a = pool.select(
         F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a")
@@ -2549,6 +2555,7 @@ def sim_topk_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rounding at every stage), so the single form is pinned in
     pytest as this row's q_id=0 slice — bit equality
     (tests/test_rerank.py)."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.rerank import mmr_rerank
 
     emb = load(spark, sf_dir, "embeddings")
@@ -2568,10 +2575,14 @@ def sim_topk_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    pool = (
+    # persisted (r15): same three-consumer shape as sim_topk_mmr —
+    # unpinned, the corpus scoring pass ran once per consumer (scan
+    # audit: embeddings x6; pinned x3). <=30 rows/query + embeddings.
+    pool = persist_scoped(
+        "topk_mmr_multi.pool",
         scored.withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= 30)
-        .drop("rnk")
+        .drop("rnk"),
     )
     a = pool.select("q_id", F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a"))
     b = pool.select(
@@ -2812,17 +2823,25 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=40-rows/query probe of one table, pairwise sims are 30x30
     pool-bounded, and the sequential greedy runs per-query inside
     applyInPandas with <=N^2 numbers per task."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.rerank import mmr_rerank
 
     fused = _retrieval_fused(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    pool = (
+    # persisted: the pool feeds THREE consumers (both sides of the
+    # pairwise-sim self-join and the rel input) and exchange reuse
+    # does not cross their broadcast boundaries — unpinned, each
+    # consumer re-executed the ENTIRE two-leg fusion (scan audit read
+    # documents x9 / embeddings x9; pinned it is x3/x3, the component
+    # budgets). The frame is pool-sized: <=30 rows/query + embedding.
+    pool = persist_scoped(
+        "retrieval_pipeline.pool",
         fused.join(emb, fused["doc_id"] == emb["vec_id"])
         .select("q_id", "doc_id", F.col("rrf").alias("rel"), "embedding")
         .withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= 30)
-        .drop("rnk")
+        .drop("rnk"),
     )
     a = pool.select(
         "q_id", F.col("doc_id").alias("ad"), F.col("embedding").alias("emb_a")
