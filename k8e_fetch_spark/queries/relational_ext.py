@@ -1091,3 +1091,118 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             within.alias("attributed"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH framed AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+                   first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+            FROM events
+        ),
+        deltas AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN prev_ts IS NOT NULL
+                        THEN date_diff('second', prev_ts, ts) END AS back_s,
+                   CASE WHEN next_ts IS NOT NULL
+                        THEN date_diff('second', ts, next_ts) END AS fwd_s,
+                   prev_ts, next_ts
+            FROM framed WHERE event_type = 'click'
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN back_s <= 3600 AND (fwd_s IS NULL OR fwd_s > 3600 OR back_s <= fwd_s)
+                    THEN prev_ts
+                    WHEN fwd_s <= 3600 THEN next_ts END AS nearest_purchase_ts,
+               CAST(CASE WHEN back_s <= 3600 AND (fwd_s IS NULL OR fwd_s > 3600 OR back_s <= fwd_s)
+                         THEN back_s
+                         WHEN fwd_s <= 3600 THEN fwd_s END AS INTEGER) AS delta_seconds,
+               CASE WHEN back_s <= 3600 AND (fwd_s IS NULL OR fwd_s > 3600 OR back_s <= fwd_s)
+                    THEN 'backward'
+                    WHEN fwd_s <= 3600 THEN 'forward' END AS direction
+        FROM deltas
+    """,
+    tags=("ext-typed-relational", "asof-join", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=NEAREST (pandas ``merge_asof(direction=
+    'nearest', tolerance=...)``): each click matches the same user's
+    CLOSEST purchase in event time, looking BOTH ways within a 1-hour
+    tolerance; exact-tie distances resolve BACKWARD (pandas' rule).
+    Completes the as-of family: backward (join_asof_purchase),
+    backward+tolerance (join_asof_tolerance), nearest (this).
+
+    Same scale shape as the other two: ONE user_id window exchange.
+    The forward frame is deliberately NOT a ``1 FOLLOWING ->
+    UNBOUNDED FOLLOWING`` frame: Spark's UnboundedFollowing frame
+    recomputes the aggregate from scratch PER ROW (quadratic in
+    partition depth — measured 21.9x wall at 20x on the first cut),
+    so the next-purchase lookup runs as a PRECEDING frame over the
+    REVERSED (ts, event_id) sort, which the engine computes
+    incrementally. Both frames share the one hash exchange; the
+    second sort is partition-local. No self-join, no range explosion;
+    the nearest/tolerance rule is a post-window projection. A
+    purchase sharing a click's exact timestamp lands by
+    (ts, event_id) order: smaller event_id -> backward frame at
+    delta 0, larger -> forward frame at delta 0 — deterministic on
+    both engines.
+
+    Per-user frame state = one timestamp per direction; the key widens
+    to (user, day) at deploy like the rest of the family."""
+    events = load(spark, sf_dir, "events")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # reverse-order preceding == forward-order following, computed
+    # incrementally instead of from-scratch-per-row
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    framed = (
+        events.withColumn("prev_ts", F.last(purchase_ts, ignorenulls=True).over(w_back))
+        .withColumn("next_ts", F.last(purchase_ts, ignorenulls=True).over(w_fwd))
+        .filter(F.col("event_type") == "click")
+    )
+    back_s = F.when(
+        F.col("prev_ts").isNotNull(),
+        F.col("ts").cast("long") - F.col("prev_ts").cast("long"),
+    )
+    fwd_s = F.when(
+        F.col("next_ts").isNotNull(),
+        F.col("next_ts").cast("long") - F.col("ts").cast("long"),
+    )
+    deltas = framed.select(
+        "event_id", "user_id", "ts", "prev_ts", "next_ts",
+        back_s.alias("back_s"), fwd_s.alias("fwd_s"),
+    )
+    pick_back = (F.col("back_s") <= 3600) & (
+        F.col("fwd_s").isNull()
+        | (F.col("fwd_s") > 3600)
+        | (F.col("back_s") <= F.col("fwd_s"))
+    )
+    pick_fwd = F.col("fwd_s") <= 3600
+    return deltas.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_back, F.col("prev_ts"))
+        .when(pick_fwd, F.col("next_ts"))
+        .alias("nearest_purchase_ts"),
+        F.when(pick_back, F.col("back_s"))
+        .when(pick_fwd, F.col("fwd_s"))
+        .cast("int")
+        .alias("delta_seconds"),
+        F.when(pick_back, F.lit("backward"))
+        .when(pick_fwd, F.lit("forward"))
+        .alias("direction"),
+    )

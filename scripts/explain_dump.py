@@ -69,6 +69,7 @@ SHOWCASE = [
     ("sim_topk_binary_rescore", "binary-quantized ANN (r15): the sign-bit packing is one scan-side codegen sum chain per 32-bit half; the corpus-sized Hamming stage carries ONLY (id, two longs) against the 3-row broadcast query signatures (bit_count(xor) — all integer, whole-stage codegen); the top-100 cut compiles to WindowGroupLimit below the exchange; the full float vectors appear ONLY in the bounded candidate join for the exact-cosine rescore"),
     ("maintenance_scd2_merge", "SCD Type-2 merge (r15): ONE full-outer key join of the open dimension against each planted batch, then a row-local CASE emitting 0-2 rows per key through a single Generate explode — no second table pass, no Window, no Deduplicate; closed history passes through the same join untouched"),
     ("sample_weighted_aes", "Efraimidis-Spirakis weighted sampling (r15): the A-Res key ln(u)/w is scan-local codegen (md5 + ln, no Python, ZERO keyed shuffle); the without-replacement cut is TakeOrderedAndProject — per-partition heaps ship 200 rows each, never a global sort"),
+    ("join_asof_nearest", "nearest-direction as-of (r15): the backward frame (last_value IGNORE NULLS over preceding) and the forward frame (first_value over following) ride ONE user_id Exchange + sort — no self-join, no range explosion; tolerance and the backward tie rule are post-window projections"),
 ]
 
 

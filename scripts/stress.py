@@ -142,6 +142,9 @@ PROBES = [
     # r15: A-Res weighted sampling — scan-local md5+ln keys, top-200
     # cut via per-partition heaps; the curve should track the scan
     "sample_weighted_aes",
+    # r15: nearest-direction as-of — same single user_id window as the
+    # rest of the family; the curve should match join_asof_tolerance
+    "join_asof_nearest",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {
