@@ -60,14 +60,20 @@ def interval_overlap_join(
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     # the bin columns are internal scratch; silently overwriting (then
     # dropping) a caller column of the same name would corrupt output
-    # (ADVICE r14) — refuse loudly instead
-    for df, scratch in ((left, "_l_bin"), (right, "_r_bin")):
-        if scratch in df.columns:
-            raise ValueError(
-                f"input already has a {scratch!r} column, which "
-                "interval_overlap_join uses as internal scratch — "
-                "rename it before joining"
-            )
+    # (ADVICE r14) — refuse loudly instead. BOTH scratch names are
+    # checked against BOTH inputs (ADVICE r15): the final
+    # drop('_l_bin', '_r_bin') runs over the JOINED frame, so a left
+    # input carrying a '_r_bin' DATA column (or right a '_l_bin')
+    # would be dropped from the output just as silently as the
+    # same-side collision the guard was first written for.
+    for side, df in (("left", left), ("right", right)):
+        for scratch in ("_l_bin", "_r_bin"):
+            if scratch in df.columns:
+                raise ValueError(
+                    f"{side} input already has a {scratch!r} column, "
+                    "which interval_overlap_join uses as internal "
+                    "scratch — rename it before joining"
+                )
     w = F.lit(int(bin_width))
     lb = left.withColumn(
         "_l_bin",

@@ -41,6 +41,7 @@ def mmr_rerank(
     k: int = 10,
     lam: float = 0.7,
     mu: float = 0.3,
+    require_complete_pool: bool = False,
 ) -> DataFrame:
     """Greedy MMR over per-query candidate pools.
 
@@ -58,6 +59,17 @@ def mmr_rerank(
     (q_id, rank, doc_id, mmr): rank 1 is the pure-relevance anchor
     (its mmr IS its rel); ranks 2..k carry the marginal score. Pools
     smaller than ``k`` return their full size.
+
+    ``require_complete_pool=True`` turns the oracle-parity invariant
+    above into a RUNTIME check (ADVICE r15): each pool group must
+    carry exactly ``n*(n-1)`` non-null directed sim pairs (both
+    directions for every candidate pair, no pairs pointing outside
+    the pool) or the task raises. Oracle-pinned callers pass it so a
+    future pool builder that prunes pairs fails loudly instead of
+    silently diverging from the recursive-CTE oracle's inner-join
+    drop rule. The check is free at scale: it reads the (pool-
+    bounded, <= N^2) rows already resident in the Arrow batch —
+    no extra stage, no extra shuffle.
     """
     import pandas as pd
 
@@ -79,6 +91,17 @@ def mmr_rerank(
         for a, b, s in zip(pdf["doc_id"], pdf["bd"], pdf["sim"]):
             if pd.notna(s):
                 sim[(int(a), int(b))] = float(s)
+        if require_complete_pool:
+            n = len(pool)
+            if len(sim) != n * (n - 1):
+                raise ValueError(
+                    f"mmr_rerank(require_complete_pool=True): pool for "
+                    f"q_id={q} has {n} candidates but {len(sim)} directed "
+                    f"sim pairs (expected n*(n-1) = {n * (n - 1)}) — the "
+                    "caller pruned pairs or shipped pairs outside the "
+                    "pool, which diverges from the recursive-CTE oracle's "
+                    "inner-join semantics"
+                )
         # anchor: pure relevance, doc_id tie-break (pool is pre-sorted)
         first = int(pool["doc_id"].iloc[0])
         chosen = [first]

@@ -2484,7 +2484,9 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rel = pool.select(F.lit(0).alias("q_id"), "doc_id", "rel")
-    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    out = mmr_rerank(
+        rel, sims, k=10, lam=0.7, mu=0.3, require_complete_pool=True
+    )
     return out.select(
         "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )
@@ -2603,7 +2605,9 @@ def sim_topk_mmr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rel = pool.select("q_id", "doc_id", "rel")
-    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    out = mmr_rerank(
+        rel, sims, k=10, lam=0.7, mu=0.3, require_complete_pool=True
+    )
     return out.select(
         "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )
@@ -2861,7 +2865,9 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_fixed(cosine_arrow(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
     )
     rel = pool.select("q_id", "doc_id", "rel")
-    out = mmr_rerank(rel, sims, k=10, lam=0.7, mu=0.3)
+    out = mmr_rerank(
+        rel, sims, k=10, lam=0.7, mu=0.3, require_complete_pool=True
+    )
     return out.select(
         "q_id", "rank", "doc_id", round_fixed(F.col("mmr"), 6).alias("mmr_score")
     )

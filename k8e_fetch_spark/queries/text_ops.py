@@ -2481,11 +2481,12 @@ def quality_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AES_ORACLE = f"""
     WITH scored AS (
         SELECT doc_id, n_chars,
-               ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-                  / 4294967296.0) / n_chars AS s
+               {sql_round(
+                   "ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)"
+                   " / 4294967296.0) / n_chars", 9)} AS s
         FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, n_chars, {sql_round('s', 9)} AS aes_key
+    SELECT doc_id, n_chars, s AS aes_key
     FROM (
         SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM scored
     ) WHERE rnk <= 200
@@ -2510,10 +2511,13 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     times as often.
 
     Cross-engine float contract: u and w are identical values on both
-    engines (md5_32 convention; integer n_chars), so ln(u)/w is the
-    same IEEE double and the top-k cut is engine-stable with doc_id
-    tie-break; the emitted key rounds to 9 dp for the hash compare
-    AFTER the cut.
+    engines (md5_32 convention; integer n_chars), and the key rounds
+    to 9 dp on BOTH engines BEFORE the rank cut (ADVICE r15: Spark's
+    Math.log carries a 1-ulp allowance vs libm, so the unrounded key
+    is not guaranteed bit-identical — a doc at the top-200 boundary
+    could differ in membership across engines; the house round-before-
+    compare rule applies to rank cuts too). doc_id breaks ties within
+    a rounded key, so the cut is engine-stable.
 
     Scale shape: scoring is scan-local codegen (md5 + ln — no Python,
     no shuffle); the cut is TakeOrderedAndProject via the rank window
@@ -2526,7 +2530,7 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     h = md5_32(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
-    s = F.log(u) / F.col("n_chars")
+    s = round_fixed(F.log(u) / F.col("n_chars"), 9)
     scored = docs.select("doc_id", "n_chars", s.alias("s"))
     top = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(200)
-    return top.select("doc_id", "n_chars", round_fixed(F.col("s"), 9).alias("aes_key"))
+    return top.select("doc_id", "n_chars", F.col("s").alias("aes_key"))

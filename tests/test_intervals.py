@@ -130,3 +130,21 @@ def test_rejects_scratch_column_collision(spark):
     with pytest.raises(ValueError, match="_r_bin"):
         interval_overlap_join(clean, dirty_r,
                               "v_start", "v_end", "o_start", "o_end", 10)
+
+
+def test_rejects_cross_side_scratch_collision(spark):
+    """ADVICE r15: BOTH scratch names are checked against BOTH inputs
+    — the final drop runs over the joined frame, so a LEFT input
+    carrying a '_r_bin' data column (or right a '_l_bin') would lose
+    that column just as silently as the same-side case."""
+    clean = spark.createDataFrame([(1, 0, 10)], "vid long, v_start long, v_end long")
+    left_with_rbin = clean.withColumn("_r_bin", F.lit(7))
+    right_with_lbin = spark.createDataFrame(
+        [(1, 0, 10, 9)], "oid long, o_start long, o_end long, _l_bin long"
+    )
+    with pytest.raises(ValueError, match="left .* '_r_bin'"):
+        interval_overlap_join(left_with_rbin, clean.toDF("oid", "o_start", "o_end"),
+                              "v_start", "v_end", "o_start", "o_end", 10)
+    with pytest.raises(ValueError, match="right .* '_l_bin'"):
+        interval_overlap_join(clean, right_with_lbin,
+                              "v_start", "v_end", "o_start", "o_end", 10)

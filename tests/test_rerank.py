@@ -151,3 +151,26 @@ def test_one_directional_sims_match_symmetric(spark):
     want = _run(spark, rel, both, k=3)
     assert _run(spark, rel, one_cd, k=3) == want
     assert _run(spark, rel, one_dc, k=3) == want
+
+
+def test_require_complete_pool_accepts_complete_and_rejects_pruned(spark):
+    """ADVICE r15: oracle-pinned callers turn the both-directions pool
+    contract into a runtime check. A complete n*(n-1) pool passes and
+    scores identically; a pool with a pruned pair (what a future
+    near-zero-sim-dropping caller would ship) raises inside the task
+    instead of silently diverging from the CTE oracle's inner-join
+    drop rule."""
+    import pytest
+
+    rel = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.5)]
+    both = _sym(0, 1, 2, 0.95) + _sym(0, 1, 3, 0.1) + _sym(0, 2, 3, 0.1)
+    assert _run(spark, rel, both, k=3, require_complete_pool=True) == _run(
+        spark, rel, both, k=3
+    )
+    pruned = _sym(0, 1, 2, 0.95) + _sym(0, 1, 3, 0.1)  # (2,3) pair dropped
+    with pytest.raises(Exception, match="require_complete_pool"):
+        _run(spark, rel, pruned, k=3, require_complete_pool=True)
+    # one-directional pools violate the contract too (4 of 6 pairs)
+    one_dir = [(0, 1, 2, 0.95), (0, 1, 3, 0.1), (0, 2, 3, 0.1)]
+    with pytest.raises(Exception, match="require_complete_pool"):
+        _run(spark, rel, one_dir, k=3, require_complete_pool=True)

@@ -17,9 +17,12 @@ def _py_reference(rows, k=200):
             continue
         h = int(hashlib.md5(f"aes:{doc_id}".encode()).hexdigest()[:8], 16)
         u = (h + 0.5) / 4294967296.0
-        scored.append((math.log(u) / n_chars, doc_id, n_chars))
+        # the house round_fixed arithmetic, applied BEFORE the cut
+        # (ADVICE r15) — exactly what both engines do
+        s = math.floor((math.log(u) / n_chars) * 1e9 + 0.5) / 1e9
+        scored.append((s, doc_id, n_chars))
     scored.sort(key=lambda t: (-t[0], t[1]))
-    return [(d, n, round(s, 9)) for s, d, n in scored[:k]]
+    return [(d, n, s) for s, d, n in scored[:k]]
 
 
 def test_matches_pure_python_reference_exactly(spark):
@@ -38,9 +41,7 @@ def test_matches_pure_python_reference_exactly(spark):
         for r in REGISTRY["sample_weighted_aes"].fn(spark, SF).collect()
     ]
     # order-insensitive (driver compare sorts); membership + keys exact
-    assert sorted(got) == sorted(
-        [(d, n, round(s, 9)) for d, n, s in [(d, n, s) for d, n, s in want]]
-    )
+    assert sorted(got) == sorted(want)
 
 
 def test_weighting_favors_heavy_docs(spark):
