@@ -12,16 +12,30 @@ An SCD2 table carries one row per (key, version): ``effective_from`` /
   — the detector is null-safe attribute equality, so NULL-valued
   attributes compare stably);
 - a brand-new key inserts its first open row at this version;
+- a key whose history is entirely CLOSED (retired — no open row)
+  RE-ACTIVATES: its closed rows pass through and a new open row is
+  inserted at this version (ADVICE r15 — previously such a batch row
+  was silently discarded);
 - closed history rows pass through untouched.
 
-Execution shape: ONE full-outer equi-join of the current table against
-the batch on the key, then a row-local CASE that emits 0-2 output rows
-per joined row through a single ``explode`` — no second pass over the
-table, no window, no distinct. At dimension scale the batch side
-broadcasts (AQE decides); at fact scale both sides hash-partition on
-the key like any keyed merge. Deletes are out of scope (the reference
-pipelines re-materialize rather than tombstone); a key with ONLY
-closed rows never matches a batch row as current and passes through.
+Execution shape: ONE full-outer join of the current table against the
+batch with ``effective_to IS NULL`` folded into the JOIN CONDITION —
+closed rows match nothing (pass through as unmatched-left in the same
+pass, no second scan, no open/closed split-and-union), a batch key
+with no OPEN row surfaces as unmatched-right (the re-activation /
+brand-new branch), and the open row pairs with its update. A row-local
+CASE emits 0-2 output rows per joined row through a single ``explode``
+— no second pass over the table, no window over the dimension, no
+distinct. At dimension scale the batch side broadcasts (AQE decides);
+at fact scale both sides hash-partition on the key like any keyed
+merge. Deletes are out of scope (the reference pipelines
+re-materialize rather than tombstone).
+
+The at-most-one-row-per-key batch precondition is ENFORCED, not
+documented (VERDICT r15 #5): a count window over the BATCH (batch-
+sized — never the dimension) feeds an ``assert_true`` folded into the
+join key, so a duplicate-keyed batch fails the job loudly instead of
+silently fanning out the open row into duplicated history.
 
 Reference parity: the k8e-fetch reference re-fetches and overwrites
 tables wholesale (bin/fetcher.bash — sync + reload); versioned
@@ -33,7 +47,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,30 +62,55 @@ def scd2_apply(
 
     ``current``: columns ``key, *attrs, effective_from, effective_to``
     (``effective_to`` NULL on open rows). ``updates``: ``key, *attrs``
-    — at most one row per key (enforce upstream; duplicate batch keys
-    would fan out the join). ``version``: the integer version stamp
-    this batch commits as (strictly greater than any in ``current``).
-    Returns the merged SCD2 table with the same schema as ``current``.
+    — at most one row per key (enforced at execution time: a
+    duplicate-keyed batch raises). ``version``: the integer version
+    stamp this batch commits as (strictly greater than any in
+    ``current``). Returns the merged SCD2 table with the same schema
+    as ``current``.
     """
     attrs = list(attrs)
     cur = current.select(
         key, *attrs, "effective_from", "effective_to", F.lit(True).alias("_in_c")
     )
-    upd = updates.select(
-        key,
-        *[F.col(a).alias(f"_u_{a}") for a in attrs],
-        F.lit(True).alias("_in_u"),
+    ktype = updates.schema[key].dataType
+    # dup-key guard: count per key over the BATCH only, asserted inside
+    # the join key so execution cannot proceed past a duplicate
+    dup = F.count(F.lit(1)).over(Window.partitionBy(key))
+    guarded_key = F.coalesce(
+        F.assert_true(
+            F.col("_dup") <= 1,
+            F.concat(
+                F.lit("scd2_apply: update batch has duplicate rows for key "),
+                F.col(key).cast("string"),
+                F.lit(" — an SCD2 batch must carry at most one row per key"),
+            ),
+        ).cast(ktype),
+        F.col(key),
     )
-    j = cur.join(upd, on=key, how="full_outer")
+    upd = (
+        updates.select(key, *attrs)
+        .withColumn("_dup", dup)
+        .select(
+            guarded_key.alias("_u_k"),
+            *[F.col(a).alias(f"_u_{a}") for a in attrs],
+            F.lit(True).alias("_in_u"),
+        )
+    )
+    # closed rows fail the isNull arm, so they surface as unmatched
+    # left rows in the SAME join — one pass over the dimension
+    j = cur.join(
+        upd,
+        (cur[key] == upd["_u_k"]) & cur["effective_to"].isNull(),
+        "full_outer",
+    )
 
     in_c = F.col("_in_c").isNotNull()
     in_u = F.col("_in_u").isNotNull()
-    is_open = in_c & F.col("effective_to").isNull()
     differs = None
     for a in attrs:
         d = ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
         differs = d if differs is None else (differs | d)
-    changed = is_open & in_u & differs
+    changed = in_c & in_u & differs
 
     out_fields = [key, *attrs, "effective_from", "effective_to"]
 
@@ -97,16 +136,18 @@ def scd2_apply(
         F.lit(version),
     )
     new_open = row(
-        F.col(key),
+        F.coalesce(F.col(key), F.col("_u_k")),
         [F.col(f"_u_{a}") for a in attrs],
         F.lit(version),
         F.lit(None),
     )
     emitted = (
-        # closed history and unchanged/no-op open rows pass through
+        # open row whose attributes changed: close it + insert new open
         F.when(changed, F.array(closed_self, new_open))
+        # closed history (unmatched by construction) and no-op open rows
         .when(in_c, F.array(self_row))
-        # brand-new key: first open row at this version
+        # unmatched batch row: brand-new key OR re-activation of a key
+        # whose history is entirely closed — first/new open row
         .otherwise(F.array(new_open))
     )
     return (

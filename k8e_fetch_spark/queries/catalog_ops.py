@@ -664,3 +664,131 @@ def maintenance_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_to",
         F.col("effective_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "maintenance_scd2_chain",
+    oracle="""
+        WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        -- retired keys' original closed row passes through every batch
+        SELECT k AS custkey, seg AS segment,
+               0 AS effective_from, 1 AS effective_to, FALSE AS is_current
+        FROM dim WHERE k % 5 = 2
+        UNION ALL
+        -- re-activated retired keys: v2 open row closed by the v3 change
+        SELECT k, 'R2_' || CAST(k % 4 AS VARCHAR), 2, 3, FALSE
+        FROM dim WHERE k % 10 = 2
+        UNION ALL
+        SELECT k, 'R3_' || CAST(k % 4 AS VARCHAR), 3,
+               CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 10 = 2
+        UNION ALL
+        -- v2-changed keys: original closed at 2
+        SELECT k, seg, 0, 2, FALSE FROM dim WHERE k % 5 = 0
+        UNION ALL
+        SELECT k, 'C2_' || CAST(k % 3 AS VARCHAR), 2, 3, FALSE
+        FROM dim WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, 'C3_' || CAST(k % 3 AS VARCHAR), 3,
+               CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, 'C2_' || CAST(k % 3 AS VARCHAR), 2,
+               CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 10 = 5
+        UNION ALL
+        -- no-op and untouched open keys keep their original open row
+        SELECT k, seg, 0, CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 5 IN (1, 3, 4)
+        UNION ALL
+        -- keys born in v2, no-op'd in v3
+        SELECT k + 20000000, 'NEW2', 2, CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 97 = 5
+    """,
+    tags=("ext-table-maintenance", "scd2", "chain", "planted-oracle"),
+)
+def maintenance_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch SCD2 chain (VERDICT r15 #5): the production pattern
+    — a dimension versioned through a SEQUENCE of batches — run as a
+    3-state chain (initial load with pre-existing closed history, then
+    two update batches) over operators/scd.py:scd2_apply, with every
+    rule the single-batch flagship cannot reach:
+
+    - RE-ACTIVATION (the r15 advice close): keys k%5==2 start RETIRED
+      (closed-only history, no open row); batch v2 re-activates half
+      of them (k%10==2) — their closed row must pass through AND a new
+      open row appear at version 2;
+    - change-on-reactivated: batch v3 changes those same keys again
+      (R2 closes 2->3, R3 opens at 3) — a re-opened key versions
+      normally;
+    - second change: k%10==0 changes in BOTH batches (0->2->3 chain);
+    - single change: k%10==5 changes only in v2 (open row from 2);
+    - no-op discipline: k%5==1 arrives in v2 with its current value
+      (no churn), and the keys BORN in v2 (k%97==5, custkey+20M)
+      arrive again in v3 unchanged (no churn on a mid-chain key);
+    - version monotonicity: every emitted range satisfies
+      effective_from < effective_to (when closed) and versions only
+      grow along each key's history — the closed-form oracle enumerates
+      the exact expected history, so any violation hash-mismatches.
+
+    The duplicate-batch-key guard (enforced inside scd2_apply via a
+    batch-sized count window + assert_true on the join key) runs live
+    on all three applies. Scale shape per apply: ONE full-outer join
+    with effective_to IS NULL folded into the join condition — closed
+    history passes through the SAME single pass as unmatched-left
+    rows; no second dimension scan, no dimension-sized window."""
+    from k8e_fetch_spark.operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg0 = F.col("c_mktsegment")
+
+    def b(rows):
+        return rows.select(k.alias("custkey"), seg0.alias("segment"))
+
+    retired = cust.filter(k % 5 == 2).select(
+        k.alias("custkey"),
+        seg0.alias("segment"),
+        F.lit(0).cast("int").alias("effective_from"),
+        F.lit(1).cast("int").alias("effective_to"),
+    )
+    live = cust.filter(k % 5 != 2).select(
+        k.alias("custkey"),
+        seg0.alias("segment"),
+        F.lit(0).cast("int").alias("effective_from"),
+        F.lit(None).cast("int").alias("effective_to"),
+    )
+    dim = retired.unionByName(live)
+
+    r2 = F.concat(F.lit("R2_"), (k % 4).cast("string"))
+    c2 = F.concat(F.lit("C2_"), (k % 3).cast("string"))
+    newk = cust.filter(k % 97 == 5).select(
+        (k + 20_000_000).alias("custkey"), F.lit("NEW2").alias("segment")
+    )
+    batch2 = (
+        cust.filter(k % 10 == 2).select(k.alias("custkey"), r2.alias("segment"))
+        .unionByName(
+            cust.filter(k % 5 == 0).select(k.alias("custkey"), c2.alias("segment"))
+        )
+        .unionByName(b(cust.filter(k % 5 == 1)))
+        .unionByName(newk)
+    )
+    v2 = scd2_apply(dim, batch2, "custkey", ["segment"], version=2)
+
+    r3 = F.concat(F.lit("R3_"), (k % 4).cast("string"))
+    c3 = F.concat(F.lit("C3_"), (k % 3).cast("string"))
+    batch3 = (
+        cust.filter(k % 10 == 2).select(k.alias("custkey"), r3.alias("segment"))
+        .unionByName(
+            cust.filter(k % 10 == 0).select(k.alias("custkey"), c3.alias("segment"))
+        )
+        .unionByName(newk)
+    )
+    v3 = scd2_apply(v2, batch3, "custkey", ["segment"], version=3)
+    return v3.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )

@@ -133,11 +133,13 @@ PROBES = [
     # signature scan + scan-local Hamming (two longs per row); the
     # rescore is a 300-id bounded probe, so the curve should track
     # the scan like the other quantization tiers.
-    # NOTE maintenance_scd2_merge is NOT probed by registry name: it
-    # reads customer, a DIMENSION this harness deliberately does not
-    # replicate, so the 20x run would time identical data (measured
-    # 1.0x — vacuous). The dedicated scaled-dimension curve is
-    # recorded in SCALE.md instead (the semdedup/interval treatment).
+    # NOTE maintenance_scd2_merge / maintenance_scd2_chain are NOT
+    # probed by registry name: they read customer, a DIMENSION this
+    # harness deliberately does not replicate, so the 20x run would
+    # time identical data (measured 1.0x — vacuous). The dedicated
+    # scaled-dimension curves (scripts/scd_dim_probe.py, 20x and 100x
+    # keys) are recorded in SCALE.md instead (the semdedup/interval
+    # treatment).
     "sim_topk_binary_rescore",
     # r15: A-Res weighted sampling — scan-local md5+ln keys, top-200
     # cut via per-partition heaps; the curve should track the scan

@@ -110,7 +110,9 @@ def test_chained_reapplication_builds_history(spark):
 
 def test_plan_is_one_join_one_generate(spark):
     """The merge is ONE full-outer join + one explode — no second scan
-    of the current table, no window, no distinct."""
+    of the current table, no window over the DIMENSION, no distinct.
+    The single allowed Window is the batch-sized dup-key guard
+    (VERDICT r15 #5), which partitions the UPDATES input only."""
     cur = _tbl(spark, [(1, "x", 0, None)])
     upd = _upd(spark, [(1, "x2")])
     plan = (
@@ -118,4 +120,57 @@ def test_plan_is_one_join_one_generate(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("Join FullOuter") == 1
-    assert "Window" not in plan and "Deduplicate" not in plan
+    assert plan.count("Window") == 1  # the batch dup guard, nothing else
+    assert "Deduplicate" not in plan
+
+
+def test_closed_only_key_reactivates(spark):
+    """ADVICE r15: a batch row for a key whose history is entirely
+    closed must NOT vanish — the closed rows pass through and a new
+    open row is emitted at this version (re-activation of a retired
+    key), exactly the brand-new-key rule applied on top of existing
+    history."""
+    cur = _tbl(
+        spark,
+        [
+            (1, "v0", 0, 3),   # retired: two closed rows, NO open row
+            (1, "v1", 3, 5),
+            (2, "w", 0, None), # unrelated open key
+        ],
+    )
+    upd = _upd(spark, [(1, "back")])
+    got = _rows(scd2_apply(cur, upd, "k", ["a"], version=9))
+    assert got == sorted(
+        [
+            (1, "v0", 0, 3),
+            (1, "v1", 3, 5),
+            (1, "back", 9, None),
+            (2, "w", 0, None),
+        ],
+        key=_key,
+    )
+
+
+def test_reactivated_key_versions_normally_afterwards(spark):
+    """A re-activated key's new open row participates in later batches
+    like any open row (change closes it, no-op leaves it)."""
+    cur = _tbl(spark, [(1, "v0", 0, 2)])
+    v3 = scd2_apply(cur, _upd(spark, [(1, "back")]), "k", ["a"], version=3)
+    v4 = scd2_apply(v3, _upd(spark, [(1, "next")]), "k", ["a"], version=4)
+    assert _rows(v4) == sorted(
+        [(1, "v0", 0, 2), (1, "back", 3, 4), (1, "next", 4, None)], key=_key
+    )
+
+
+def test_duplicate_batch_key_raises(spark):
+    """VERDICT r15 #5: the at-most-one-row-per-key batch precondition
+    is enforced at execution — a duplicate-keyed batch fails loudly
+    instead of silently fanning the open row into duplicated
+    history."""
+    import pytest
+
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    upd = _upd(spark, [(1, "x2"), (1, "x3")])
+    out = scd2_apply(cur, upd, "k", ["a"], version=1)
+    with pytest.raises(Exception, match="duplicate rows for key"):
+        out.collect()
