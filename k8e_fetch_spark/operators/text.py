@@ -837,6 +837,7 @@ def bm25_scores_multi(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """BM25 for a BATCH of queries in ONE corpus pass — the production
     shape of :func:`bm25_scores`: a retrieval workload is many queries,
@@ -856,6 +857,20 @@ def bm25_scores_multi(
     against the tiny query-term table IS the posting filter), only
     matching (doc, q, term) rows shuffle, and the aggregates map-side
     combine. The corpus-stats pass (N, avgdl) is shared by all queries.
+
+    ``persist_tokens=True`` (VERDICT r15 #4) pins the tokenize+project
+    frame (id, toks, dl) with persist_scoped, collapsing this
+    function's THREE corpus consumers — the (N, avgdl) stats
+    aggregate, the df(term) aggregate, and the tf chain (the two
+    aggregates sit behind broadcast boundaries exchange reuse cannot
+    cross, so unpinned each re-runs the scan + tokenize) — onto ONE
+    source scan + ONE tokenization. Values are identical either way;
+    default False keeps every existing caller's plan bit-identical.
+    The persisted frame is the pruned (id, token-array, dl) corpus —
+    at 100 TB that trade (one MEMORY_AND_DISK materialization vs two
+    extra full scans PLUS two re-tokenizations) favors persisting
+    whenever the cluster has the storage headroom; measured at sf0.1
+    in the composed retrieval pipeline before adopting it there.
     """
     # dedup (q_id, token) pairs: a term listed twice in one query must
     # weigh once, matching bm25_scores' isin() set semantics (a dup row
@@ -870,6 +885,10 @@ def bm25_scores_multi(
             F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != ""
         ).alias("toks"),
     ).select(id_col, "toks", F.size("toks").alias("dl"))
+    if persist_tokens:
+        from k8e_fetch_spark.functions.caching import persist_scoped
+
+        toks = persist_scoped("bm25_multi.toks", toks)
     stats = toks.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     posting = toks.select(id_col, "dl", F.explode("toks").alias("token"))
     # per-(doc, term) tf over the DISTINCT matched terms: a term shared

