@@ -105,125 +105,129 @@ _PRIORITY = (
     # rationale for rounds 8-14 lives in git history of this block
     # (r13 tree: 720f224; r14 tree: 262d18d).
     #
-    # ROUND-15 ROTATION (VERDICT r14 next-round #1/#2). Groups:
+    # ROUND-16 ROTATION (VERDICT r15 next-round #1/#2/#3). Groups:
     #
-    # KEEP (8): the eight r14-new ops hold their seats for SECOND
-    # greens (VERDICT r14 #1 — the only oracle-bearing rows below 2
-    # greens). Three of them double as changed-code reseats from the
-    # r15 ADVICE closures: sim_topk_mmr / sim_topk_mmr_multi (the
-    # rerank greedy now takes max over present sim directions —
-    # result-identical for the both-direction callers, pinned in
-    # tests/test_rerank.py) and web_url_canonical_dedup (HOST_RE/
-    # PORT_RE userinfo+IPv6 grammar — fixture results identical,
-    # re-verified at 3 SFs). join_interval_overlap gained only an
-    # input-validation guard; events_anomaly_zscore /
-    # quality_outlier_robust / join_asof_tolerance /
-    # sim_hybrid_rrf_multi are untouched.
+    # FIRST/SECOND GREENS (6, VERDICT r15 #1): join_asof_nearest (the
+    # only oracle-bearing declared query with ZERO driver history —
+    # declared after the r15 seats filled) plus the five single-green
+    # r15-new ops (sim_retrieval_pipeline_multi, stream_anomaly_zscore,
+    # sim_topk_binary_rescore, maintenance_scd2_merge,
+    # sample_weighted_aes) hold/take seats. Three of the five double as
+    # changed-code reseats from this round's closures:
+    # sim_retrieval_pipeline_multi (require_complete_pool +
+    # shared-token-scan persist), maintenance_scd2_merge (scd2_apply
+    # rework: closed-only re-activation + dup-batch guard — fixture
+    # results identical, re-verified at 3 SFs), sample_weighted_aes
+    # (9dp rounding moved BEFORE the rank cut on both engines).
     #
-    # NEW-CODE (2): sim_retrieval_pipeline_multi (VERDICT r14 #4 — the
-    # composed BM25 -> RRF -> MMR retrieval pipeline, oracle = the
-    # components' CTE chains composed) and stream_anomaly_zscore
-    # (VERDICT r14 #5 — the z-score gate as a REAL stateful stream,
-    # applyInPandasWithState, pinned row-identical to the batch twin).
+    # PLANTED ROTATION (7, VERDICT r15 #2): the r5-r9-stale planted
+    # twins return for current-form greens — their driver greens
+    # predate the r10 operators/similarity.py md5_32/width reworks.
+    # This ORDERED exception re-opens the r11 seat-compaction contract
+    # for one round: COMPACTION_POOL rows may claim seats only on a
+    # verdict's explicit evidence-refresh order (this is one).
     #
-    # CHANGED-CODE RESEAT (1): compress_insert_ignore_occ — plans/
-    # cas.py gained CasContractError + the opt-in read-back verify
-    # (VERDICT r14 #7); the default claim path is byte-identical but
-    # the changed-code policy beats freshness (r14 precedent).
+    # NEW-CODE (1): maintenance_scd2_chain (VERDICT r15 #5 — the
+    # 3-state SCD2 chain with re-activation, enforced dup-batch guard,
+    # closed-form oracle).
     #
-    # BACKFILL r11 (25): the ENTIRE remaining r11 cohort — the seven
-    # rows the r14 new-code seats displaced plus the 18 further rows
-    # VERDICT r14 #2 names; after a green window nothing on the
-    # rotating surface is older than r12.
+    # CHANGED-CODE RESEATS (4): join_interval_overlap (intervals.py
+    # scratch guard now checks both names against both inputs),
+    # sim_topk_mmr / sim_topk_mmr_multi (rerank.py
+    # require_complete_pool + callers pass it), sim_hybrid_rrf_multi
+    # and text_bm25_multi_topk flow through bm25_scores_multi, which
+    # gained the opt-in persist_tokens seam (default-off — their plans
+    # are bit-identical, but changed-code policy beats freshness, r14
+    # precedent). That is 5 names; join_asof_tolerance is untouched
+    # this round and holds 2 greens, so it rotates out.
     #
-    # BACKFILL r12 (14): the first 14 alphabetical of the rows last
-    # green in ROUND 12; the remainder (compress_insert_ignore_tx was
-    # seated here as #14 by alphabet; the rest of the r12 cohort —
-    # cube_orders, dedup_exact_documents, dedup_ngram_jaccard,
-    # events_session_window, ... ) head the r16 queue.
+    # BACKFILL r12 (31, VERDICT r15 #3): queue head first
+    # (compress_insert_ignore_tx, compress_schema_clone,
+    # corpus_prep_pipeline — the three that yielded seats mid-r15),
+    # then the r12 cohort in alphabetical order as far as seats allow.
+    # The last five alphabetical (text_token_count,
+    # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
+    # tpch_q5_local_supplier, window_order_rank — 6+ greens each,
+    # per-session pytest parity) head the r17 queue; VERDICT r15 #3
+    # budgets the remainder for r17 ("nothing older than r13 after r17
+    # at the latest").
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
-    # NEW-CODE AMENDMENT (mid-r15): the session added TWO more
-    # oracle-bearing ops — sim_topk_binary_rescore (binary-quantized
-    # ANN: sign-bit signatures, XOR+popcount Hamming prefilter, exact
-    # rescore of survivors — the third quantization tier) and
-    # maintenance_scd2_merge (SCD Type-2 dimension versioning, one
-    # full-outer join + explode, closed-form planted oracle).
-    # Changed/new-code policy seats both for first greens; to keep 50
-    # comparable seats the LAST two alphabetical r12-backfill rows
-    # yielded (compress_schema_clone, corpus_prep_pipeline) and head
-    # the r16 queue. A third late-session op — sample_weighted_aes
-    # (Efraimidis-Spirakis weighted sampling without replacement,
-    # length-weighted, scan-local md5+ln keys, pure-Python-reference
-    # pinned) — seats the same way; compress_insert_ignore_tx yields
-    # and joins the r16 queue head.
-    #
-    # -- second greens for the r14-new ops (KEEP) --
-    "sim_hybrid_rrf_multi",
-    "join_interval_overlap",
-    "web_url_canonical_dedup",
-    "sim_topk_mmr",
-    "sim_topk_mmr_multi",
-    "events_anomaly_zscore",
-    "quality_outlier_robust",
-    "join_asof_tolerance",
-    # -- first driver rows: new code (changed/new-code policy) --
+    # -- first green (zero driver history) + the five r15 singles --
+    "join_asof_nearest",
     "sim_retrieval_pipeline_multi",
     "stream_anomaly_zscore",
     "sim_topk_binary_rescore",
     "maintenance_scd2_merge",
     "sample_weighted_aes",
-    # -- changed-code reseat (r15 CAS seam hardening) --
-    "compress_insert_ignore_occ",
-    # -- backfill: the 25 rows last green in ROUND 11 --
-    "scalar_subquery_rich_idle",
-    "set_ops_customers",
-    "sim_cosine_lsh",
-    "sim_kmeans_assign",
-    "sim_topk_ivf",
-    "sim_topk_pq_trained",
-    "stream_session_window",
-    "string_funcs_parts",
-    "text_bpe_apply",
-    "text_bpe_learn_merges",
-    "text_domain_filter",
-    "text_lm_perplexity_filter",
-    "text_winnowing_fingerprint",
-    "top_customers_by_revenue",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_sales_opportunity",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    # -- backfill: first 14 alphabetical of the ROUND-12 cohort --
-    "array_funcs_embeddings",
-    "catalog_include_keys",
-    "catalog_skip_unknown",
-    "catalog_sync_delta",
-    "catalog_temporal_prune",
-    "catalog_version_latest",
-    "compress_add_column",
-    "compress_component_union",
-    "compress_concat_expr",
-    "compress_distinct_status",
-    "compress_insert_ignore",
+    # -- planted rotation (VERDICT r15 #2 evidence-refresh order) --
+    "dedup_clusters_planted",
+    "dedup_simhash_planted",
+    "sim_topk_ivf_planted",
+    "text_decontaminate_ngram",
+    "dedup_minhash_lsh_planted",
+    "sim_cosine_lsh_planted",
+    "dedup_clusters_star_planted",
+    # -- new code --
+    "maintenance_scd2_chain",
+    # -- changed-code reseats --
+    "join_interval_overlap",
+    "sim_topk_mmr",
+    "sim_topk_mmr_multi",
+    "sim_hybrid_rrf_multi",
+    "text_bm25_multi_topk",
+    # -- backfill: r16 queue head (yielded seats mid-r15) --
+    "compress_insert_ignore_tx",
+    "compress_schema_clone",
+    "corpus_prep_pipeline",
+    # -- backfill: the ROUND-12 cohort, alphabetical --
+    "cube_orders",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "grouping_sets_orders",
+    "ingest_zip_decode_repair",
+    "join_asof_purchase",
+    "join_range_price_bands",
+    "map_funcs_events",
+    "mm_binary_meta",
+    "mm_decode_meta",
+    "repair_header_norm",
+    "repair_quote_malformed",
+    "rollup_lineitem",
+    "sample_stratified_deterministic",
+    "sim_cosine_pairs_threshold",
+    "sim_embedding_norms",
+    "sim_kmeans_assign_oracle",
+    "sim_topk_cosine_exact",
+    "stream_session_window_append",
+    "stream_stateful_user_stats",
+    "stream_tumbling_available_now",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_redact_patterns",
 )
 
 
-# Seat-compaction contract (r11, VERDICT r10 #7): these rows stay
-# REGISTERED (pytest parity every session, recorded driver history) but
-# never claim correctness-window seats again — each one's semantics are
-# subsumed by a seated natural-corpus FULL-oracle row (the planted
-# twins by their natural promotions; the ngram decontamination variant
-# by its bloom twin, which carries the identical oracle). Enforced by
-# tests/test_registry_invariants.py.
-NEVER_RESEAT: frozenset[str] = frozenset(
+
+# Seat-compaction contract (r11, VERDICT r10 #7; amended r16): these
+# rows stay REGISTERED (pytest parity every session, recorded driver
+# history) but do not claim correctness-window seats in the normal
+# rotation — each one's semantics are subsumed by a seated
+# natural-corpus FULL-oracle row (the planted twins by their natural
+# promotions; the ngram decontamination variant by its bloom twin,
+# which carries the identical oracle). r16 AMENDMENT: a verdict may
+# order a one-round EVIDENCE REFRESH when the pool's driver greens
+# fall too far behind the current code (VERDICT r15 #2 did exactly
+# that — the seven rows' last greens, r5-r9, predate the r10
+# operators/similarity.py reworks); during such a round the pool rows
+# sit in _PRIORITY and the invariant test checks the rotation comment
+# cites the ordering verdict. Outside an ordered refresh the exclusion
+# stands. Enforced by tests/test_registry_invariants.py.
+COMPACTION_POOL: frozenset[str] = frozenset(
     {
         "dedup_minhash_lsh_planted",  # subsumed by dedup_minhash_lsh
         "sim_cosine_lsh_planted",  # subsumed by sim_cosine_lsh
@@ -234,6 +238,10 @@ NEVER_RESEAT: frozenset[str] = frozenset(
         "text_decontaminate_ngram",  # same oracle as text_decontaminate_bloom
     }
 )
+
+# True while a verdict-ordered refresh round is in effect (set r16 per
+# VERDICT r15 #2; drop back to False when the r17 window recomposes).
+COMPACTION_REFRESH_ROUND = True
 
 
 def _ordered() -> list[Query]:

@@ -84,23 +84,36 @@ def test_declared_result_is_non_vacuous(spark, name):
     )
 
 
-def test_never_reseat_rows_hold_no_seats():
-    """The r11 seat-compaction contract: rows whose semantics are
-    subsumed by a seated natural-corpus full-oracle row must stay
-    registered (parity coverage above) but never occupy a
-    correctness-window seat, and every subsuming row must itself be
-    registered with a full oracle."""
+def test_compaction_pool_rows_hold_no_seats_outside_ordered_refresh():
+    """The r11 seat-compaction contract (amended r16): rows whose
+    semantics are subsumed by a seated natural-corpus full-oracle row
+    stay registered (parity coverage above) and occupy correctness-
+    window seats ONLY during a verdict-ordered evidence-refresh round
+    (VERDICT r15 #2 ordered one for r16). During a refresh round the
+    rotation comment must cite the ordering verdict; outside one the
+    exclusion is total. Every subsuming row must itself be registered
+    with a full oracle."""
+    import inspect
+
+    from k8e_fetch_spark.queries import registry
     from k8e_fetch_spark.queries.registry import (
-        NEVER_RESEAT,
+        COMPACTION_POOL,
+        COMPACTION_REFRESH_ROUND,
         REGISTRY,
         _PRIORITY,
         _ensure_loaded,
     )
 
     _ensure_loaded()
-    assert not (NEVER_RESEAT & set(_PRIORITY)), NEVER_RESEAT & set(_PRIORITY)
+    seated = COMPACTION_POOL & set(_PRIORITY)
+    if COMPACTION_REFRESH_ROUND:
+        # the ordering verdict must be cited next to the seats
+        src = inspect.getsource(registry)
+        assert "VERDICT r15 #2" in src
+    else:
+        assert not seated, seated
     # still registered, still checkable
-    for n in NEVER_RESEAT:
+    for n in COMPACTION_POOL:
         assert n in REGISTRY, n
     for subsumer in (
         "dedup_minhash_lsh",
