@@ -116,6 +116,19 @@ HEADLINE = [
     # price a full-outer merge against literal row construction (the
     # mm_jvm_image_decode reasoning).
     "sim_topk_binary_rescore",
+    # round-16 seats (VERDICT r15 #6 — price every new op family that
+    # CAN be priced). Both apples-to-apples: the A-Res oracle runs the
+    # SAME md5+ln key expression and rank cut in DuckDB (the row prices
+    # scan-local scoring + a top-200 heap cut on both engines); the
+    # nearest-asof oracle runs the SAME two-frame window computation
+    # (the row prices Spark's window engine vs DuckDB's — exactly the
+    # join_asof_purchase seat's reasoning). The two r15 families that
+    # remain unseated keep their documented reasons above
+    # (stream_anomaly_zscore: drain-vs-window; maintenance_scd2_merge
+    # and the r16 chain: closed-form planted oracles), recorded in
+    # BASELINE.md's r16 section per the verdict.
+    "sample_weighted_aes",
+    "join_asof_nearest",
 ]
 
 
