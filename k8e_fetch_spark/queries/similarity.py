@@ -2736,13 +2736,19 @@ FROM sel
 """
 
 
-def _retrieval_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retrieval_fused(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """The pipeline's fusion stage: BM25 leg + dense leg -> per-query
     RRF scores over the union of both top-20 rank lists. Kept as a
     separate stage so pytest can pin it against sim_hybrid_rrf_multi
     (its per-query top-10 must BIT-equal that row's output — the
     composed pipeline is the proven parts wired together, not a
-    reimplementation)."""
+    reimplementation). ``emb`` lets the caller hand in a shared
+    (persisted) embeddings frame so the dense leg and the caller's
+    own consumers ride ONE scan (r16 — the persist_tokens treatment
+    applied to the dense side); None loads the table directly with
+    identical values."""
     from k8e_fetch_spark.operators.text import bm25_scores_multi
 
     docs = fan_out(load(spark, sf_dir, "documents"))
@@ -2773,7 +2779,8 @@ def _retrieval_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "doc_id", "r_lex")
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -2842,17 +2849,23 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k8e_fetch_spark.functions.caching import persist_scoped
     from k8e_fetch_spark.operators.rerank import mmr_rerank
 
-    fused = _retrieval_fused(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
+    # shared embeddings scan (r16, same structure as the BM25 leg's
+    # persist_tokens): the query-vector probe, the dense leg, and the
+    # pool join all read ONE persisted frame — scan audit embeddings
+    # x3 -> x1, results bit-identical
+    emb = persist_scoped(
+        "retrieval_pipeline.emb", load(spark, sf_dir, "embeddings")
+    )
+    fused = _retrieval_fused(spark, sf_dir, emb=emb)
     wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("doc_id"))
     # persisted: the pool feeds THREE consumers (both sides of the
     # pairwise-sim self-join and the rel input) and exchange reuse
     # does not cross their broadcast boundaries — unpinned, each
     # consumer re-executed the ENTIRE two-leg fusion (scan audit read
     # documents x9 / embeddings x9; pool pinned -> x3/x3; with the
-    # BM25 leg's persist_tokens shared scan -> documents x1 /
-    # embeddings x3, r16). The frame is pool-sized: <=30 rows/query
-    # + embedding.
+    # r16 shared scans — persist_tokens on the BM25 leg + the shared
+    # emb frame above — documents x1 / embeddings x1). The frame is
+    # pool-sized: <=30 rows/query + embedding.
     pool = persist_scoped(
         "retrieval_pipeline.pool",
         fused.join(emb, fused["doc_id"] == emb["vec_id"])

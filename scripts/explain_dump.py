@@ -68,7 +68,7 @@ SHOWCASE = [
     ("sim_retrieval_pipeline_multi", "the retrieval stack composed end to end (r15): BOTH legs cut to 20 rows/query below their exchanges (WindowGroupLimit / rank filters over the BM25 posting-filtered scan and the broadcast-query-vector cosine scan), fusion a 60x60-row full outer join, the MMR pool a <=40-rows/query probe of embeddings, and the sequential greedy the ONE FlatMapGroupsInPandas node over pool-sized rows — corpus-sized work is exactly the two leg scans"),
     ("sim_topk_binary_rescore", "binary-quantized ANN (r15): the sign-bit packing is one scan-side codegen sum chain per 32-bit half; the corpus-sized Hamming stage carries ONLY (id, two longs) against the 3-row broadcast query signatures (bit_count(xor) — all integer, whole-stage codegen); the top-100 cut compiles to WindowGroupLimit below the exchange; the full float vectors appear ONLY in the bounded candidate join for the exact-cosine rescore"),
     ("maintenance_scd2_merge", "SCD Type-2 merge (r15, reworked r16): ONE full-outer join per batch with effective_to IS NULL folded into the JOIN CONDITION — closed history passes through the SAME single pass as unmatched-left rows (no open/closed split, no second dimension scan) and a batch key with no open row re-activates as unmatched-right; the row-local CASE emits 0-2 rows per key through a single Generate explode; the only Window is the BATCH-sized dup-key guard (assert_true folded into the join key) — no dimension-sized Window, no Deduplicate"),
-    ("maintenance_scd2_chain", "3-state SCD2 chain (r16): three scd2_apply stages stack as three full-outer joins + Generates in ONE plan — each batch-sized guard Window rides its own batch subtree; the dimension flows through WITHOUT re-scanning between batches (the v1 output IS the v2 input plan), so a N-batch chain is N joins, not N table reads"),
+    ("maintenance_scd2_chain", "3-state SCD2 chain (r16): the two scd2_apply stages stack as TWO full-outer joins + Generates in ONE plan (the initial load is plain construction, not an apply) — each batch-sized guard Window rides its own batch subtree; the dimension flows through WITHOUT re-scanning between batches (the v2 output IS the v3 input plan), so an N-batch chain is N joins, not N table reads"),
     ("sample_weighted_aes", "Efraimidis-Spirakis weighted sampling (r15): the A-Res key ln(u)/w is scan-local codegen (md5 + ln, no Python, ZERO keyed shuffle); the without-replacement cut is TakeOrderedAndProject — per-partition heaps ship 200 rows each, never a global sort"),
     ("join_asof_nearest", "nearest-direction as-of (r15): the backward frame (last_value IGNORE NULLS over preceding) and the forward frame (first_value over following) ride ONE user_id Exchange + sort — no self-join, no range explosion; tolerance and the backward tie rule are post-window projections"),
 ]
