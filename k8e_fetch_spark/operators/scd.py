@@ -69,6 +69,27 @@ def scd2_apply(
     as ``current``.
     """
     attrs = list(attrs)
+    # scratch-name discipline (the interval-join r14/r15 lesson applied
+    # up front): the merge plan manufactures _in_c/_in_u/_dup/_u_* —
+    # refuse inputs (or attr names) that collide instead of silently
+    # mangling caller columns
+    scratch = {"_in_c", "_in_u", "_dup", "_u_k"}
+    u_aliases = [f"_u_{a}" for a in attrs]
+    if len(set(u_aliases) | {"_u_k"}) != len(attrs) + 1:
+        raise ValueError(
+            "scd2_apply: attribute names collide with internal scratch "
+            f"aliases ({sorted(set(u_aliases) & {'_u_k'}) or 'duplicate attrs'})"
+            " — rename the attribute"
+        )
+    scratch |= set(u_aliases)
+    for side, df in (("current", current), ("updates", updates)):
+        bad = scratch & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"scd2_apply: {side} input carries column(s) {sorted(bad)}, "
+                "which the merge uses as internal scratch — rename before "
+                "applying"
+            )
     cur = current.select(
         key, *attrs, "effective_from", "effective_to", F.lit(True).alias("_in_c")
     )

@@ -162,6 +162,29 @@ def test_reactivated_key_versions_normally_afterwards(spark):
     )
 
 
+def test_scratch_column_collisions_refused(spark):
+    """Inputs carrying the merge's internal scratch names (or an attr
+    whose _u_ alias collides with the key alias) are refused loudly —
+    the interval-join scratch-guard discipline applied up front."""
+    import pytest
+
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    upd = _upd(spark, [(1, "x2")])
+    with pytest.raises(ValueError, match="internal scratch"):
+        scd2_apply(cur.withColumn("_dup", F.lit(1)), upd, "k", ["a"], version=1)
+    with pytest.raises(ValueError, match="internal scratch"):
+        scd2_apply(cur, upd.withColumn("_in_u", F.lit(True)), "k", ["a"], version=1)
+    with pytest.raises(ValueError, match="internal scratch"):
+        scd2_apply(cur, upd.withColumn("_u_a", F.lit("x")), "k", ["a"], version=1)
+    # attr named 'k' would alias to _u_k, the join-key scratch
+    cur_k = spark.createDataFrame(
+        [(1, "x", 0, None)], "id long, k string, effective_from int, effective_to int"
+    )
+    upd_k = spark.createDataFrame([(1, "x2")], "id long, k string")
+    with pytest.raises(ValueError, match="collide"):
+        scd2_apply(cur_k, upd_k, "id", ["k"], version=1)
+
+
 def test_duplicate_batch_key_raises(spark):
     """VERDICT r15 #5: the at-most-one-row-per-key batch precondition
     is enforced at execution — a duplicate-keyed batch fails loudly
