@@ -666,9 +666,7 @@ def maintenance_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "maintenance_scd2_chain",
-    oracle="""
+_SCD2_CHAIN_ORACLE = """
         WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
         -- retired keys' original closed row passes through every batch
         SELECT k AS custkey, seg AS segment,
@@ -704,7 +702,12 @@ def maintenance_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- keys born in v2, no-op'd in v3
         SELECT k + 20000000, 'NEW2', 2, CAST(NULL AS INTEGER), TRUE
         FROM dim WHERE k % 97 = 5
-    """,
+"""
+
+
+@register(
+    "maintenance_scd2_chain",
+    oracle=_SCD2_CHAIN_ORACLE,
     tags=("ext-table-maintenance", "scd2", "chain", "planted-oracle"),
 )
 def maintenance_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,12 +742,29 @@ def maintenance_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; no second dimension scan, no dimension-sized window."""
     from k8e_fetch_spark.operators.scd import scd2_apply
 
+    dim, batches = _scd2_chain_parts(spark, sf_dir)
+    cur = dim
+    for v, batch in batches:
+        cur = scd2_apply(cur, batch, "custkey", ["segment"], version=v)
+    return cur.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )
+
+
+def _scd2_chain_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """The SCD2 chain's planted inputs, shared by the batch query and
+    its streaming CDC twin (stream_scd2_chain): the 3-state initial
+    dimension (open keys + RETIRED closed-only keys) and the two
+    update batches, keyed by the version they commit as."""
     cust = load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     seg0 = F.col("c_mktsegment")
-
-    def b(rows):
-        return rows.select(k.alias("custkey"), seg0.alias("segment"))
 
     retired = cust.filter(k % 5 == 2).select(
         k.alias("custkey"),
@@ -770,10 +790,13 @@ def maintenance_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             cust.filter(k % 5 == 0).select(k.alias("custkey"), c2.alias("segment"))
         )
-        .unionByName(b(cust.filter(k % 5 == 1)))
+        .unionByName(
+            cust.filter(k % 5 == 1).select(
+                k.alias("custkey"), seg0.alias("segment")
+            )
+        )
         .unionByName(newk)
     )
-    v2 = scd2_apply(dim, batch2, "custkey", ["segment"], version=2)
 
     r3 = F.concat(F.lit("R3_"), (k % 4).cast("string"))
     c3 = F.concat(F.lit("C3_"), (k % 3).cast("string"))
@@ -784,11 +807,4 @@ def maintenance_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(newk)
     )
-    v3 = scd2_apply(v2, batch3, "custkey", ["segment"], version=3)
-    return v3.select(
-        "custkey",
-        "segment",
-        "effective_from",
-        "effective_to",
-        F.col("effective_to").isNull().alias("is_current"),
-    )
+    return dim, [(2, batch2), (3, batch3)]

@@ -141,16 +141,16 @@ _PRIORITY = (
     # precedent). That is 5 names; join_asof_tolerance is untouched
     # this round and holds 2 greens, so it rotates out.
     #
-    # BACKFILL r12 (31, VERDICT r15 #3): queue head first
+    # BACKFILL r12 (30, VERDICT r15 #3): queue head first
     # (compress_insert_ignore_tx, compress_schema_clone,
     # corpus_prep_pipeline — the three that yielded seats mid-r15),
     # then the r12 cohort in alphabetical order as far as seats allow.
-    # The last five alphabetical (text_token_count,
-    # tpch_q1_pricing_summary, tpch_q3_shipping_priority,
-    # tpch_q5_local_supplier, window_order_rank — 6+ greens each,
-    # per-session pytest parity) head the r17 queue; VERDICT r15 #3
-    # budgets the remainder for r17 ("nothing older than r13 after r17
-    # at the latest").
+    # The last six alphabetical (text_redact_patterns,
+    # text_token_count, tpch_q1_pricing_summary,
+    # tpch_q3_shipping_priority, tpch_q5_local_supplier,
+    # window_order_rank — 5+ greens each, per-session pytest parity)
+    # head the r17 queue; VERDICT r15 #3 budgets the remainder for r17
+    # ("nothing older than r13 after r17 at the latest").
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
     # -- first green (zero driver history) + the five r15 singles --
@@ -168,8 +168,11 @@ _PRIORITY = (
     "dedup_minhash_lsh_planted",
     "sim_cosine_lsh_planted",
     "dedup_clusters_star_planted",
-    # -- new code --
+    # -- new code (the streaming CDC twin seats with its batch chain;
+    # text_redact_patterns yields the 50th seat and heads the r17
+    # queue with the other five r12 leftovers) --
     "maintenance_scd2_chain",
+    "stream_scd2_chain",
     # -- changed-code reseats --
     "join_interval_overlap",
     "sim_topk_mmr",
@@ -208,7 +211,6 @@ _PRIORITY = (
     "text_chunk_documents",
     "text_fingerprint",
     "text_quality_score",
-    "text_redact_patterns",
 )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.rounding import round_fixed
 from k8e_fetch_spark.io import load
+from k8e_fetch_spark.queries.catalog_ops import _SCD2_CHAIN_ORACLE
 from k8e_fetch_spark.queries.registry import register
 
 
@@ -660,4 +661,108 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ev: sw.trailing_zscore(ev, frame=20, min_n=10, threshold=3.0),
         output_mode="append",
         prefix="k8e_zscore_stream_",
+    )
+
+
+@register(
+    "stream_scd2_chain",
+    # Oracle = the batch chain's closed form (queries/catalog_ops.py):
+    # the CDC stream drains a fixed two-file update set under
+    # availableNow with version monotonicity enforced, so its final
+    # dimension is deterministic and equals maintenance_scd2_chain —
+    # the SAME oracle hash-checks the real streaming execution (the
+    # stream_tumbling_available_now precedent).
+    oracle=_SCD2_CHAIN_ORACLE,
+    tags=(
+        "ext-table-maintenance",
+        "ext-stream-window",
+        "scd2",
+        "cdc",
+        "real-stream",
+        "planted-oracle",
+    ),
+)
+def stream_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 chain as a REAL CDC STREAM (streaming/windows.py:
+    run_scd2_cdc_stream): the two planted update batches stage as one
+    parquet file each in a watched directory, a streaming file source
+    discovers them exactly once (maxFilesPerTrigger=1 — each batch is
+    its own micro-batch, so the dimension state crosses micro-batch
+    boundaries), and every foreachBatch folds its versions through
+    operators/scd.py:scd2_apply against parquet state — the
+    Delta/Iceberg `foreachBatch + MERGE` production recipe on plain
+    parquet. Version monotonicity is enforced (an out-of-order CDC
+    batch raises — applying v3 before v2 would silently corrupt
+    history); scd2_apply's dup-batch-key guard runs live per step.
+
+    Pinned to the SAME closed-form oracle as maintenance_scd2_chain:
+    re-activation of retired keys, change-on-reactivated, the 0->2->3
+    double change, and the mid-chain-born no-op key all survive the
+    micro-batch boundary or the hash mismatches.
+
+    Scale shape: each step is the batch operator's plan (one
+    full-outer join, batch-sized guard window) plus one distributed
+    parquet write scheduled from the driver callback; streaming state
+    between batches lives in the table itself (the checkpoint carries
+    only the file ledger) — exactly how a 100 TB dimension ingests
+    CDC without holding state in the stream engine."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.queries.catalog_ops import _scd2_chain_parts
+    from k8e_fetch_spark.streaming.windows import run_scd2_cdc_stream
+
+    dim, batches = _scd2_chain_parts(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="k8e_scd2_cdc_")
+    upd_dir = os.path.join(workdir, "updates")
+    os.makedirs(upd_dir)
+    # one FILE per CDC batch (a .write.parquet dir would surface each
+    # part file as its own stream entry), named so discovery order
+    # matches version order; the monotonicity guard turns any
+    # order violation into a loud failure rather than a silent hash drift
+    for v, batch in batches:
+        stage = os.path.join(workdir, f"_stage_{v}")
+        (
+            batch.withColumn("version", F.lit(v).cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in sorted(os.listdir(stage))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        shutil.move(
+            os.path.join(stage, part),
+            os.path.join(upd_dir, f"batch-{v:05d}.parquet"),
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+    schema = spark.read.parquet(upd_dir).schema
+    updates = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    out = run_scd2_cdc_stream(
+        updates,
+        dim,
+        "custkey",
+        ["segment"],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        state_dir=os.path.join(workdir, "state"),
+    )
+    # source + checkpoint are done once the drain returns; the final
+    # state step backs the returned plan, so the workdir outlives this
+    # call and is removed at interpreter exit
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return out.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
     )

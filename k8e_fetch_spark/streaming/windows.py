@@ -385,3 +385,85 @@ def trailing_zscore(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_scd2_cdc_stream(
+    updates: DataFrame,
+    initial: DataFrame,
+    key: str,
+    attrs: list[str],
+    checkpoint_dir: str,
+    state_dir: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Apply a CDC update stream to an SCD Type-2 dimension — the
+    streaming form of :func:`k8e_fetch_spark.operators.scd.scd2_apply`
+    (the Delta/Iceberg ``foreachBatch + MERGE`` recipe, expressed on
+    plain parquet state).
+
+    ``updates`` is a STREAMING DataFrame carrying ``key, *attrs,
+    version`` (one integer version stamp per upstream batch; a
+    micro-batch may carry several versions — they apply in ascending
+    order inside it). ``initial`` is the starting SCD2 table
+    (``key, *attrs, effective_from, effective_to``). State between
+    micro-batches is a parquet directory per applied step under
+    ``state_dir`` — each ``foreachBatch`` reads the previous step's
+    table, folds its versions through ``scd2_apply``, and writes the
+    next step (the write is a distributed job; the Python callback
+    only schedules it, exactly like run_available_now_to_dir's sink).
+
+    Version monotonicity is ENFORCED: a micro-batch carrying a version
+    <= the last applied one raises (out-of-order CDC is a pipeline
+    fault — applying v3 before v2 would silently corrupt history, so
+    it must never be absorbed). ``scd2_apply``'s own dup-batch-key
+    guard runs live on every step.
+
+    Returns the final dimension as a batch DataFrame (read from the
+    last state step, which must outlive this call).
+    """
+    import os
+
+    from k8e_fetch_spark.operators.scd import scd2_apply
+
+    spark = updates.sparkSession
+    init_path = os.path.join(state_dir, "step-00000")
+    initial.write.mode("overwrite").parquet(init_path)
+    # driver-local fold state: foreachBatch callbacks run sequentially
+    # on the driver, so a tiny mutable cell is the honest mechanism
+    cursor = {"path": init_path, "version": None, "step": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = [r[0] for r in batch_df.select("version").distinct().collect()]
+        if not versions:
+            return
+        last = cursor["version"]
+        if last is not None and min(versions) <= last:
+            raise ValueError(
+                f"run_scd2_cdc_stream: out-of-order CDC batch — version "
+                f"{min(versions)} arrived after {last} was applied; an "
+                "SCD2 stream must deliver versions in ascending order"
+            )
+        cur = spark.read.parquet(cursor["path"])
+        for v in sorted(versions):
+            batch = batch_df.filter(F.col("version") == v).drop("version")
+            cur = scd2_apply(cur, batch, key, attrs, version=int(v))
+        cursor["step"] += 1
+        nxt = os.path.join(state_dir, f"step-{cursor['step']:05d}")
+        cur.write.mode("overwrite").parquet(nxt)
+        cursor["path"] = nxt
+        cursor["version"] = max(versions)
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("SCD2 CDC stream did not drain in time")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(cursor["path"])

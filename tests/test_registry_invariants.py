@@ -163,6 +163,7 @@ def test_write_side_effect_queries_stay_closed():
         "stream_stateful_user_stats",
         "stream_tumbling_available_now",
         "stream_anomaly_zscore",  # r15: stateful z-score gate drain
+        "stream_scd2_chain",  # r16: CDC drain + per-step parquet state table
     }
     MODS = [
         "catalog_ops", "compress_ops", "multimodal_ops", "relational",

@@ -11,6 +11,7 @@ carries state across micro-batches.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -486,3 +487,111 @@ def test_trailing_zscore_state_carries_across_micro_batches(spark, tmp_path):
     split = run(sf_two, 1)
     assert single == split
     assert any(eid == 25 for eid, _ in single)  # the planted outlier fires
+
+
+def _stage_scd2_updates(spark, tmp_path, specs):
+    """Stage one single-file parquet per (filename, version, rows) spec
+    into an updates dir a streaming file source can watch."""
+    import shutil
+
+    upd = tmp_path / "updates"
+    upd.mkdir()
+    for fname, version, rows in specs:
+        stage = tmp_path / f"_stage_{fname}"
+        (
+            spark.createDataFrame(rows, "k long, a string")
+            .withColumn("version", F.lit(version).cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(stage))
+        )
+        part = next(
+            f for f in sorted(os.listdir(stage))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        shutil.move(str(stage / part), str(upd / fname))
+        shutil.rmtree(stage, ignore_errors=True)
+    return upd
+
+
+def _read_updates_stream(spark, upd_dir, mf=1):
+    schema = spark.read.parquet(str(upd_dir)).schema
+    reader = spark.readStream.schema(schema)
+    if mf:
+        reader = reader.option("maxFilesPerTrigger", mf)
+    return reader.parquet(str(upd_dir))
+
+
+def test_scd2_cdc_stream_state_crosses_micro_batches(spark, tmp_path):
+    """The CDC fold must produce the same dimension whether the two
+    update batches arrive in ONE micro-batch or one per micro-batch
+    (state = the parquet table between steps)."""
+    initial = spark.createDataFrame(
+        [(1, "x", 0, None), (2, "retired", 0, 1)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    specs = [
+        ("batch-00002.parquet", 2, [(1, "x2"), (2, "back")]),
+        ("batch-00003.parquet", 3, [(1, "x3")]),
+    ]
+    results = []
+    for i, mf in enumerate((1, None)):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        upd = _stage_scd2_updates(spark, d, specs)
+        out = sw.run_scd2_cdc_stream(
+            _read_updates_stream(spark, upd, mf),
+            initial,
+            "k",
+            ["a"],
+            checkpoint_dir=str(d / "ckpt"),
+            state_dir=str(d / "state"),
+        )
+        results.append(
+            sorted(
+                ((r["k"], r["a"], r["effective_from"], r["effective_to"])
+                 for r in out.collect()),
+                key=lambda t: tuple((v is None, v) for v in t),
+            )
+        )
+    assert results[0] == results[1]
+    expect = sorted(
+        [
+            (1, "x", 0, 2),
+            (1, "x2", 2, 3),
+            (1, "x3", 3, None),
+            (2, "retired", 0, 1),
+            (2, "back", 2, None),  # re-activation through the stream
+        ],
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert results[0] == expect
+
+
+def test_scd2_cdc_stream_rejects_out_of_order_versions(spark, tmp_path):
+    """A micro-batch carrying a version <= the last applied one is a
+    pipeline fault and must raise, not silently corrupt history. The
+    file names force v3 to be DISCOVERED first."""
+    import pytest
+
+    initial = spark.createDataFrame(
+        [(1, "x", 0, None)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    upd = _stage_scd2_updates(
+        spark,
+        tmp_path,
+        [
+            ("batch-00001.parquet", 3, [(1, "x3")]),  # v3 arrives first
+            ("batch-00002.parquet", 2, [(1, "x2")]),  # then stale v2
+        ],
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        sw.run_scd2_cdc_stream(
+            _read_updates_stream(spark, upd, 1),
+            initial,
+            "k",
+            ["a"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            state_dir=str(tmp_path / "state"),
+        )
