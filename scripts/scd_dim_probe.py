@@ -30,7 +30,14 @@ from k8e_fetch_spark.queries import queries  # noqa: E402
 from k8e_fetch_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-PROBES = ("maintenance_scd2_merge", "maintenance_scd2_chain")
+# the stream twin measures the whole CDC machinery (single-file batch
+# staging, availableNow drain, per-step parquet state) over the same
+# scaled dimension — the merge/chain rows measure the operator plan
+PROBES = (
+    "maintenance_scd2_merge",
+    "maintenance_scd2_chain",
+    "stream_scd2_chain",
+)
 
 
 def run(spark, sf_dir: str) -> dict[str, float]:
