@@ -197,3 +197,79 @@ def test_duplicate_batch_key_raises(spark):
     out = scd2_apply(cur, upd, "k", ["a"], version=1)
     with pytest.raises(Exception, match="duplicate rows for key"):
         out.collect()
+
+
+# ---------------------------------------------------------------------------
+# Property pin: scd2_apply vs an independent pure-Python SCD2 reference
+# over randomized chains (hypothesis). Catches the two-sided-wrong class
+# the planted oracles can't (a mistranslated rule encoded identically in
+# the operator and its closed-form oracle would still MATCH).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _py_scd2_chain(initial, batches):
+    """Independent Python SCD2: dict of key -> list of
+    (attr, eff_from, eff_to) rows, Kimball rules applied literally.
+    None-valued attrs compare by identity (null-safe equality)."""
+    hist = {}
+    for k, a, f, t in initial:
+        hist.setdefault(k, []).append([a, f, t])
+    for version, batch in batches:
+        for k, a in batch:
+            rows = hist.setdefault(k, [])
+            open_rows = [r for r in rows if r[2] is None]
+            if not open_rows:
+                rows.append([a, version, None])  # new key or re-activation
+            else:
+                (cur,) = open_rows  # invariant: at most one open row
+                if cur[0] != a or (cur[0] is None) != (a is None):
+                    cur[2] = version
+                    rows.append([a, version, None])
+    return sorted(
+        ((k, a, f, t) for k, rows in hist.items() for a, f, t in rows),
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+
+
+_KEYS = st.integers(0, 6)
+_ATTRS = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=6,
+             unique_by=lambda t: t[0]),          # initial OPEN keys
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=4,
+             unique_by=lambda t: t[0]),          # initial RETIRED keys
+    st.lists(st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=6,
+                      unique_by=lambda t: t[0]),
+             min_size=1, max_size=3),            # update batches
+)
+def test_scd2_chain_matches_python_reference(spark, open0, retired0, batches):
+    """Arbitrary initial state (open + retired keys, NULL-able attrs)
+    through up to 3 arbitrary batches must equal the independent
+    Python reference row-for-row: change/no-op/new-key/re-activation/
+    closed-passthrough under every interleaving hypothesis finds."""
+    open_keys = {k for k, _ in open0}
+    retired = [(k, a) for k, a in retired0 if k not in open_keys]
+    initial = [(k, a, 0, None) for k, a in open0] + [
+        (k, a, 0, 1) for k, a in retired
+    ]
+    cur = spark.createDataFrame(
+        [(k, a, f, t) for k, a, f, t in initial] or [(None, None, None, None)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    if not initial:
+        cur = cur.filter(F.col("k").isNotNull())
+    vbatches = [(i + 2, b) for i, b in enumerate(batches)]
+    out = cur
+    for v, b in vbatches:
+        if not b:
+            continue
+        upd = spark.createDataFrame(b, "k long, a string")
+        out = scd2_apply(out, upd, "k", ["a"], version=v)
+    got = _rows(out)
+    want = _py_scd2_chain(initial, [(v, b) for v, b in vbatches if b])
+    assert got == want
