@@ -92,15 +92,29 @@ def mmr_rerank(
             if pd.notna(s):
                 sim[(int(a), int(b))] = float(s)
         if require_complete_pool:
+            # ADVICE r16: compare against the EXACT expected set, not the
+            # count — an out-of-pool pair or a duplicated directed pair
+            # (collapsed by the dict) could numerically cancel a missing
+            # in-pool pair and slip past a pure len() check. The row count
+            # additionally catches a duplicated in-pool pair (set-invisible
+            # after the dict collapse). Still pool-bounded (<= N^2 tuples
+            # on rows already in the Arrow batch) — no extra stage.
             n = len(pool)
-            if len(sim) != n * (n - 1):
+            ids = set(int(d) for d in pool["doc_id"])
+            expected = {(a, b) for a in ids for b in ids if a != b}
+            shipped = int(pd.notna(pdf["sim"]).sum())
+            if set(sim) != expected or shipped != n * (n - 1):
+                out_of_pool = sorted(set(sim) - expected)[:3]
+                missing = sorted(expected - set(sim))[:3]
                 raise ValueError(
                     f"mmr_rerank(require_complete_pool=True): pool for "
-                    f"q_id={q} has {n} candidates but {len(sim)} directed "
-                    f"sim pairs (expected n*(n-1) = {n * (n - 1)}) — the "
-                    "caller pruned pairs or shipped pairs outside the "
-                    "pool, which diverges from the recursive-CTE oracle's "
-                    "inner-join semantics"
+                    f"q_id={q} has {n} candidates; expected exactly the "
+                    f"n*(n-1) = {n * (n - 1)} in-pool directed pairs but "
+                    f"got {shipped} rows ({len(sim)} distinct) — "
+                    f"missing={missing}, out_of_pool={out_of_pool} — the "
+                    "caller pruned, duplicated, or shipped pairs outside "
+                    "the pool, which diverges from the recursive-CTE "
+                    "oracle's inner-join semantics"
                 )
         # anchor: pure relevance, doc_id tie-break (pool is pre-sorted)
         first = int(pool["doc_id"].iloc[0])

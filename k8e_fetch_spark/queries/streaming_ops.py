@@ -719,9 +719,14 @@ def stream_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd_dir = os.path.join(workdir, "updates")
     os.makedirs(upd_dir)
     # one FILE per CDC batch (a .write.parquet dir would surface each
-    # part file as its own stream entry), named so discovery order
-    # matches version order; the monotonicity guard turns any
-    # order violation into a loud failure rather than a silent hash drift
+    # part file as its own stream entry). Spark's FileStreamSource
+    # orders discovery by MODIFICATION TIME, not name (ADVICE r16), so
+    # mtimes are set explicitly in version order below — relying on the
+    # moved part files' preserved mtimes would make discovery order an
+    # accident of the two staging jobs' timing; the monotonicity guard
+    # turns any order violation into a loud failure rather than a
+    # silent hash drift
+    staged: list[str] = []
     for v, batch in batches:
         stage = os.path.join(workdir, f"_stage_{v}")
         (
@@ -738,7 +743,14 @@ def stream_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(stage, part),
             os.path.join(upd_dir, f"batch-{v:05d}.parquet"),
         )
+        staged.append(os.path.join(upd_dir, f"batch-{v:05d}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
+    # discovery order = mtime order: stamp strictly increasing mtimes in
+    # version order (1 s apart — FileStreamSource compares millisecond
+    # timestamps, so whole seconds are unambiguous on any filesystem)
+    base_t = os.stat(staged[0]).st_mtime
+    for i, p in enumerate(staged):
+        os.utime(p, (base_t + i, base_t + i))
     schema = spark.read.parquet(upd_dir).schema
     updates = (
         spark.readStream.schema(schema)

@@ -64,7 +64,6 @@ def main() -> None:
     n_keys = base.count()
 
     tmp = tempfile.mkdtemp(prefix="k8e_scd_probe_")
-    shutil.copy(f"{BASE}/customer.parquet", f"{tmp}/1x_customer_dir_marker")
     for label, copies in (("1x", 1), (f"{n}x", n)):
         d = f"{tmp}/{label}"
         Path(d).mkdir()

@@ -174,3 +174,39 @@ def test_require_complete_pool_accepts_complete_and_rejects_pruned(spark):
     one_dir = [(0, 1, 2, 0.95), (0, 1, 3, 0.1), (0, 2, 3, 0.1)]
     with pytest.raises(Exception, match="require_complete_pool"):
         _run(spark, rel, one_dir, k=3, require_complete_pool=True)
+
+
+def test_require_complete_pool_rejects_count_cancelling_pools(spark):
+    """ADVICE r16: the guard compares against the EXACT expected pair
+    set, so pools where a bad pair numerically cancels a missing one —
+    the classes a pure count check waves through — raise too:
+    (a) an out-of-pool pair (bd=99) standing in for a missing in-pool
+    pair; (b) a duplicated directed pair collapsing in the dict while
+    another pair is absent."""
+    import pytest
+
+    rel = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.5)]
+    # 6 directed rows, but (2,3)/(3,2) replaced by pairs into doc 99
+    out_of_pool = (
+        _sym(0, 1, 2, 0.95) + _sym(0, 1, 3, 0.1) + _sym(0, 2, 99, 0.1)
+    )
+    with pytest.raises(Exception, match="out_of_pool"):
+        _run(spark, rel, out_of_pool, k=3, require_complete_pool=True)
+    # 6 directed rows, but (1,2) shipped twice and (3,2) missing
+    duplicated = (
+        _sym(0, 1, 2, 0.95)
+        + _sym(0, 1, 3, 0.1)
+        + [(0, 2, 3, 0.1), (0, 1, 2, 0.95)]
+    )
+    with pytest.raises(Exception, match="require_complete_pool"):
+        _run(spark, rel, duplicated, k=3, require_complete_pool=True)
+    # a duplicate with NO missing pair is still a contract breach
+    # (7 rows vs n*(n-1)=6): the row count catches what the set cannot
+    dup_only = (
+        _sym(0, 1, 2, 0.95)
+        + _sym(0, 1, 3, 0.1)
+        + _sym(0, 2, 3, 0.1)
+        + [(0, 1, 2, 0.95)]
+    )
+    with pytest.raises(Exception, match="require_complete_pool"):
+        _run(spark, rel, dup_only, k=3, require_complete_pool=True)
