@@ -131,6 +131,22 @@ HEADLINE = [
     "join_asof_nearest",
 ]
 
+# Ratio-free streaming rows (VERDICT r16 #5): the suite has real
+# streaming queries but the HEADLINE ratio cannot price them honestly —
+# their Spark side is an availableNow DRAIN (file staging + checkpoint
+# + per-step state writes) while their oracles are batch closed forms.
+# These rows are timed (same warm best-of-3 protocol) and recorded under
+# "streaming_wall", EXCLUDED from every total/subtotal/ratio (the
+# cold_total precedent), so a drain-path regression shows up in a
+# recorded number instead of only in pytest duration. One pure
+# drain-path row (the stateful z-score gate) + one CDC-fold row (the
+# SCD2 chain stream: staging, monotonicity guard, per-step parquet
+# state).
+STREAM_TIMED = [
+    "stream_anomaly_zscore",
+    "stream_scd2_chain",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,6 +221,26 @@ def main() -> None:
         cold[name] = round(runs[0], 2)
         warm[name] = round(min(runs), 2)
 
+    # ratio-free streaming rows: same protocol, separate record field,
+    # never summed into a total or ratio (see STREAM_TIMED)
+    stream_wall: dict[str, float] = {}
+    for name in STREAM_TIMED:
+        if name not in qs:
+            continue
+        runs = []
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:120]
+            continue
+        stream_wall[name] = round(min(runs), 2)
+
     total = round(sum(warm.values()), 3)
     from k8e_fetch_spark.queries import oracle_sql
 
@@ -273,6 +309,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(warm),
         "n_registered": len(REGISTRY),
+        # ratio-free streaming drain timings (VERDICT r16 #5): wall only,
+        # in NO total/subtotal/ratio — drain machinery vs a batch oracle
+        # is not apples-to-apples, but the number must be on record
+        "streaming_wall": stream_wall,
     }
     # Floor-row partition (VERDICT r6 next-round #7): rows where the
     # DuckDB oracle finishes under 150 ms measure Spark's constant

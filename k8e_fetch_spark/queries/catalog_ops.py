@@ -808,3 +808,138 @@ def _scd2_chain_parts(
         .unionByName(newk)
     )
     return dim, [(2, batch2), (3, batch3)]
+
+
+_SCD2_TOMBSTONE_ORACLE = """
+        WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        -- untouched open keys, plus the v3 same-value upsert (k%9=5):
+        -- the no-op-in-a-tombstone-batch must not churn
+        SELECT k AS custkey, seg AS segment,
+               0 AS effective_from, CAST(NULL AS INTEGER) AS effective_to,
+               TRUE AS is_current
+        FROM dim WHERE k % 9 IN (0, 5, 6, 7, 8)
+        UNION ALL
+        -- v2-deleted (k%9=1 stays dead; k%9=2 re-inserts in v3) and
+        -- v2-changed (k%9=3): all three close their original row at 2
+        SELECT k, seg, 0, 2, FALSE FROM dim WHERE k % 9 IN (1, 2, 3)
+        UNION ALL
+        -- delete -> re-insert: the open row restarts at version 3
+        SELECT k, 'RI3_' || CAST(k % 4 AS VARCHAR), 3,
+               CAST(NULL AS INTEGER), TRUE
+        FROM dim WHERE k % 9 = 2
+        UNION ALL
+        -- changed in v2 then tombstoned in v3: both rows closed
+        SELECT k, 'CH2_' || CAST(k % 3 AS VARCHAR), 2, 3, FALSE
+        FROM dim WHERE k % 9 = 3
+        UNION ALL
+        -- retired keys: the v2 tombstone redelivery is a no-op, the
+        -- original closed row passes through every batch
+        SELECT k, seg, 0, 1, FALSE FROM dim WHERE k % 9 = 4
+"""
+
+
+@register(
+    "maintenance_scd2_tombstones",
+    oracle=_SCD2_TOMBSTONE_ORACLE,
+    tags=("ext-table-maintenance", "scd2", "cdc", "tombstone", "planted-oracle"),
+)
+def maintenance_scd2_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 chain with CDC DELETES interleaved (VERDICT r16 #3 — the
+    Debezium/Delta-CDF tombstone shape): the customer dimension runs
+    through two op-bearing batches (operators/scd.py:scd2_apply with
+    op_col) planted so every tombstone rule provably fires against the
+    closed-form oracle —
+
+    - DELETE of an open key (k%9==1, v2): closes the open row at 2,
+      emits nothing — the key's history ends closed;
+    - DELETE then RE-INSERT (k%9==2: tombstone v2, upsert v3): closed
+      (0->2) + a fresh open row starting at 3;
+    - CHANGE then DELETE (k%9==3: upsert v2, tombstone v3): the 0->2
+      close, the 2->3 close, no open row;
+    - tombstone REDELIVERY (k%9==4, retired at initial load): a delete
+      with no open row is an idempotent no-op — at-least-once CDC
+      redelivers tombstones, so it must not fail or mint history;
+    - DELETE of a never-seen key (k+30M, k%101==7, v2): no-op, no row
+      appears (the hash catches any phantom insert);
+    - mixed-batch no-op upsert (k%9==5, v3, current value): tombstones
+      and upserts share one batch without cross-talk.
+
+    A tombstone's attribute payload is NULL (the real CDC shape) —
+    ignored by construction. Scale shape unchanged from the chain
+    flagship: ONE full-outer join per apply with effective_to IS NULL
+    folded into the join condition; the op branch is a row-local CASE
+    arm, not a second pass; NULL-key/dup-key/op-value guards asserted
+    inline."""
+    from k8e_fetch_spark.operators.scd import scd2_apply
+
+    dim, batches = _scd2_tombstone_parts(spark, sf_dir)
+    cur = dim
+    for v, batch in batches:
+        cur = scd2_apply(cur, batch, "custkey", ["segment"], version=v,
+                         op_col="op")
+    return cur.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )
+
+
+def _scd2_tombstone_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """The tombstone chain's planted inputs, shared by the batch query
+    and its streaming CDC twin (stream_scd2_tombstones): the initial
+    dimension (open keys + RETIRED k%9==4) and two op-bearing update
+    batches keyed by the version they commit as. Tombstones carry NULL
+    segment — the operator must never read a delete's payload."""
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seg0 = F.col("c_mktsegment")
+    null_seg = F.lit(None).cast("string")
+
+    retired = cust.filter(k % 9 == 4).select(
+        k.alias("custkey"),
+        seg0.alias("segment"),
+        F.lit(0).cast("int").alias("effective_from"),
+        F.lit(1).cast("int").alias("effective_to"),
+    )
+    live = cust.filter(k % 9 != 4).select(
+        k.alias("custkey"),
+        seg0.alias("segment"),
+        F.lit(0).cast("int").alias("effective_from"),
+        F.lit(None).cast("int").alias("effective_to"),
+    )
+    dim = retired.unionByName(live)
+
+    def _b(df, seg_col, op):
+        return df.select(
+            F.col("c_custkey").alias("custkey") if "c_custkey" in df.columns
+            else F.col("custkey"),
+            seg_col.alias("segment"),
+            F.lit(op).alias("op"),
+        )
+
+    ch2 = F.concat(F.lit("CH2_"), (k % 3).cast("string"))
+    batch2 = (
+        _b(cust.filter(k % 9 == 1), null_seg, "delete")
+        .unionByName(_b(cust.filter(k % 9 == 2), null_seg, "delete"))
+        .unionByName(_b(cust.filter(k % 9 == 3), ch2, "upsert"))
+        .unionByName(_b(cust.filter(k % 9 == 4), null_seg, "delete"))
+        .unionByName(
+            cust.filter(k % 101 == 7).select(
+                (k + 30_000_000).alias("custkey"),
+                null_seg.alias("segment"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+
+    ri3 = F.concat(F.lit("RI3_"), (k % 4).cast("string"))
+    batch3 = (
+        _b(cust.filter(k % 9 == 2), ri3, "upsert")
+        .unionByName(_b(cust.filter(k % 9 == 3), null_seg, "delete"))
+        .unionByName(_b(cust.filter(k % 9 == 5), seg0, "upsert"))
+    )
+    return dim, [(2, batch2), (3, batch3)]

@@ -105,112 +105,105 @@ _PRIORITY = (
     # rationale for rounds 8-14 lives in git history of this block
     # (r13 tree: 720f224; r14 tree: 262d18d).
     #
-    # ROUND-16 ROTATION (VERDICT r15 next-round #1/#2/#3). Groups:
+    # ROUND-17 ROTATION (VERDICT r16 next-round #1/#2/#3; prior rounds'
+    # rationale in git history of this block — r16 tree: 3a216e4).
+    # Groups:
     #
-    # FIRST/SECOND GREENS (6, VERDICT r15 #1): join_asof_nearest (the
-    # only oracle-bearing declared query with ZERO driver history —
-    # declared after the r15 seats filled) plus the five single-green
-    # r15-new ops (sim_retrieval_pipeline_multi, stream_anomaly_zscore,
-    # sim_topk_binary_rescore, maintenance_scd2_merge,
-    # sample_weighted_aes) hold/take seats. Three of the five double as
-    # changed-code reseats from this round's closures:
-    # sim_retrieval_pipeline_multi (require_complete_pool +
-    # shared-token-scan persist), maintenance_scd2_merge (scd2_apply
-    # rework: closed-only re-activation + dup-batch guard — fixture
-    # results identical, re-verified at 3 SFs), sample_weighted_aes
-    # (9dp rounding moved BEFORE the rank cut on both engines).
+    # NEW-CODE (2, VERDICT r16 #3): maintenance_scd2_tombstones (the
+    # SCD2 chain with CDC deletes — tombstone closes the open row,
+    # redelivery/unknown-key no-op, delete-then-reinsert — under a
+    # closed-form oracle + the independent-Python-reference property
+    # pin) and stream_scd2_tombstones (the same chain as a real CDC
+    # stream with op_col deletes crossing micro-batch boundaries AND
+    # retain_steps=2 state vacuuming live, VERDICT r16 #4).
     #
-    # PLANTED ROTATION (7, VERDICT r15 #2): the r5-r9-stale planted
-    # twins return for current-form greens — their driver greens
-    # predate the r10 operators/similarity.py md5_32/width reworks.
-    # This ORDERED exception re-opens the r11 seat-compaction contract
-    # for one round: COMPACTION_POOL rows may claim seats only on a
-    # verdict's explicit evidence-refresh order (this is one).
+    # SECOND GREENS (3, VERDICT r16 #1): join_asof_nearest,
+    # maintenance_scd2_chain, stream_scd2_chain — the only
+    # single-green oracle-bearing rows on the surface. The two scd2
+    # rows double as changed-code reseats (scd2_apply gained the
+    # op_col tombstone branch + the NULL-key batch guard, ADVICE r16;
+    # the stream twin additionally gained explicit mtime-ordered
+    # staging and the retention plumbing).
     #
-    # NEW-CODE (1): maintenance_scd2_chain (VERDICT r15 #5 — the
-    # 3-state SCD2 chain with re-activation, enforced dup-batch guard,
-    # closed-form oracle).
+    # CHANGED-CODE RESEATS (4): maintenance_scd2_merge (flows through
+    # the reworked scd2_apply), sim_topk_mmr / sim_topk_mmr_multi /
+    # sim_retrieval_pipeline_multi (rerank.py require_complete_pool
+    # strengthened to the exact expected-pair-set compare, ADVICE r16
+    # — behavior-identical for valid pools, but changed-code policy
+    # beats freshness, r14 precedent).
     #
-    # CHANGED-CODE RESEATS (4): join_interval_overlap (intervals.py
-    # scratch guard now checks both names against both inputs),
-    # sim_topk_mmr / sim_topk_mmr_multi (rerank.py
-    # require_complete_pool + callers pass it), sim_hybrid_rrf_multi
-    # and text_bm25_multi_topk flow through bm25_scores_multi, which
-    # gained the opt-in persist_tokens seam (default-off — their plans
-    # are bit-identical, but changed-code policy beats freshness, r14
-    # precedent). That is 5 names; join_asof_tolerance is untouched
-    # this round and holds 2 greens, so it rotates out.
+    # BACKFILL (41, VERDICT r16 #1 staleness sweep): the six r12-stale
+    # queue heads first (text_redact_patterns .. window_order_rank),
+    # then the r13 cohort alphabetically as far as seats allow — 35 of
+    # 42. The remaining seven r13 rows (text_sequence_packing,
+    # text_shingle_novelty, text_stats_per_lang, text_tfidf_topk,
+    # text_unigram_logprob, text_vocabulary, tpch_q10_returned_items —
+    # all 5+ greens, per-session pytest parity) head the r18 queue;
+    # the verdict's own arithmetic accepts changed-code reseats
+    # pushing stragglers to r18, and r13 is within the "nothing older
+    # than r13" standing order.
     #
-    # BACKFILL r12 (30, VERDICT r15 #3): queue head first
-    # (compress_insert_ignore_tx, compress_schema_clone,
-    # corpus_prep_pipeline — the three that yielded seats mid-r15),
-    # then the r12 cohort in alphabetical order as far as seats allow.
-    # The last six alphabetical (text_redact_patterns,
-    # text_token_count, tpch_q1_pricing_summary,
-    # tpch_q3_shipping_priority, tpch_q5_local_supplier,
-    # window_order_rank — 5+ greens each, per-session pytest parity)
-    # head the r17 queue; VERDICT r15 #3 budgets the remainder for r17
-    # ("nothing older than r13 after r17 at the latest").
+    # The COMPACTION_POOL rows rotated back OUT with their fresh r16
+    # greens (the r16 refresh round is over — see
+    # COMPACTION_REFRESH_VERDICT below).
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
-    # -- first green (zero driver history) + the five r15 singles --
+    # -- new code (first greens) --
+    "maintenance_scd2_tombstones",
+    "stream_scd2_tombstones",
+    # -- second greens for the r16 firsts (scd2 rows double as
+    # changed-code reseats) --
     "join_asof_nearest",
-    "sim_retrieval_pipeline_multi",
-    "stream_anomaly_zscore",
-    "sim_topk_binary_rescore",
-    "maintenance_scd2_merge",
-    "sample_weighted_aes",
-    # -- planted rotation (VERDICT r15 #2 evidence-refresh order) --
-    "dedup_clusters_planted",
-    "dedup_simhash_planted",
-    "sim_topk_ivf_planted",
-    "text_decontaminate_ngram",
-    "dedup_minhash_lsh_planted",
-    "sim_cosine_lsh_planted",
-    "dedup_clusters_star_planted",
-    # -- new code (the streaming CDC twin seats with its batch chain;
-    # text_redact_patterns yields the 50th seat and heads the r17
-    # queue with the other five r12 leftovers) --
     "maintenance_scd2_chain",
     "stream_scd2_chain",
     # -- changed-code reseats --
-    "join_interval_overlap",
+    "maintenance_scd2_merge",
     "sim_topk_mmr",
     "sim_topk_mmr_multi",
-    "sim_hybrid_rrf_multi",
-    "text_bm25_multi_topk",
-    # -- backfill: r16 queue head (yielded seats mid-r15) --
-    "compress_insert_ignore_tx",
-    "compress_schema_clone",
-    "corpus_prep_pipeline",
-    # -- backfill: the ROUND-12 cohort, alphabetical --
-    "cube_orders",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "events_session_window",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "grouping_sets_orders",
-    "ingest_zip_decode_repair",
-    "join_asof_purchase",
-    "join_range_price_bands",
-    "map_funcs_events",
-    "mm_binary_meta",
-    "mm_decode_meta",
-    "repair_header_norm",
-    "repair_quote_malformed",
-    "rollup_lineitem",
-    "sample_stratified_deterministic",
-    "sim_cosine_pairs_threshold",
-    "sim_embedding_norms",
-    "sim_kmeans_assign_oracle",
-    "sim_topk_cosine_exact",
-    "stream_session_window_append",
-    "stream_stateful_user_stats",
-    "stream_tumbling_available_now",
-    "text_chunk_documents",
-    "text_fingerprint",
-    "text_quality_score",
+    "sim_retrieval_pipeline_multi",
+    # -- backfill: the six r12-stale queue heads --
+    "text_redact_patterns",
+    "text_token_count",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "window_order_rank",
+    # -- backfill: the ROUND-13 cohort, alphabetical (35 of 42) --
+    "corpus_clean_mix_pipeline",
+    "corpus_source_profile",
+    "corpus_split_assign",
+    "dedup_apply_retention",
+    "dedup_cluster_keep_best",
+    "dedup_containment_ngram",
+    "dedup_cross_source_overlap",
+    "dedup_incremental_minhash",
+    "dedup_incremental_snapshot",
+    "dedup_paragraphs",
+    "dedup_substring_spans",
+    "events_funnel_conversion",
+    "events_retention_cohort",
+    "join_salted_skew",
+    "maintenance_compact_small_files",
+    "mm_decode_audio_real",
+    "mm_decode_features",
+    "mm_decode_gif_real",
+    "mm_decode_jpeg_real",
+    "mm_decode_png_variants",
+    "mm_decode_real",
+    "mm_gif_frame_stats",
+    "mm_resize_real",
+    "quality_constraint_checks",
+    "sample_source_temperature",
+    "sample_token_budget",
+    "sim_hybrid_search",
+    "sim_quantize_int8",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivfpq_adc",
+    "sim_topk_pq_adc",
+    "stream_dedup_redelivery",
+    "stream_join_attribution",
+    "text_language_id",
+    "text_repetition_filter",
 )
 
 
@@ -241,9 +234,18 @@ COMPACTION_POOL: frozenset[str] = frozenset(
     }
 )
 
-# True while a verdict-ordered refresh round is in effect (set r16 per
-# VERDICT r15 #2; drop back to False when the r17 window recomposes).
-COMPACTION_REFRESH_ROUND = True
+# A refresh round is identified by the ORDERING VERDICT's citation
+# string (ADVICE r16: tying the flag to the round explicitly, so a
+# stale flag is flagged rather than silently re-seating pool rows) —
+# set it to the verdict item that ordered the refresh (r16 ran one as
+# "VERDICT r15 #2"), and back to None when the next round recomposes.
+# The invariant test derives everything from this one value: when set,
+# the rotation comment above must cite the same string and pool rows
+# may sit in _PRIORITY; when None (this round — the r17 recomposition
+# returned the planted twins to the pool with their fresh r16 greens),
+# pool exclusion is total and a leftover True cannot hide.
+COMPACTION_REFRESH_VERDICT: str | None = None
+COMPACTION_REFRESH_ROUND = COMPACTION_REFRESH_VERDICT is not None
 
 
 def _ordered() -> list[Query]:

@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 from k8e_fetch_spark.functions.rounding import round_fixed
 from k8e_fetch_spark.io import load
-from k8e_fetch_spark.queries.catalog_ops import _SCD2_CHAIN_ORACLE
+from k8e_fetch_spark.queries.catalog_ops import (
+    _SCD2_CHAIN_ORACLE,
+    _SCD2_TOMBSTONE_ORACLE,
+)
 from k8e_fetch_spark.queries.registry import register
 
 
@@ -768,6 +771,102 @@ def stream_scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source + checkpoint are done once the drain returns; the final
     # state step backs the returned plan, so the workdir outlives this
     # call and is removed at interpreter exit
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return out.select(
+        "custkey",
+        "segment",
+        "effective_from",
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "stream_scd2_tombstones",
+    # Oracle = the tombstone chain's closed form (queries/catalog_ops.py):
+    # the CDC stream drains the same two op-bearing update files under
+    # availableNow with version monotonicity enforced, so its final
+    # dimension is deterministic and equals maintenance_scd2_tombstones
+    # — the stream_scd2_chain precedent with deletes in the feed.
+    oracle=_SCD2_TOMBSTONE_ORACLE,
+    tags=(
+        "ext-table-maintenance",
+        "ext-stream-window",
+        "scd2",
+        "cdc",
+        "tombstone",
+        "real-stream",
+        "planted-oracle",
+    ),
+)
+def stream_scd2_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstone-bearing SCD2 chain as a REAL CDC STREAM (VERDICT
+    r16 #3 + #4): the two op-bearing update batches stage as one
+    parquet file each (mtimes stamped in version order — discovery
+    order is mtime order), a streaming file source discovers them with
+    maxFilesPerTrigger=1 so each batch is its own micro-batch, and
+    every foreachBatch folds through operators/scd.py:scd2_apply with
+    op_col='op' against parquet state — deletes close open rows across
+    a MICRO-BATCH BOUNDARY (the v3 re-insert of a v2-deleted key only
+    works if the tombstone's close survived in state).
+
+    Runs with retain_steps=2 (VERDICT r16 #4): the per-step state
+    ledger vacuums itself down to the newest two steps as the stream
+    drains — the production retention shape, pinned separately in
+    tests/test_streaming.py — while the final dimension still
+    hash-matches the batch twin's closed-form oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from k8e_fetch_spark.queries.catalog_ops import _scd2_tombstone_parts
+    from k8e_fetch_spark.streaming.windows import run_scd2_cdc_stream
+
+    dim, batches = _scd2_tombstone_parts(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="k8e_scd2_tomb_cdc_")
+    upd_dir = os.path.join(workdir, "updates")
+    os.makedirs(upd_dir)
+    staged: list[str] = []
+    for v, batch in batches:
+        stage = os.path.join(workdir, f"_stage_{v}")
+        (
+            batch.withColumn("version", F.lit(v).cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in sorted(os.listdir(stage))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        shutil.move(
+            os.path.join(stage, part),
+            os.path.join(upd_dir, f"batch-{v:05d}.parquet"),
+        )
+        staged.append(os.path.join(upd_dir, f"batch-{v:05d}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    base_t = os.stat(staged[0]).st_mtime
+    for i, p in enumerate(staged):
+        os.utime(p, (base_t + i, base_t + i))
+    schema = spark.read.parquet(upd_dir).schema
+    updates = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_dir)
+    )
+    out = run_scd2_cdc_stream(
+        updates,
+        dim,
+        "custkey",
+        ["segment"],
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        state_dir=os.path.join(workdir, "state"),
+        op_col="op",
+        retain_steps=2,
+    )
     shutil.rmtree(upd_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)

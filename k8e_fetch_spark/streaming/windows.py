@@ -395,6 +395,8 @@ def run_scd2_cdc_stream(
     checkpoint_dir: str,
     state_dir: str,
     timeout_sec: int = 180,
+    op_col: str | None = None,
+    retain_steps: int | None = None,
 ) -> DataFrame:
     """Apply a CDC update stream to an SCD Type-2 dimension — the
     streaming form of :func:`k8e_fetch_spark.operators.scd.scd2_apply`
@@ -415,15 +417,33 @@ def run_scd2_cdc_stream(
     Version monotonicity is ENFORCED: a micro-batch carrying a version
     <= the last applied one raises (out-of-order CDC is a pipeline
     fault — applying v3 before v2 would silently corrupt history, so
-    it must never be absorbed). ``scd2_apply``'s own dup-batch-key
-    guard runs live on every step.
+    it must never be absorbed). ``scd2_apply``'s own dup-batch-key /
+    NULL-key guards run live on every step.
+
+    ``op_col`` (VERDICT r16 #3): name of an ``updates`` column holding
+    ``'upsert'``/``'delete'`` per CDC row, passed through to
+    ``scd2_apply`` — tombstones close open rows through the same
+    single-pass merge (None = the pure-upsert stream).
+
+    ``retain_steps`` (VERDICT r16 #4): keep only the newest N step
+    directories under ``state_dir``, vacuuming older ones AFTER each
+    new step commits (write-then-retire, so the newest step is never
+    the one removed and a crash mid-vacuum leaves garbage, not
+    corruption — the plans/snapshots.py vacuum discipline applied to
+    the step ledger). None = retain everything (the debugging /
+    time-travel shape). Must be >= 1; the returned DataFrame is backed
+    by the newest step, which retention never touches.
 
     Returns the final dimension as a batch DataFrame (read from the
     last state step, which must outlive this call).
     """
     import os
+    import shutil
 
     from k8e_fetch_spark.operators.scd import scd2_apply
+
+    if retain_steps is not None and retain_steps < 1:
+        raise ValueError("run_scd2_cdc_stream: retain_steps must be >= 1")
 
     spark = updates.sparkSession
     init_path = os.path.join(state_dir, "step-00000")
@@ -446,12 +466,25 @@ def run_scd2_cdc_stream(
         cur = spark.read.parquet(cursor["path"])
         for v in sorted(versions):
             batch = batch_df.filter(F.col("version") == v).drop("version")
-            cur = scd2_apply(cur, batch, key, attrs, version=int(v))
+            cur = scd2_apply(cur, batch, key, attrs, version=int(v), op_col=op_col)
         cursor["step"] += 1
         nxt = os.path.join(state_dir, f"step-{cursor['step']:05d}")
         cur.write.mode("overwrite").parquet(nxt)
         cursor["path"] = nxt
         cursor["version"] = max(versions)
+        if retain_steps is not None:
+            # retire steps below the keep window only AFTER the new step
+            # committed; the index window (newest retain_steps) never
+            # includes a step this callback might still read, and the
+            # cursor path is by construction the newest
+            floor = cursor["step"] - retain_steps + 1
+            for name in sorted(os.listdir(state_dir)):
+                if not name.startswith("step-"):
+                    continue
+                if int(name.split("-")[1]) < floor:
+                    shutil.rmtree(
+                        os.path.join(state_dir, name), ignore_errors=True
+                    )
 
     q = (
         updates.writeStream.foreachBatch(apply_batch)

@@ -99,6 +99,7 @@ def test_compaction_pool_rows_hold_no_seats_outside_ordered_refresh():
     from k8e_fetch_spark.queries.registry import (
         COMPACTION_POOL,
         COMPACTION_REFRESH_ROUND,
+        COMPACTION_REFRESH_VERDICT,
         REGISTRY,
         _PRIORITY,
         _ensure_loaded,
@@ -106,12 +107,29 @@ def test_compaction_pool_rows_hold_no_seats_outside_ordered_refresh():
 
     _ensure_loaded()
     seated = COMPACTION_POOL & set(_PRIORITY)
-    if COMPACTION_REFRESH_ROUND:
-        # the ordering verdict must be cited next to the seats
+    # ADVICE r16: the flag is DERIVED from the ordering-verdict citation
+    # (one source of truth), and a stale flag cannot hide — pool rows
+    # seated require the citation, and a set citation with NO seated
+    # pool row is itself a failure (the refresh round is over; flip
+    # COMPACTION_REFRESH_VERDICT back to None when recomposing).
+    assert COMPACTION_REFRESH_ROUND == (COMPACTION_REFRESH_VERDICT is not None)
+    if seated:
+        assert COMPACTION_REFRESH_VERDICT is not None, (
+            f"pool rows {sorted(seated)} hold seats outside a "
+            "verdict-ordered refresh round"
+        )
+        # the ordering verdict must be cited next to the seats too —
+        # the defining assignment alone doesn't count, so require a
+        # second occurrence (the rotation-comment citation)
         src = inspect.getsource(registry)
-        assert "VERDICT r15 #2" in src
+        assert src.count(COMPACTION_REFRESH_VERDICT) >= 2, (
+            f"rotation comment must cite {COMPACTION_REFRESH_VERDICT!r}"
+        )
     else:
-        assert not seated, seated
+        assert COMPACTION_REFRESH_VERDICT is None, (
+            "stale refresh flag: no pool row is seated but "
+            f"COMPACTION_REFRESH_VERDICT={COMPACTION_REFRESH_VERDICT!r}"
+        )
     # still registered, still checkable
     for n in COMPACTION_POOL:
         assert n in REGISTRY, n
@@ -164,6 +182,7 @@ def test_write_side_effect_queries_stay_closed():
         "stream_tumbling_available_now",
         "stream_anomaly_zscore",  # r15: stateful z-score gate drain
         "stream_scd2_chain",  # r16: CDC drain + per-step parquet state table
+        "stream_scd2_tombstones",  # r17: tombstone CDC drain + retained state steps
     }
     MODS = [
         "catalog_ops", "compress_ops", "multimodal_ops", "relational",

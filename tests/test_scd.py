@@ -199,6 +199,113 @@ def test_duplicate_batch_key_raises(spark):
         out.collect()
 
 
+def _upd_op(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, op string")
+
+
+def test_tombstone_closes_open_row_and_emits_nothing(spark):
+    """VERDICT r16 #3: a delete row closes the key's open row at this
+    version and inserts no new open row; its attribute payload is
+    ignored (CDC feeds ship tombstones with NULL attrs)."""
+    cur = _tbl(spark, [(1, "x", 0, None), (2, "y", 0, None)])
+    out = scd2_apply(
+        cur, _upd_op(spark, [(1, None, "delete")]), "k", ["a"], version=2,
+        op_col="op",
+    )
+    assert _rows(out) == sorted(
+        [(1, "x", 0, 2), (2, "y", 0, None)], key=_key
+    )
+
+
+def test_tombstone_redelivery_and_unknown_key_are_noops(spark):
+    """A tombstone for a RETIRED key (no open row) or a never-seen key
+    is an idempotent no-op — at-least-once CDC redelivers tombstones,
+    so redelivery must not fail the pipeline or mint NULL history."""
+    cur = _tbl(spark, [(1, "x", 0, 1), (2, "y", 0, None)])
+    out = scd2_apply(
+        cur,
+        _upd_op(spark, [(1, None, "delete"), (9, "ghost", "delete")]),
+        "k", ["a"], version=2, op_col="op",
+    )
+    assert _rows(out) == sorted(
+        [(1, "x", 0, 1), (2, "y", 0, None)], key=_key
+    )
+
+
+def test_deleted_key_reinserts_as_new_open_row(spark):
+    """delete -> later upsert re-opens the key like any re-activation:
+    closed history passes through, the new open row starts at the
+    re-insert version."""
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    v2 = scd2_apply(
+        cur, _upd_op(spark, [(1, None, "delete")]), "k", ["a"], version=2,
+        op_col="op",
+    )
+    v3 = scd2_apply(
+        v2, _upd_op(spark, [(1, "back", "upsert")]), "k", ["a"], version=3,
+        op_col="op",
+    )
+    assert _rows(v3) == sorted(
+        [(1, "x", 0, 2), (1, "back", 3, None)], key=_key
+    )
+
+
+def test_mixed_batch_deletes_changes_noops_in_one_pass(spark):
+    """One batch carrying deletes, changes, no-ops, and inserts applies
+    through the same single full-outer pass."""
+    cur = _tbl(
+        spark,
+        [(1, "a", 0, None), (2, "b", 0, None), (3, "c", 0, None)],
+    )
+    out = scd2_apply(
+        cur,
+        _upd_op(
+            spark,
+            [(1, None, "delete"), (2, "b2", "upsert"), (3, "c", "upsert"),
+             (4, "d", "upsert")],
+        ),
+        "k", ["a"], version=5, op_col="op",
+    )
+    assert _rows(out) == sorted(
+        [
+            (1, "a", 0, 5),
+            (2, "b", 0, 5), (2, "b2", 5, None),
+            (3, "c", 0, None),
+            (4, "d", 5, None),
+        ],
+        key=_key,
+    )
+
+
+def test_invalid_op_value_raises(spark):
+    import pytest
+
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    out = scd2_apply(
+        cur, _upd_op(spark, [(1, "x2", "merge")]), "k", ["a"], version=2,
+        op_col="op",
+    )
+    with pytest.raises(Exception, match="upsert"):
+        out.collect()
+    with pytest.raises(ValueError, match="op_col"):
+        scd2_apply(cur, _upd_op(spark, [(1, "x2", "upsert")]),
+                   "k", ["a"], version=2, op_col="a")
+
+
+def test_null_batch_key_raises(spark):
+    """ADVICE r16: a SINGLE NULL-keyed batch row used to slip the dup
+    guard (_dup=1), never equi-match, and silently insert a NULL-keyed
+    open row; two NULL rows raised (the window groups NULLs). The
+    batch guard now rejects NULL keys explicitly in both shapes."""
+    import pytest
+
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    for rows in ([(None, "ghost")], [(None, "g1"), (None, "g2")]):
+        out = scd2_apply(cur, _upd(spark, rows), "k", ["a"], version=1)
+        with pytest.raises(Exception, match="NULL-keyed row"):
+            out.collect()
+
+
 # ---------------------------------------------------------------------------
 # Property pin: scd2_apply vs an independent pure-Python SCD2 reference
 # over randomized chains (hypothesis). Catches the two-sided-wrong class
@@ -212,14 +319,26 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
 def _py_scd2_chain(initial, batches):
     """Independent Python SCD2: dict of key -> list of
     (attr, eff_from, eff_to) rows, Kimball rules applied literally.
-    None-valued attrs compare by identity (null-safe equality)."""
+    None-valued attrs compare by identity (null-safe equality). Batch
+    rows are (k, a) upserts or (k, a, op) with op in
+    {'upsert', 'delete'}: a delete closes the open row (emitting
+    nothing new) and is a no-op when no open row exists — the
+    tombstone rules of VERDICT r16 #3, stated independently of the
+    operator."""
     hist = {}
     for k, a, f, t in initial:
         hist.setdefault(k, []).append([a, f, t])
     for version, batch in batches:
-        for k, a in batch:
+        for row in batch:
+            k, a = row[0], row[1]
+            op = row[2] if len(row) > 2 else "upsert"
             rows = hist.setdefault(k, [])
             open_rows = [r for r in rows if r[2] is None]
+            if op == "delete":
+                if open_rows:
+                    (cur,) = open_rows
+                    cur[2] = version
+                continue
             if not open_rows:
                 rows.append([a, version, None])  # new key or re-activation
             else:
@@ -273,3 +392,43 @@ def test_scd2_chain_matches_python_reference(spark, open0, retired0, batches):
     got = _rows(out)
     want = _py_scd2_chain(initial, [(v, b) for v, b in vbatches if b])
     assert got == want
+
+
+_OPS = st.sampled_from(["upsert", "delete"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=6,
+             unique_by=lambda t: t[0]),          # initial OPEN keys
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=4,
+             unique_by=lambda t: t[0]),          # initial RETIRED keys
+    st.lists(st.lists(st.tuples(_KEYS, _ATTRS, _OPS), min_size=0,
+                      max_size=6, unique_by=lambda t: t[0]),
+             min_size=1, max_size=3),            # op-bearing batches
+)
+def test_scd2_tombstone_chain_matches_python_reference(
+    spark, open0, retired0, batches
+):
+    """VERDICT r16 #3, the property form: arbitrary chains where every
+    batch row is an upsert OR a tombstone must equal the independent
+    Python reference row-for-row — delete-open, tombstone redelivery,
+    delete-then-reinsert, and every interleaving with changes/no-ops/
+    re-activations hypothesis finds."""
+    open_keys = {k for k, _ in open0}
+    retired = [(k, a) for k, a in retired0 if k not in open_keys]
+    initial = [(k, a, 0, None) for k, a in open0] + [
+        (k, a, 0, 1) for k, a in retired
+    ]
+    cur = spark.createDataFrame(
+        [(k, a, f, t) for k, a, f, t in initial] or [(None, None, None, None)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    if not initial:
+        cur = cur.filter(F.col("k").isNotNull())
+    vbatches = [(i + 2, b) for i, b in enumerate(batches) if b]
+    out = cur
+    for v, b in vbatches:
+        upd = spark.createDataFrame(b, "k long, a string, op string")
+        out = scd2_apply(out, upd, "k", ["a"], version=v, op_col="op")
+    assert _rows(out) == _py_scd2_chain(initial, vbatches)

@@ -489,17 +489,20 @@ def test_trailing_zscore_state_carries_across_micro_batches(spark, tmp_path):
     assert any(eid == 25 for eid, _ in single)  # the planted outlier fires
 
 
-def _stage_scd2_updates(spark, tmp_path, specs):
+def _stage_scd2_updates(spark, tmp_path, specs, schema="k long, a string"):
     """Stage one single-file parquet per (filename, version, rows) spec
-    into an updates dir a streaming file source can watch."""
+    into an updates dir a streaming file source can watch. Discovery
+    order is MTIME order (not name — ADVICE r16), so mtimes are stamped
+    explicitly in spec order."""
     import shutil
 
     upd = tmp_path / "updates"
     upd.mkdir()
+    staged = []
     for fname, version, rows in specs:
         stage = tmp_path / f"_stage_{fname}"
         (
-            spark.createDataFrame(rows, "k long, a string")
+            spark.createDataFrame(rows, schema)
             .withColumn("version", F.lit(version).cast("int"))
             .coalesce(1)
             .write.mode("overwrite")
@@ -510,7 +513,11 @@ def _stage_scd2_updates(spark, tmp_path, specs):
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         shutil.move(str(stage / part), str(upd / fname))
+        staged.append(upd / fname)
         shutil.rmtree(stage, ignore_errors=True)
+    base_t = os.stat(staged[0]).st_mtime
+    for i, p in enumerate(staged):
+        os.utime(p, (base_t + i, base_t + i))
     return upd
 
 
@@ -571,7 +578,8 @@ def test_scd2_cdc_stream_state_crosses_micro_batches(spark, tmp_path):
 def test_scd2_cdc_stream_rejects_out_of_order_versions(spark, tmp_path):
     """A micro-batch carrying a version <= the last applied one is a
     pipeline fault and must raise, not silently corrupt history. The
-    file names force v3 to be DISCOVERED first."""
+    staged MTIMES force v3 to be DISCOVERED first (FileStreamSource
+    orders by modification time, not name)."""
     import pytest
 
     initial = spark.createDataFrame(
@@ -595,3 +603,113 @@ def test_scd2_cdc_stream_rejects_out_of_order_versions(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             state_dir=str(tmp_path / "state"),
         )
+
+
+def test_scd2_cdc_stream_retains_last_n_steps(spark, tmp_path):
+    """VERDICT r16 #4: with retain_steps=N the per-step state ledger
+    vacuums itself — after the drain the state dir holds at most N
+    step directories, the newest step backs the returned table, and
+    the final dimension is identical to a full-retention run."""
+    initial = spark.createDataFrame(
+        [(1, "x", 0, None), (2, "y", 0, None)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    specs = [
+        ("batch-00002.parquet", 2, [(1, "x2")]),
+        ("batch-00003.parquet", 3, [(2, "y3")]),
+        ("batch-00004.parquet", 4, [(1, "x4")]),
+    ]
+
+    def run(i, retain):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        upd = _stage_scd2_updates(spark, d, specs)
+        out = sw.run_scd2_cdc_stream(
+            _read_updates_stream(spark, upd, 1),
+            initial,
+            "k",
+            ["a"],
+            checkpoint_dir=str(d / "ckpt"),
+            state_dir=str(d / "state"),
+            retain_steps=retain,
+        )
+        rows = sorted(
+            ((r["k"], r["a"], r["effective_from"], r["effective_to"])
+             for r in out.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        steps = sorted(
+            p for p in os.listdir(d / "state") if p.startswith("step-")
+        )
+        return rows, steps
+
+    full_rows, full_steps = run(0, None)
+    kept_rows, kept_steps = run(1, 2)
+    assert kept_rows == full_rows
+    # 3 CDC files (one micro-batch each) + the initial step-00000
+    assert full_steps == [f"step-0000{i}" for i in range(4)]
+    assert kept_steps == ["step-00002", "step-00003"]  # newest 2 only
+    # retain_steps=1 still keeps the step backing the returned table
+    one_rows, one_steps = run(2, 1)
+    assert one_rows == full_rows
+    assert one_steps == ["step-00003"]
+    import pytest
+
+    with pytest.raises(ValueError, match="retain_steps"):
+        sw.run_scd2_cdc_stream(
+            _read_updates_stream(
+                spark, _stage_scd2_updates(spark, tmp_path, specs[:1]), 1
+            ),
+            initial, "k", ["a"],
+            checkpoint_dir=str(tmp_path / "c9"),
+            state_dir=str(tmp_path / "s9"),
+            retain_steps=0,
+        )
+
+
+def test_scd2_cdc_stream_applies_tombstones_across_micro_batches(
+    spark, tmp_path
+):
+    """VERDICT r16 #3 through the stream: a v2 tombstone's close must
+    survive in parquet state so the v3 re-insert of the same key opens
+    a FRESH row (and a v3 tombstone closes a v2-changed key). One file
+    per micro-batch (maxFilesPerTrigger=1) forces every delete edge to
+    cross a micro-batch boundary."""
+    initial = spark.createDataFrame(
+        [(1, "x", 0, None), (2, "y", 0, None), (3, "z", 0, 1)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    specs = [
+        ("batch-00002.parquet", 2,
+         [(1, None, "delete"), (2, "y2", "upsert"), (3, None, "delete")]),
+        ("batch-00003.parquet", 3,
+         [(1, "back", "upsert"), (2, None, "delete")]),
+    ]
+    upd = _stage_scd2_updates(
+        spark, tmp_path, specs, schema="k long, a string, op string"
+    )
+    out = sw.run_scd2_cdc_stream(
+        _read_updates_stream(spark, upd, 1),
+        initial,
+        "k",
+        ["a"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_dir=str(tmp_path / "state"),
+        op_col="op",
+    )
+    rows = sorted(
+        ((r["k"], r["a"], r["effective_from"], r["effective_to"])
+         for r in out.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    expect = sorted(
+        [
+            (1, "x", 0, 2),        # tombstoned in v2
+            (1, "back", 3, None),  # re-inserted in v3
+            (2, "y", 0, 2),        # changed in v2 ...
+            (2, "y2", 2, 3),       # ... then tombstoned in v3
+            (3, "z", 0, 1),        # retired; v2 tombstone redelivery no-op
+        ],
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert rows == expect
