@@ -58,6 +58,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 
 def scd2_apply(
@@ -224,9 +225,14 @@ def scd2_apply(
         )
     else:
         is_del = F.col("_u_op") == F.lit("delete")
-        # empty array of the output struct type: a tombstone for a key
-        # with no open row emits nothing (idempotent redelivery)
-        empty = F.filter(F.array(new_open), lambda _: F.lit(False))
+        # empty array OF THE OUTPUT STRUCT TYPE: a tombstone for a key
+        # with no open row emits nothing (idempotent redelivery). Typed
+        # via a plan-only schema probe + cast — a higher-order
+        # F.filter(...) here would leave whole-stage codegen for the
+        # entire emit projection (HOFs are interpreted), measured ~2x
+        # wall on the 100x dimension probe
+        row_type = j.select(new_open.alias("_probe")).schema["_probe"].dataType
+        empty = F.array().cast(ArrayType(row_type))
         emitted = (
             # tombstone against the open row: close it, insert nothing —
             # a delete's attribute payload is ignored by construction

@@ -37,6 +37,10 @@ PROBES = (
     "maintenance_scd2_merge",
     "maintenance_scd2_chain",
     "stream_scd2_chain",
+    # r17: the tombstone twins — same planted-key space rule (the
+    # +30M unknown-key delete space also stays inside the 1e9 stride)
+    "maintenance_scd2_tombstones",
+    "stream_scd2_tombstones",
 )
 
 
