@@ -247,3 +247,28 @@ def scd2_apply(
         j.select(F.explode(emitted).alias("_r"))
         .select(*[F.col(f"_r.{f}").alias(f) for f in out_fields])
     )
+
+
+def scd2_as_of(dim: DataFrame, version: int) -> DataFrame:
+    """Point-in-time view of an SCD2 table — the consumer side of the
+    family: the rows effective AS OF ``version``, i.e.
+    ``effective_from <= version`` and (open OR
+    ``effective_to > version``). Exactly one row per key that existed
+    at that version; keys retired before it (or tombstoned at or
+    before it, CDC form) disappear; keys born later are absent.
+
+    Scale shape: a single scan-side codegen filter — on a parquet/
+    Iceberg-style layout the two range predicates prune at the footer
+    (row-group min/max on effective_from/effective_to), so a
+    point-in-time read of a mostly-append history touches only the
+    row groups spanning the requested version. No shuffle, no join.
+
+    Reference parity: no counterpart in k8e-fetch (the reference
+    re-materializes tables wholesale); part of the table-maintenance
+    extension surface (SURVEY.md §2.6, ext-table-maintenance).
+    """
+    v = F.lit(version)
+    return dim.filter(
+        (F.col("effective_from") <= v)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > v))
+    )

@@ -943,3 +943,65 @@ def _scd2_tombstone_parts(
         .unionByName(_b(cust.filter(k % 9 == 5), seg0, "upsert"))
     )
     return dim, [(2, batch2), (3, batch3)]
+
+
+@register(
+    "maintenance_scd2_as_of",
+    oracle="""
+        WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        -- re-activated retired keys: the v2 re-open row (closed at 3
+        -- by the final chain state, but effective AT version 2)
+        SELECT k AS custkey, 'R2_' || CAST(k % 4 AS VARCHAR) AS segment,
+               2 AS effective_from, 3 AS effective_to
+        FROM dim WHERE k % 10 = 2
+        UNION ALL
+        -- double-change keys: the middle version is the as-of-2 row
+        SELECT k, 'C2_' || CAST(k % 3 AS VARCHAR), 2, 3
+        FROM dim WHERE k % 10 = 0
+        UNION ALL
+        -- single-change keys: their v2 row is still open in the final state
+        SELECT k, 'C2_' || CAST(k % 3 AS VARCHAR), 2, CAST(NULL AS INTEGER)
+        FROM dim WHERE k % 10 = 5
+        UNION ALL
+        -- untouched / no-op'd open keys: the original row
+        SELECT k, seg, 0, CAST(NULL AS INTEGER)
+        FROM dim WHERE k % 5 IN (1, 3, 4)
+        UNION ALL
+        -- keys born at v2
+        SELECT k + 20000000, 'NEW2', 2, CAST(NULL AS INTEGER)
+        FROM dim WHERE k % 97 = 5
+        -- absent by the as-of rule: keys retired before v2 (k%5=2,
+        -- k%10!=2 — closed 0->1) and every original row the v2 batch
+        -- closed; the hash catches any leakage of either
+    """,
+    tags=("ext-table-maintenance", "scd2", "time-travel", "planted-oracle"),
+)
+def maintenance_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read of an SCD2 dimension
+    (operators/scd.py:scd2_as_of) — the CONSUMER side of the family:
+    the full 3-state chain (maintenance_scd2_chain's fixture, versions
+    0/1 initial, batches at 2 and 3) is built first, then read AS OF
+    version 2. The as-of rule — effective_from <= v AND (open OR
+    effective_to > v) — must recover the exact mid-chain state from
+    the FINAL history: the re-activated keys' middle row (closed at 3
+    by the later batch, but live at 2), the double-change keys' middle
+    version, single-change keys' still-open v2 row, untouched open
+    rows, the keys born at v2 — and NEITHER the rows the v2 batch
+    closed NOR the keys retired before v2 (the closed-form oracle
+    enumerates the exact snapshot; exactly one row per surviving key).
+
+    Scale shape: ONE scan-side codegen filter over the history — two
+    range predicates that prune at the parquet footer on a
+    min/max-clustered layout (a point-in-time read of a mostly-append
+    history touches only the row groups spanning the version). No
+    shuffle, no join; the chain construction above it is the same plan
+    as the chain flagship."""
+    from k8e_fetch_spark.operators.scd import scd2_apply, scd2_as_of
+
+    dim, batches = _scd2_chain_parts(spark, sf_dir)
+    cur = dim
+    for v, batch in batches:
+        cur = scd2_apply(cur, batch, "custkey", ["segment"], version=v)
+    return scd2_as_of(cur, 2).select(
+        "custkey", "segment", "effective_from", "effective_to"
+    )

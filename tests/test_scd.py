@@ -432,3 +432,68 @@ def test_scd2_tombstone_chain_matches_python_reference(
         upd = spark.createDataFrame(b, "k long, a string, op string")
         out = scd2_apply(out, upd, "k", ["a"], version=v, op_col="op")
     assert _rows(out) == _py_scd2_chain(initial, vbatches)
+
+
+def test_as_of_recovers_point_in_time_state(spark):
+    """scd2_as_of: the as-of rule recovers each mid-chain snapshot from
+    the FINAL history — including versions between batches and the
+    pre-history edge."""
+    from k8e_fetch_spark.operators.scd import scd2_as_of
+
+    hist = _tbl(
+        spark,
+        [
+            (1, "a0", 0, 2), (1, "a2", 2, 5), (1, "a5", 5, None),
+            (2, "b0", 0, 3),                      # retired at 3
+            (3, "c4", 4, None),                   # born at 4
+        ],
+    )
+    def snap(v):
+        return sorted(
+            ((r["k"], r["a"]) for r in scd2_as_of(hist, v).collect())
+        )
+
+    assert snap(0) == [(1, "a0"), (2, "b0")]
+    assert snap(2) == [(1, "a2"), (2, "b0")]
+    assert snap(3) == [(1, "a2")]              # key 2 retired at 3
+    assert snap(4) == [(1, "a2"), (3, "c4")]
+    assert snap(5) == [(1, "a5"), (3, "c4")]
+    assert snap(99) == [(1, "a5"), (3, "c4")]  # far future = current
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=0, max_size=6,
+             unique_by=lambda t: t[0]),
+    st.lists(st.lists(st.tuples(_KEYS, _ATTRS, _OPS), min_size=0,
+                      max_size=6, unique_by=lambda t: t[0]),
+             min_size=1, max_size=3),
+    st.integers(0, 5),
+)
+def test_as_of_matches_python_reference_filter(spark, open0, batches, v):
+    """scd2_as_of(v) over an arbitrary op-bearing chain == the
+    independent Python reference's rows filtered by the same rule —
+    so at most ONE row per key survives at any version (the open-row
+    invariant) and tombstoned keys disappear exactly at their close."""
+    from k8e_fetch_spark.operators.scd import scd2_as_of
+
+    initial = [(k, a, 0, None) for k, a in open0]
+    cur = spark.createDataFrame(
+        initial or [(None, None, None, None)],
+        "k long, a string, effective_from int, effective_to int",
+    )
+    if not initial:
+        cur = cur.filter(F.col("k").isNotNull())
+    vbatches = [(i + 2, b) for i, b in enumerate(batches) if b]
+    out = cur
+    for ver, b in vbatches:
+        upd = spark.createDataFrame(b, "k long, a string, op string")
+        out = scd2_apply(out, upd, "k", ["a"], version=ver, op_col="op")
+    got = _rows(scd2_as_of(out, v))
+    ref = _py_scd2_chain(initial, vbatches)
+    want = [
+        (k, a, f, t) for k, a, f, t in ref
+        if f <= v and (t is None or t > v)
+    ]
+    assert got == want
+    assert len({k for k, *_ in want}) == len(want)  # one row per key
