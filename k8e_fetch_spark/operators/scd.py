@@ -272,3 +272,62 @@ def scd2_as_of(dim: DataFrame, version: int) -> DataFrame:
         (F.col("effective_from") <= v)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > v))
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    version_col: str,
+    dim_key: str,
+    attrs: Sequence[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Point-in-time FACT JOIN against an SCD2 dimension — the other
+    consumer side of the family: each fact row joins the dimension
+    version that was effective AT the fact's own version stamp
+    (``effective_from <= version_col`` and open-or-``effective_to >
+    version_col``), so facts are enriched with historically-correct
+    attributes instead of today's (the Kimball "type-2 lookup").
+    Facts whose key had no effective version at their stamp (retired
+    or not yet born) drop out — an inner join, matching the dimension
+    contract that at most ONE version is effective per key at any
+    stamp (so the join never fans out).
+
+    Scale shape: with ``broadcast_dim=True`` (the default — a
+    dimension is small next to a 100 TB fact table) the dimension
+    broadcasts and the range predicate rides the SAME broadcast hash
+    join as a join filter: the fact side never shuffles. For a
+    dimension too large to broadcast, pass False — the equi-key part
+    shuffles both sides and the range predicate stays a join filter
+    (never a cartesian/range explosion).
+    """
+    attrs = list(attrs)
+    scratch = {"_d_k", "_d_from", "_d_to"}
+    bad = scratch & set(facts.columns)
+    if bad:
+        raise ValueError(
+            f"scd2_point_in_time_join: facts carry column(s) {sorted(bad)}, "
+            "which the join uses as internal scratch — rename before joining"
+        )
+    clash = set(attrs) & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"scd2_point_in_time_join: attribute(s) {sorted(clash)} already "
+            "exist on the facts side — alias them on one side first"
+        )
+    d = dim.select(
+        F.col(dim_key).alias("_d_k"),
+        F.col("effective_from").alias("_d_from"),
+        F.col("effective_to").alias("_d_to"),
+        *[F.col(a) for a in attrs],
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    v = facts[version_col]
+    cond = (
+        (facts[fact_key] == d["_d_k"])
+        & (d["_d_from"] <= v)
+        & (d["_d_to"].isNull() | (d["_d_to"] > v))
+    )
+    return facts.join(d, cond, "inner").drop("_d_k", "_d_from", "_d_to")

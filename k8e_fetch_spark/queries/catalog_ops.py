@@ -1005,3 +1005,86 @@ def maintenance_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_as_of(cur, 2).select(
         "custkey", "segment", "effective_from", "effective_to"
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    # the chain's closed form nests as a CTE (DuckDB allows a WITH
+    # inside a CTE body); the join itself is the same three-predicate
+    # condition both engines run
+    oracle="""
+        WITH hist AS (
+        """ + _SCD2_CHAIN_ORACLE + """
+        ),
+        facts AS (
+            SELECT o_orderkey, o_custkey, CAST(o_orderkey % 4 AS INTEGER) AS v
+            FROM orders
+        )
+        SELECT f.o_orderkey AS orderkey,
+               f.o_custkey AS custkey,
+               f.v AS fact_version,
+               h.segment
+        FROM facts f
+        JOIN hist h
+          ON h.custkey = f.o_custkey
+         AND h.effective_from <= f.v
+         AND (h.effective_to IS NULL OR h.effective_to > f.v)
+    """,
+    tags=(
+        "ext-table-maintenance",
+        "ext-typed-relational",
+        "scd2",
+        "point-in-time",
+        "broadcast-join",
+        "planted-oracle",
+    ),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time FACT JOIN against SCD2 history
+    (operators/scd.py:scd2_point_in_time_join) — the Kimball type-2
+    lookup: every order joins the customer-dimension version effective
+    AT the order's own version stamp (planted as o_orderkey % 4, so
+    the stamps span the chain's whole version range 0-3). Built over
+    the full 3-state chain (maintenance_scd2_chain's fixture), which
+    makes every rule observable in the output:
+
+    - stamps 0-1 see the ORIGINAL segment, stamps 2 see the v2 value,
+      stamps 3 the v3 value — per key class;
+    - orders on keys retired before their stamp (k%5==2 at stamps 1,
+      i.e. after the initial close, before re-activation) DROP OUT;
+      the same keys re-appear for stamps 2-3 via the re-activated
+      rows (k%10==2) — history gaps join as gaps;
+    - at most one dimension version is effective per (key, stamp), so
+      the join never fans a fact row out (the oracle's inner join
+      enforces the same).
+
+    Scale shape: the dimension BROADCASTS (a dimension is small next
+    to a 100 TB fact table) and the range predicate rides the same
+    broadcast hash join as a join filter — the fact side never
+    shuffles; the 20x stress replicates ORDERS (the fact side), which
+    is exactly the axis that grows in production."""
+    from k8e_fetch_spark.operators.scd import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    dim, batches = _scd2_chain_parts(spark, sf_dir)
+    cur = dim
+    for v, batch in batches:
+        cur = scd2_apply(cur, batch, "custkey", ["segment"], version=v)
+    orders = load(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 4).cast("int").alias("fact_version"),
+    )
+    out = scd2_point_in_time_join(
+        facts, cur, fact_key="o_custkey", version_col="fact_version",
+        dim_key="custkey", attrs=["segment"],
+    )
+    return out.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        "fact_version",
+        "segment",
+    )

@@ -71,6 +71,7 @@ SHOWCASE = [
     ("maintenance_scd2_chain", "3-state SCD2 chain (r16): the two scd2_apply stages stack as TWO full-outer joins + Generates in ONE plan (the initial load is plain construction, not an apply) — each batch-sized guard Window rides its own batch subtree; the dimension flows through WITHOUT re-scanning between batches (the v2 output IS the v3 input plan), so an N-batch chain is N joins, not N table reads"),
     ("sample_weighted_aes", "Efraimidis-Spirakis weighted sampling (r15): the A-Res key ln(u)/w is scan-local codegen (md5 + ln, no Python, ZERO keyed shuffle); the without-replacement cut is TakeOrderedAndProject — per-partition heaps ship 200 rows each, never a global sort"),
     ("join_asof_nearest", "nearest-direction as-of (r15): the backward frame (last_value IGNORE NULLS over preceding) and the forward frame (first_value over following) ride ONE user_id Exchange + sort — no self-join, no range explosion; tolerance and the backward tie rule are post-window projections"),
+    ("join_scd2_point_in_time", "point-in-time fact join against SCD2 history (r17): the dimension (with its effective range) BROADCASTS and the range predicate rides the SAME BroadcastHashJoin as a join filter — the fact side is one scan with zero exchanges; at most one version is effective per (key, stamp), so the join never fans out"),
     ("maintenance_scd2_tombstones", "SCD2 chain with CDC deletes (r17): the tombstone branch is ONE extra row-local CASE arm inside the SAME per-batch full-outer join + Generate — a delete closes the matched open row (1 emitted row), a redelivered/unknown tombstone emits an empty array the explode drops; the plan shape is IDENTICAL to the upsert-only chain (2 joins, 2 Generates, 2 batch-sized guard windows) — deletes cost zero extra operators, scans, or exchanges"),
 ]
 

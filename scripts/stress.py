@@ -66,6 +66,12 @@ PROBES = [
     # would make 20x clusters quadratically large by construction);
     # the dedicated scaled-k probe is recorded in SCALE.md instead.
     "sample_dsir_importance",
+    # r17: point-in-time fact join against SCD2 history — the 20x
+    # replication grows ORDERS (the fact side) against the fixed
+    # customer dimension, exactly the production growth axis; the
+    # dimension broadcasts, so the probe measures the fact-side
+    # scan + broadcast-hash-join filter
+    "join_scd2_point_in_time",
     # r9: C4 line-level cleaning (zero-shuffle scan-local projection)
     "text_line_cleaning",
     # r10: CCNet-style bigram-LM perplexity gate (broadcast model onto

@@ -497,3 +497,119 @@ def test_as_of_matches_python_reference_filter(spark, open0, batches, v):
     ]
     assert got == want
     assert len({k for k, *_ in want}) == len(want)  # one row per key
+
+
+def test_point_in_time_join_hand_case(spark):
+    """scd2_point_in_time_join: each fact picks the version effective
+    at ITS stamp; facts in a history gap (retired key) drop out; no
+    fact row ever fans out."""
+    from k8e_fetch_spark.operators.scd import scd2_point_in_time_join
+
+    hist = _tbl(
+        spark,
+        [
+            (1, "a0", 0, 2), (1, "a2", 2, None),
+            (2, "b0", 0, 1),                      # retired at 1, then...
+            (2, "b3", 3, None),                   # ...re-activated at 3
+        ],
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 0), (11, 1, 2), (12, 2, 0), (13, 2, 1), (14, 2, 2),
+         (15, 2, 3), (16, 9, 0)],
+        "f_id long, f_k long, v int",
+    )
+    out = scd2_point_in_time_join(
+        facts, hist, fact_key="f_k", version_col="v", dim_key="k",
+        attrs=["a"],
+    )
+    got = sorted((r["f_id"], r["a"]) for r in out.collect())
+    assert got == [
+        (10, "a0"), (11, "a2"),
+        (12, "b0"),                # stamp 0: original
+        # 13 & 14 drop: key 2 has NO effective version at stamps 1-2
+        (15, "b3"),                # stamp 3: re-activated row
+        # 16 drops: unknown key
+    ]
+
+
+def test_point_in_time_join_broadcasts_and_guards(spark):
+    """The dimension side broadcasts by default (the fact side never
+    shuffles) and the scratch/attr-clash guards refuse ambiguous
+    inputs loudly."""
+    import pytest
+
+    from k8e_fetch_spark.operators.scd import scd2_point_in_time_join
+
+    hist = _tbl(spark, [(1, "a0", 0, None)])
+    facts = spark.createDataFrame([(10, 1, 0)], "f_id long, f_k long, v int")
+    out = scd2_point_in_time_join(
+        facts, hist, fact_key="f_k", version_col="v", dim_key="k",
+        attrs=["a"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="internal scratch"):
+        scd2_point_in_time_join(
+            facts.withColumn("_d_k", F.lit(1)), hist,
+            fact_key="f_k", version_col="v", dim_key="k", attrs=["a"],
+        )
+    with pytest.raises(ValueError, match="alias them"):
+        scd2_point_in_time_join(
+            facts.withColumn("a", F.lit("x")), hist,
+            fact_key="f_k", version_col="v", dim_key="k", attrs=["a"],
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(_KEYS, _ATTRS), min_size=1, max_size=6,
+             unique_by=lambda t: t[0]),
+    st.lists(st.lists(st.tuples(_KEYS, _ATTRS, _OPS), min_size=0,
+                      max_size=6, unique_by=lambda t: t[0]),
+             min_size=1, max_size=3),
+    st.lists(st.tuples(_KEYS, st.integers(0, 5)), min_size=0, max_size=8),
+)
+def test_point_in_time_join_matches_python_reference(
+    spark, open0, batches, fact_specs
+):
+    """Arbitrary op-bearing chain + arbitrary (key, stamp) facts: the
+    join must return exactly the reference row effective at each
+    stamp — at most one per fact (the no-fan-out invariant)."""
+    from k8e_fetch_spark.operators.scd import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    initial = [(k, a, 0, None) for k, a in open0]
+    cur = spark.createDataFrame(
+        initial, "k long, a string, effective_from int, effective_to int"
+    )
+    vbatches = [(i + 2, b) for i, b in enumerate(batches) if b]
+    for ver, b in vbatches:
+        upd = spark.createDataFrame(b, "k long, a string, op string")
+        cur = scd2_apply(cur, upd, "k", ["a"], version=ver, op_col="op")
+    facts = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact_specs)]
+        or [(None, None, None)],
+        "f_id long, f_k long, v int",
+    )
+    if not fact_specs:
+        facts = facts.filter(F.col("f_id").isNotNull())
+    out = scd2_point_in_time_join(
+        facts, cur, fact_key="f_k", version_col="v", dim_key="k",
+        attrs=["a"],
+    )
+    got = sorted(
+        ((r["f_id"], r["a"]) for r in out.collect()), key=_key
+    )
+    ref = _py_scd2_chain(initial, vbatches)
+    want = []
+    for i, (k, v) in enumerate(fact_specs):
+        eff = [
+            (rk, a) for rk, a, f, t in ref
+            if rk == k and f <= v and (t is None or t > v)
+        ]
+        assert len(eff) <= 1  # reference invariant
+        if eff:
+            want.append((i, eff[0][1]))
+    assert got == sorted(want, key=_key)
