@@ -147,6 +147,35 @@ STREAM_TIMED = [
     "stream_scd2_chain",
 ]
 
+# ADVICE r17: STREAM_TIMED rows are EXCLUDED from every total/ratio by
+# construction — a row seated in both lists would be double-timed and
+# silently fold drain wall into the headline ratio. Fail at import, not
+# in a review.
+assert not (set(STREAM_TIMED) & set(HEADLINE)), (
+    "STREAM_TIMED and HEADLINE must be disjoint: "
+    f"{sorted(set(STREAM_TIMED) & set(HEADLINE))}"
+)
+
+
+def _best_of_3(spark, fn, sf_dir: str) -> list[float]:
+    """Warm best-of-3 timing protocol, shared by the HEADLINE and
+    STREAM_TIMED loops (ADVICE r17 — one implementation, not two
+    copies that can drift). One collected heap per query (NOT per
+    pass): late rows otherwise inherit ~45 prior queries of heap
+    pressure — measured 2x+ on the last row (semdedup 3.6 s fresh vs
+    7.7 s at position ~47) while early rows stay flat. Cache cleared
+    per pass: the LSH pipelines persist band/shingle tables that
+    otherwise bleed into later timings."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,24 +225,8 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        runs = []
         try:
-            # collect the previous queries' garbage once per query (NOT
-            # per pass): late HEADLINE rows otherwise inherit ~45 prior
-            # queries of heap pressure — measured 2x+ on the last row
-            # (semdedup 3.6 s in a fresh session vs 7.7 s at position
-            # ~47) while early rows stay flat. One collected heap per
-            # query makes row N's number about row N.
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            for _ in range(3):
-                # drop persisted intermediates left by prior queries (the LSH
-                # pipelines cache their band/shingle tables); without this,
-                # accumulated cache pressure bleeds into later timings
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.perf_counter() - t0, 3))
+            runs = _best_of_3(spark, qs[name], sf_dir)
         except Exception as e:  # record and continue: one broken query
             # must not erase the whole suite's record (round-2 lesson)
             errors[name] = str(e).split("\n")[0][:120]
@@ -227,15 +240,8 @@ def main() -> None:
     for name in STREAM_TIMED:
         if name not in qs:
             continue
-        runs = []
         try:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.perf_counter() - t0, 3))
+            runs = _best_of_3(spark, qs[name], sf_dir)
         except Exception as e:
             errors[name] = str(e).split("\n")[0][:120]
             continue

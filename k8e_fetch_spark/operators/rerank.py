@@ -99,6 +99,16 @@ def mmr_rerank(
             # additionally catches a duplicated in-pool pair (set-invisible
             # after the dict collapse). Still pool-bounded (<= N^2 tuples
             # on rows already in the Arrow batch) — no extra stage.
+            #
+            # KNOWN BLIND SPOT (ADVICE r17): this check sees only pairs
+            # whose "a"-side doc survived the left join onto the pool —
+            # a sims row whose a-side doc is OUTSIDE the pool never
+            # reaches this batch, so out-of-pool enforcement is exact
+            # for the b-side ("bd") but structurally blind on the
+            # a-side. No oracle divergence (the recursive-CTE oracle's
+            # inner join drops the same rows); full a-side enforcement
+            # would need a sims-vs-pool anti-join BEFORE this stage,
+            # which callers wanting it can do themselves.
             n = len(pool)
             ids = set(int(d) for d in pool["doc_id"])
             expected = {(a, b) for a in ids for b in ids if a != b}

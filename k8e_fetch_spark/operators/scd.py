@@ -114,6 +114,27 @@ def scd2_apply(
                 "which the merge uses as internal scratch — rename before "
                 "applying"
             )
+    # strict batch schema (ADVICE r17): an updates column outside
+    # key/attrs(/op_col) was previously DROPPED silently — worst case a
+    # tombstone-bearing CDC feed applied without op_col turns deletes
+    # into NULL-attribute upserts (open row closed + bogus NULL-valued
+    # open row minted, no error). Reject the batch loudly instead.
+    expected = {key, *attrs} | ({op_col} if op_col is not None else set())
+    extra = sorted(set(updates.columns) - expected)
+    if extra:
+        hint = ""
+        if op_col is None and any(c.lower().lstrip("_") == "op" for c in extra):
+            hint = (
+                " — the batch carries a CDC op column but op_col=None, "
+                "which would apply tombstones as NULL-attribute upserts; "
+                "pass op_col to opt into the CDC form"
+            )
+        raise ValueError(
+            f"scd2_apply: updates carries unexpected column(s) {extra}; an "
+            "update batch must be exactly key + tracked attrs"
+            + (" + op_col" if op_col is not None else "")
+            + hint
+        )
     cur = current.select(
         key, *attrs, "effective_from", "effective_to", F.lit(True).alias("_in_c")
     )
@@ -309,6 +330,16 @@ def scd2_point_in_time_join(
         raise ValueError(
             f"scd2_point_in_time_join: facts carry column(s) {sorted(bad)}, "
             "which the join uses as internal scratch — rename before joining"
+        )
+    # ADVICE r17: an ATTR named like the scratch aliases would duplicate
+    # the alias inside the dimension projection and surface later as an
+    # opaque ambiguous-reference AnalysisException — reject it loudly here
+    bad_attrs = scratch & set(attrs)
+    if bad_attrs:
+        raise ValueError(
+            f"scd2_point_in_time_join: attribute name(s) {sorted(bad_attrs)} "
+            "collide with the join's internal scratch aliases — rename the "
+            "dimension attribute"
         )
     clash = set(attrs) & set(facts.columns)
     if clash:

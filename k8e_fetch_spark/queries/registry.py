@@ -102,108 +102,100 @@ _PRIORITY = (
     # history plus per-session pytest parity
     # (tests/test_oracle_parity.py) as evidence. Rotation comments
     # carry their round number (r7 post-mortem rule); per-round
-    # rationale for rounds 8-14 lives in git history of this block
-    # (r13 tree: 720f224; r14 tree: 262d18d).
+    # rationale for rounds 8-15 lives in git history of this block
+    # (r13 tree: 720f224; r14 tree: 262d18d; r16 tree: 3a216e4;
+    # r17 tree: b18876e).
     #
-    # ROUND-17 ROTATION (VERDICT r16 next-round #1/#2/#3; prior rounds'
-    # rationale in git history of this block — r16 tree: 3a216e4).
-    # Groups:
+    # ROUND-18 ROTATION (VERDICT r17 next-round #1). Groups:
     #
-    # NEW-CODE (2, VERDICT r16 #3): maintenance_scd2_tombstones (the
-    # SCD2 chain with CDC deletes — tombstone closes the open row,
-    # redelivery/unknown-key no-op, delete-then-reinsert — under a
-    # closed-form oracle + the independent-Python-reference property
-    # pin) and stream_scd2_tombstones (the same chain as a real CDC
-    # stream with op_col deletes crossing micro-batch boundaries AND
-    # retain_steps=2 state vacuuming live, VERDICT r16 #4).
+    # FIRST GREENS (2, VERDICT r17 #1): maintenance_scd2_as_of +
+    # join_scd2_point_in_time — the only zero-driver-history
+    # oracle-bearing rows (declared late r17, judge-greened at both
+    # SFs under hostile-session conditions; this seats their first
+    # driver record).
     #
-    # SECOND GREENS (3, VERDICT r16 #1): join_asof_nearest,
-    # maintenance_scd2_chain, stream_scd2_chain — the only
-    # single-green oracle-bearing rows on the surface. The two scd2
-    # rows double as changed-code reseats (scd2_apply gained the
-    # op_col tombstone branch + the NULL-key batch guard, ADVICE r16;
-    # the stream twin additionally gained explicit mtime-ordered
-    # staging and the retention plumbing).
+    # SECOND GREENS (2, VERDICT r17 #1): maintenance_scd2_tombstones
+    # + stream_scd2_tombstones — the only single-green rows.
     #
-    # CHANGED-CODE RESEATS (4): maintenance_scd2_merge (flows through
-    # the reworked scd2_apply), sim_topk_mmr / sim_topk_mmr_multi /
-    # sim_retrieval_pipeline_multi (rerank.py require_complete_pool
-    # strengthened to the exact expected-pair-set compare, ADVICE r16
-    # — behavior-identical for valid pools, but changed-code policy
-    # beats freshness, r14 precedent).
+    # CHANGED-CODE RESEATS (3, standing policy; the two tombstone
+    # rows above double as changed-code reseats): ADVICE r17 added a
+    # strict batch-schema guard to scd2_apply (reject-on-extra-column
+    # — behavior-identical for every valid batch) and a scratch-attr
+    # guard to scd2_point_in_time_join, so every query flowing
+    # through scd2_apply reseats: maintenance_scd2_chain,
+    # stream_scd2_chain, maintenance_scd2_merge (all r17 greens, but
+    # changed-code policy beats freshness, r14 precedent).
     #
-    # BACKFILL (41, VERDICT r16 #1 staleness sweep): the six r12-stale
-    # queue heads first (text_redact_patterns .. window_order_rank),
-    # then the r13 cohort alphabetically as far as seats allow — 35 of
-    # 42. The remaining seven r13 rows (text_sequence_packing,
-    # text_shingle_novelty, text_stats_per_lang, text_tfidf_topk,
-    # text_unigram_logprob, text_vocabulary, tpch_q10_returned_items —
-    # all 5+ greens, per-session pytest parity) head the r18 queue;
-    # the verdict's own arithmetic accepts changed-code reseats
-    # pushing stragglers to r18, and r13 is within the "nothing older
-    # than r13" standing order.
+    # BACKFILL (43, VERDICT r17 #1 staleness sweep): the seven r13
+    # stragglers first (text_sequence_packing ...
+    # tpch_q10_returned_items), then the r14 cohort alphabetically as
+    # far as seats allow — 36 of 40. The remaining four r14 rows
+    # (tpch_q21_waiting_supplier, tpch_q2_min_cost_supplier,
+    # tpch_q8_market_share, tpch_q9_product_profit — all 5+ greens,
+    # per-session pytest parity) head the r19 queue behind any r18
+    # new-code firsts; the verdict's own arithmetic accepts
+    # changed-code reseats pushing stragglers to r19.
     #
-    # The COMPACTION_POOL rows rotated back OUT with their fresh r16
-    # greens (the r16 refresh round is over — see
-    # COMPACTION_REFRESH_VERDICT below).
+    # The COMPACTION_POOL exclusion stands (no refresh ordered;
+    # COMPACTION_REFRESH_VERDICT below stays None).
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
-    # -- new code (first greens) --
+    # -- first greens (zero driver history) --
+    "maintenance_scd2_as_of",
+    "join_scd2_point_in_time",
+    # -- second greens for the r17 firsts (double as changed-code
+    # reseats: scd2_apply strict-schema guard, ADVICE r17) --
     "maintenance_scd2_tombstones",
     "stream_scd2_tombstones",
-    # -- second greens for the r16 firsts (scd2 rows double as
-    # changed-code reseats) --
-    "join_asof_nearest",
+    # -- changed-code reseats (scd2_apply guard) --
     "maintenance_scd2_chain",
     "stream_scd2_chain",
-    # -- changed-code reseats --
     "maintenance_scd2_merge",
-    "sim_topk_mmr",
-    "sim_topk_mmr_multi",
-    "sim_retrieval_pipeline_multi",
-    # -- backfill: the six r12-stale queue heads --
-    "text_redact_patterns",
-    "text_token_count",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "window_order_rank",
-    # -- backfill: the ROUND-13 cohort, alphabetical (35 of 42) --
-    "corpus_clean_mix_pipeline",
-    "corpus_source_profile",
-    "corpus_split_assign",
-    "dedup_apply_retention",
-    "dedup_cluster_keep_best",
-    "dedup_containment_ngram",
-    "dedup_cross_source_overlap",
-    "dedup_incremental_minhash",
-    "dedup_incremental_snapshot",
-    "dedup_paragraphs",
-    "dedup_substring_spans",
-    "events_funnel_conversion",
-    "events_retention_cohort",
-    "join_salted_skew",
-    "maintenance_compact_small_files",
-    "mm_decode_audio_real",
-    "mm_decode_features",
-    "mm_decode_gif_real",
-    "mm_decode_jpeg_real",
-    "mm_decode_png_variants",
-    "mm_decode_real",
-    "mm_gif_frame_stats",
-    "mm_resize_real",
-    "quality_constraint_checks",
-    "sample_source_temperature",
-    "sample_token_budget",
-    "sim_hybrid_search",
-    "sim_quantize_int8",
-    "sim_topk_ivf_trained",
-    "sim_topk_ivfpq_adc",
-    "sim_topk_pq_adc",
-    "stream_dedup_redelivery",
-    "stream_join_attribution",
-    "text_language_id",
-    "text_repetition_filter",
+    # -- backfill: the seven r13 stragglers --
+    "text_sequence_packing",
+    "text_shingle_novelty",
+    "text_stats_per_lang",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "text_vocabulary",
+    "tpch_q10_returned_items",
+    # -- backfill: the ROUND-14 cohort, alphabetical (36 of 40) --
+    "agg_percentiles",
+    "agg_statistics",
+    "bag_set_ops_orders",
+    "catalog_flatten_tree",
+    "compress_insert_ignore_manifest",
+    "correlated_min_supplier",
+    "date_arithmetic_orders",
+    "dedup_clusters_minhash",
+    "dedup_minhash_lsh",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "disjunctive_part_filter",
+    "events_json_extract",
+    "exists_late_shipments",
+    "having_big_orders",
+    "join_anti_customers",
+    "join_bucketed_colocated",
+    "join_semi_customers",
+    "maintenance_zorder_layout",
+    "mm_decode_video_real",
+    "mm_jvm_image_decode",
+    "null_semantics_customer",
+    "orders_by_month",
+    "pipeline_end_to_end",
+    "pivot_event_types",
+    "profile_customer_table",
+    "sample_dsir_importance",
+    "sim_hybrid_rrf",
+    "stream_enrich_dimension",
+    "text_bm25_search",
+    "text_decontaminate_bloom",
+    "text_line_cleaning",
+    "text_pii_scrub",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q20_potential_promotion",
 )
 
 

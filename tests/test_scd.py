@@ -613,3 +613,47 @@ def test_point_in_time_join_matches_python_reference(
         if eff:
             want.append((i, eff[0][1]))
     assert got == sorted(want, key=_key)
+
+
+def test_updates_extra_columns_refused(spark):
+    """ADVICE r17: an updates column outside key/attrs(/op_col) is
+    refused loudly instead of silently dropped — the hazard case is a
+    tombstone-bearing CDC batch applied without op_col, which would
+    turn deletes into NULL-attribute upserts."""
+    import pytest
+
+    cur = _tbl(spark, [(1, "x", 0, None)])
+    # plain extra column: strict-schema rejection
+    with pytest.raises(ValueError, match="unexpected column"):
+        scd2_apply(
+            cur, _upd(spark, [(1, "x2")]).withColumn("note", F.lit("n")),
+            "k", ["a"], version=1,
+        )
+    # op-bearing batch without op_col: rejection names the CDC hazard
+    with pytest.raises(ValueError, match="op_col"):
+        scd2_apply(
+            cur, _upd_op(spark, [(1, None, "delete")]), "k", ["a"], version=1,
+        )
+    # the same batch WITH op_col is the supported CDC form
+    out = scd2_apply(
+        cur, _upd_op(spark, [(1, None, "delete")]), "k", ["a"], version=1,
+        op_col="op",
+    )
+    assert _rows(out) == [(1, "x", 0, 1)]
+
+
+def test_point_in_time_join_scratch_attr_refused(spark):
+    """ADVICE r17: an attr named like the join's internal scratch
+    aliases is refused up front instead of surfacing as an opaque
+    ambiguous-reference AnalysisException."""
+    import pytest
+
+    from k8e_fetch_spark.operators.scd import scd2_point_in_time_join
+
+    hist = _tbl(spark, [(1, "a0", 0, None)]).withColumn("_d_from", F.lit(0))
+    facts = spark.createDataFrame([(10, 1, 0)], "f_id long, f_k long, v int")
+    with pytest.raises(ValueError, match="scratch aliases"):
+        scd2_point_in_time_join(
+            facts, hist, fact_key="f_k", version_col="v", dim_key="k",
+            attrs=["_d_from"],
+        )
