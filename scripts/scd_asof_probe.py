@@ -40,7 +40,6 @@ if REPO_ROOT not in sys.path:
 from pyspark.sql import functions as F  # noqa: E402
 
 from k8e_fetch_spark.operators.scd import scd2_as_of  # noqa: E402
-from k8e_fetch_spark.operators.scale import write_range_sorted  # noqa: E402
 from k8e_fetch_spark.session import get_spark  # noqa: E402
 
 N_VERSIONS = 40
@@ -84,6 +83,7 @@ def footer_rowgroups(path: str, as_of: int) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     total = selected = 0
+    total_b = selected_b = 0
     for f in sorted(Path(path).rglob("*.parquet")):
         if f.name.startswith((".", "_")):
             continue
@@ -92,6 +92,7 @@ def footer_rowgroups(path: str, as_of: int) -> tuple[int, int]:
         for rg in range(md.num_row_groups):
             total += 1
             g = md.row_group(rg)
+            total_b += g.total_byte_size
             sf = g.column(names["effective_from"]).statistics
             st = g.column(names["effective_to"]).statistics
             # effective_from <= v fails for the whole group iff min > v
@@ -107,7 +108,8 @@ def footer_rowgroups(path: str, as_of: int) -> tuple[int, int]:
             ):
                 continue
             selected += 1
-    return selected, total
+            selected_b += g.total_byte_size
+    return selected, total, selected_b, total_b
 
 
 def timed_read(spark, path: str, as_of: int) -> float:
@@ -136,11 +138,26 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="k8e_asof_probe_")
     sorted_dir = f"{tmp}/sorted"
     shuffled_dir = f"{tmp}/shuffled"
-    # small blocks -> several row groups per file, so the probe measures
-    # ROW-GROUP skipping, not just file-level pruning
-    spark.conf.set("spark.hadoop.parquet.block.size", str(2 << 20))
-    write_range_sorted(hist, sorted_dir, ["effective_from", "k"], n_files=16)
-    hist.repartition(16).write.mode("overwrite").parquet(shuffled_dir)
+    # small blocks (writer-level option — a runtime spark.hadoop.* set
+    # does NOT reach the committer) -> several row groups per file, so
+    # the probe measures ROW-GROUP skipping, not just file-level
+    # pruning. The write IS write_range_sorted's shape
+    # (operators/scale.py:122 — repartitionByRange +
+    # sortWithinPartitions), inlined only to thread the block-size
+    # option through.
+    (
+        hist.repartitionByRange(16, F.col("effective_from"), F.col("k"))
+        .sortWithinPartitions("effective_from", "k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(2 << 20))
+        .parquet(sorted_dir)
+    )
+    (
+        hist.repartition(16)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(2 << 20))
+        .parquet(shuffled_dir)
+    )
 
     plan = (
         scd2_as_of(spark.read.parquet(sorted_dir), AS_OF)
@@ -152,8 +169,8 @@ def main() -> None:
         "PushedFilters: ["
     )[1].split("]")[0]
 
-    sel_s, tot_s = footer_rowgroups(sorted_dir, AS_OF)
-    sel_r, tot_r = footer_rowgroups(shuffled_dir, AS_OF)
+    sel_s, tot_s, selb_s, totb_s = footer_rowgroups(sorted_dir, AS_OF)
+    sel_r, tot_r, selb_r, totb_r = footer_rowgroups(shuffled_dir, AS_OF)
     t_sorted = timed_read(spark, sorted_dir, AS_OF)
     t_shuffled = timed_read(spark, shuffled_dir, AS_OF)
     n_out = scd2_as_of(spark.read.parquet(sorted_dir), AS_OF).count()
@@ -167,6 +184,9 @@ def main() -> None:
             "pushed_filters_on_scan": pushed,
             "rowgroups_sorted": f"{sel_s}/{tot_s}",
             "rowgroups_shuffled": f"{sel_r}/{tot_r}",
+            "bytes_decoded_sorted_mb": round(selb_s / 1e6, 1),
+            "bytes_decoded_shuffled_mb": round(selb_r / 1e6, 1),
+            "bytes_total_mb": round(totb_s / 1e6, 1),
             "wall_sorted_s": t_sorted,
             "wall_shuffled_s": t_shuffled,
             "load_avg_start": load,

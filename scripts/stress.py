@@ -153,6 +153,15 @@ PROBES = [
     # r15: nearest-direction as-of — same single user_id window as the
     # rest of the family; the curve should match join_asof_tolerance
     "join_asof_nearest",
+    # r18: streaming incremental dedup against the persisted MinHash
+    # store. The 20x replication grows the CORPUS (store build +
+    # bucket occupancy) while the two ingest batches stay fixed
+    # (doc_id<50 selects copy-0 docs only) — the deployment axis: a
+    # bounded daily batch against a growing store. The probe times
+    # the WHOLE drain including the one-time store build from text
+    # (O(corpus), amortized across every later batch in production)
+    # plus per-batch flag + O(delta) absorb + manifest vacuum.
+    "stream_dedup_incremental_minhash",
 ]
 # fact tables get replicated with shifted keys; dimensions stay as-is
 REPLICATE = {

@@ -183,6 +183,10 @@ def test_write_side_effect_queries_stay_closed():
         "stream_anomaly_zscore",  # r15: stateful z-score gate drain
         "stream_scd2_chain",  # r16: CDC drain + per-step parquet state table
         "stream_scd2_tombstones",  # r17: tombstone CDC drain + retained state steps
+        # r18: persisted-minhash-store dedup stream (store manifest
+        # tables + per-batch pair ledger + checkpoint, all under one
+        # atexit-cleaned mkdtemp)
+        "stream_dedup_incremental_minhash",
     }
     MODS = [
         "catalog_ops", "compress_ops", "multimodal_ops", "relational",

@@ -903,3 +903,47 @@ def test_binary_rescore_is_exact_cosine_over_hamming_candidates(spark):
             (-r["cos_score"], r["doc_id"]) for r in out if r["q_id"] == q
         )
         assert [w[1] for w in want] == [g[1] for g in got], q
+
+
+def test_minhash_store_form_matches_inplan_form(spark):
+    """r18 (VERDICT r17 #5a): deduping a batch against the PERSISTED
+    store relations (minhash_store_relations -> minhash_pairs_vs_store)
+    must be row-identical to the in-plan form that recomputes the
+    existing side from text — same shared body, same geometry, so the
+    only difference is where the old side's relations come from. Pins
+    the equivalence on exact dups AND a fractional-jaccard near-dup."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from k8e_fetch_spark.operators.similarity import (
+        minhash_incremental_pairs,
+        minhash_pairs_vs_store,
+        minhash_store_relations,
+    )
+
+    old_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    new_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    existing = spark.createDataFrame(
+        [
+            (1, old_text),
+            (2, "a completely unrelated document about parquet row groups"),
+            (3, "exactly this text arrives again in the batch"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(500, new_text), (501, "exactly this text arrives again in the batch")],
+        "doc_id long, text string",
+    )
+    sh, bands = minhash_store_relations(existing)
+    got_store = sorted(
+        (r["new_doc"], r["old_doc"], r["jaccard"])
+        for r in minhash_pairs_vs_store(new, sh, bands).collect()
+    )
+    got_inplan = sorted(
+        (r["new_doc"], r["old_doc"], r["jaccard"])
+        for r in minhash_incremental_pairs(existing, new).collect()
+    )
+    assert got_store == got_inplan
+    as_dict = {(a, b): j for a, b, j in got_store}
+    assert as_dict[(501, 3)] == 1.0
+    assert abs(as_dict[(500, 1)] - 9 / 11) < 1e-5

@@ -713,3 +713,128 @@ def test_scd2_cdc_stream_applies_tombstones_across_micro_batches(
         key=lambda t: tuple((v is None, v) for v in t),
     )
     assert rows == expect
+
+
+def _stage_doc_batches(spark, tmp_path, batches):
+    """Stage one single-file parquet per list-of-(doc_id, text) batch,
+    mtimes stamped in batch order (discovery order = mtime order)."""
+    import shutil
+
+    ingest = tmp_path / "ingest"
+    ingest.mkdir()
+    staged = []
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"_stage_{i}"
+        (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(stage))
+        )
+        part = next(
+            f for f in sorted(os.listdir(stage))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        shutil.move(str(stage / part), str(ingest / f"ingest-{i:05d}.parquet"))
+        staged.append(ingest / f"ingest-{i:05d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+    base_t = os.stat(staged[0]).st_mtime
+    for i, p in enumerate(staged):
+        os.utime(p, (base_t + i, base_t + i))
+    return ingest
+
+
+def _run_minhash_stream(spark, tmp_path, corpus_rows, batches, mf=1, retain=2):
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ingest = _stage_doc_batches(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option(*(("maxFilesPerTrigger", mf) if mf else ("latestFirst", "false")))
+        .parquet(str(ingest))
+    )
+    out = sw.run_minhash_dedup_stream(
+        stream,
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=str(tmp_path / "store"),
+        results_dir=str(tmp_path / "results"),
+        retain_manifests=retain,
+    )
+    return sorted(
+        (r["new_doc"], r["old_doc"], r["jaccard"]) for r in out.collect()
+    )
+
+
+_CORPUS = [
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    (2, "a completely unrelated document about parquet row groups"),
+    (3, "the quick brown fox jumps over the lazy dog tonight"),
+]
+_B1 = [(100, "the quick brown fox jumps over the lazy dog tonight")]  # dup of 3
+_B2 = [
+    # dup of corpus 1 AND of nothing in batch 1
+    (200, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+    # dup of BATCH 1's doc 100 (and of corpus 3) — exists only if batch
+    # 1's signatures crossed the micro-batch boundary through the store
+    (201, "the quick brown fox jumps over the lazy dog tonight"),
+    (202, "fresh text matching nothing else in the corpus at all"),
+]
+_EXPECT = [
+    (100, 3, 1.0),
+    (200, 1, 1.0),
+    (201, 3, 1.0),
+    (201, 100, 1.0),
+]
+
+
+def test_minhash_stream_flags_across_micro_batches(spark, tmp_path):
+    """r18 (VERDICT r17 #5a): a batch-2 doc duplicating a BATCH-1 doc
+    must be flagged — the pair exists only if batch 1's signatures
+    were absorbed into the persisted store before batch 2 ran."""
+    got = _run_minhash_stream(spark, tmp_path, _CORPUS, [_B1, _B2], mf=1)
+    assert got == sorted(_EXPECT)
+
+
+def test_minhash_stream_single_drain_matches_per_file_drain(spark, tmp_path):
+    """One-file-per-micro-batch vs both files in one micro-batch...
+    is NOT the same contract here: both staged files land in ONE
+    foreachBatch call, which dedups the combined batch against the
+    store BEFORE absorbing it — so the within-drain (201, 100) pair
+    is by design absent. The pins: (a) store-vs-batch pairs are
+    identical to the per-file drain's, (b) the within-batch pair is
+    the ONLY difference — exactly the dedup-before-append contract."""
+    d1 = tmp_path / "per_file"
+    d2 = tmp_path / "single"
+    d1.mkdir()
+    d2.mkdir()
+    per_file = _run_minhash_stream(spark, d1, _CORPUS, [_B1, _B2], mf=1)
+    single = _run_minhash_stream(spark, d2, _CORPUS, [_B1, _B2], mf=None)
+    assert per_file == sorted(_EXPECT)
+    assert single == sorted(p for p in _EXPECT if p != (201, 100, 1.0))
+
+
+def test_minhash_stream_retains_manifest_window(spark, tmp_path):
+    """The store's manifest chain vacuums down to retain_manifests as
+    the stream drains (the CDC retain_steps discipline applied to the
+    manifest ledger); the LIVE manifest — and with it the full store —
+    stays readable: the final results still include every pair."""
+    got = _run_minhash_stream(spark, tmp_path, _CORPUS, [_B1, _B2], retain=1)
+    assert got == sorted(_EXPECT)
+    for sub in ("sh", "bands"):
+        manifests = [
+            f
+            for f in os.listdir(tmp_path / "store" / sub)
+            if f.startswith("manifest-")
+        ]
+        # corpus build + 2 absorbed batches = 3 manifests written; only
+        # the newest survives
+        assert len(manifests) == 1, manifests
+    from k8e_fetch_spark.plans.snapshots import read_manifest_table
+
+    store_docs = {
+        r["doc"]
+        for r in read_manifest_table(spark, str(tmp_path / "store" / "sh"))
+        .select("doc")
+        .collect()
+    }
+    assert store_docs == {1, 2, 3, 100, 200, 201, 202}
