@@ -996,72 +996,118 @@ def _pairs_new_vs_old(
     )
 
 
-def minhash_store_relations(
+def minhash_store_relation(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     num_bands: int = 8,
-) -> tuple[DataFrame, DataFrame]:
-    """The MATERIALIZABLE signature-store relations (r18 — closes the
+) -> DataFrame:
+    """The MATERIALIZABLE signature-store relation (r18 — closes the
     'a deployment materializes them once' note in
-    :func:`minhash_incremental_pairs` with actual code): the per-doc
-    hashed-shingle sets ``(doc, sh)`` and the exploded LSH band keys
-    ``(doc, b)``, as plain DataFrames a corpus build writes out ONCE
-    and every subsequent ingest batch reads back instead of
-    recomputing. Both are parquet-clean (array<long> / struct) and
-    size O(corpus x num_bands), not O(text): the store holds
-    signatures, never the documents.
+    :func:`minhash_incremental_pairs` with actual code): ONE row per
+    doc — ``(doc, sh, bands)`` with the hashed-shingle set
+    (array<long>) and the UN-exploded LSH band keys (array<struct>) —
+    as a plain DataFrame a corpus build writes out ONCE and every
+    subsequent ingest batch reads back instead of recomputing.
+    Parquet-clean, size O(corpus x (shingles + bands)), not O(text):
+    the store holds signatures, never the documents. One table, not
+    two (first cut): the flag path's band scan column-prunes to
+    ``(doc, bands)`` and the exact verify to ``(doc, sh)``, while the
+    store pays ONE merge/manifest chain per batch instead of two.
+
+    Width-restoring ``fan_out`` before the shingle projection
+    (measured r18: the fixture corpus is a 1-split parquet, so
+    without it the interpreted shingle HOF ran in ONE task — 9.1 s
+    for the sh build at sf0.1, 1.3 s restored; a no-op on real
+    clusters where input splits already give task parallelism, and
+    the signature aggregate needed the exchange anyway).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"), hashed_shingles(F.col(text_col)).alias("sh")
+    from k8e_fetch_spark.io import fan_out
+
+    # ONE aggregation pass: the interpreted shingle HOF evaluates
+    # exactly once (exploded immediately — the per-doc array is never
+    # cached or re-derived), and the shingle SET rides the SAME
+    # groupBy as the signature mins via sort_array(collect_set(...)).
+    # The earlier sh-join-sig form evaluated the HOF once per branch
+    # (or paid an InMemoryRelation build of array columns to pin it) —
+    # measured r18: 15.5 s relation build at sf0.1 vs ~4 s this form.
+    # sort_array makes the stored set DETERMINISTIC, which the store
+    # merge's whole-row anti-join needs for idempotent redelivery
+    # (collect_set order is not stable across retries).
+    #
+    # The min-agg arithmetic mirrors minhash_signature_agg exactly
+    # (same _coefficients, same pmod chain) — pinned bit-identical in
+    # tests/test_similarity.py rather than shared by refactor, so the
+    # heavily-seated LSH family's plan is untouched.
+    coeffs = _coefficients(num_hashes)
+    ex = fan_out(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(hashed_shingles(F.col(text_col))).alias("h64"),
+    ).select("doc", "h64", F.pmod("h64", F.lit(1 << 32)).alias("h"))
+    agg = ex.groupBy("doc").agg(
+        F.sort_array(F.collect_set("h64")).alias("sh"),
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+            ).alias(f"_s{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
-    bands = minhash_signature_agg(sh, num_hashes=num_hashes).select(
-        "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
+    sig = F.array(*[f"_s{i}" for i in range(num_hashes)])
+    return agg.select(
+        "doc", "sh", lsh_bands(sig, num_bands, num_hashes).alias("bands")
     )
-    return sh, bands
+
+
+def minhash_pairs_rel_vs_store(
+    new_rel: DataFrame, store: DataFrame, max_bucket: int = 1024
+) -> DataFrame:
+    """Flag a batch RELATION (``minhash_store_relation`` of the batch)
+    against a store relation: the runner computes the batch's relation
+    once and reuses the same frame for flagging and for the store
+    merge. Same candidate restriction / mega-bucket anchor / exact
+    verify as :func:`minhash_incremental_pairs` (shared body)."""
+    from k8e_fetch_spark.functions.caching import persist_scoped
+
+    new_rel = persist_scoped("minhash_store.new_rel", new_rel)
+    sh_new = new_rel.select(F.col("doc").alias("new_doc"), "sh")
+    bands_new = new_rel.select(
+        F.col("doc").alias("new_doc"), F.explode("bands").alias("b")
+    )
+    sh_old = store.select(F.col("doc").alias("old_doc"), "sh")
+    bands_old = store.select(
+        F.col("doc").alias("old_doc"), F.explode("bands").alias("b")
+    )
+    return _pairs_new_vs_old(sh_new, bands_new, sh_old, bands_old, max_bucket)
 
 
 def minhash_pairs_vs_store(
     new: DataFrame,
-    sh_store: DataFrame,
-    bands_store: DataFrame,
+    store: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     num_bands: int = 8,
     max_bucket: int = 1024,
 ) -> DataFrame:
-    """Incremental near-dup dedup of a NEW batch against a PERSISTED
-    signature store (r18, VERDICT r17 #5a): identical candidate
-    restriction, mega-bucket anchor guard, and exact verify as
-    :func:`minhash_incremental_pairs` (shared body), but the existing
-    side reads the :func:`minhash_store_relations` tables instead of
-    recomputing shingles from text — the store read is O(store
-    bytes), the batch work O(batch), and nothing touches the original
-    corpus text. ``num_hashes``/``num_bands`` must match the store's
-    build parameters (band keys are positional).
+    """Incremental near-dup dedup of a NEW batch of raw docs against a
+    PERSISTED signature store (r18, VERDICT r17 #5a): identical
+    candidate restriction, mega-bucket anchor guard, and exact verify
+    as :func:`minhash_incremental_pairs` (shared body), but the
+    existing side reads the :func:`minhash_store_relation` table
+    instead of recomputing shingles from text — the store read is
+    O(store bytes) with column pruning per stage, the batch work
+    O(batch), and nothing touches the original corpus text.
+    ``num_hashes``/``num_bands`` must match the store's build
+    parameters (band keys are positional).
 
     Returns (new_doc, old_doc, jaccard).
     """
-    from k8e_fetch_spark.functions.caching import persist_scoped
-
-    sh_new = persist_scoped(
-        "minhash_store.shingles_new",
-        new.select(
-            F.col(id_col).alias("new_doc"),
-            hashed_shingles(F.col(text_col)).alias("sh"),
+    return minhash_pairs_rel_vs_store(
+        minhash_store_relation(
+            new, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
         ),
+        store,
+        max_bucket=max_bucket,
     )
-    bands_new = (
-        minhash_signature_agg(
-            sh_new.withColumnRenamed("new_doc", "doc"), num_hashes=num_hashes
-        )
-        .select(
-            "doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b")
-        )
-        .withColumnRenamed("doc", "new_doc")
-    )
-    sh_old = sh_store.select(F.col("doc").alias("old_doc"), "sh")
-    bands_old = bands_store.select(F.col("doc").alias("old_doc"), "b")
-    return _pairs_new_vs_old(sh_new, bands_new, sh_old, bands_old, max_bucket)

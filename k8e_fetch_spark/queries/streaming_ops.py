@@ -952,7 +952,7 @@ def stream_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFr
     stage as one parquet file each (mtime-ordered discovery), a
     streaming file source reads them with maxFilesPerTrigger=1, and
     each micro-batch is flagged against the store — built ONCE from
-    the corpus via minhash_store_relations, then grown per batch
+    the corpus via minhash_store_relation, then grown per batch
     through the manifest-table merge
     (streaming/windows.py:run_minhash_dedup_stream) with
     retain_manifests=2 vacuuming LIVE.
@@ -991,7 +991,12 @@ def stream_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFr
     staged: list[str] = []
     for i, batch in enumerate((new1, new2)):
         stage = os.path.join(workdir, f"_stage_{i}")
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        # repartition(1), NOT coalesce(1): coalesce folds the WHOLE
+        # upstream corpus scan + filter into one task (measured: the
+        # 20x stress probe spent its wall in single-task staging
+        # scans); repartition keeps the scan parallel and pays one
+        # tiny exchange for the single-file write
+        batch.repartition(1).write.mode("overwrite").parquet(stage)
         part = next(
             f for f in sorted(os.listdir(stage))
             if f.endswith(".parquet") and not f.startswith((".", "_"))

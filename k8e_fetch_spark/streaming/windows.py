@@ -525,20 +525,24 @@ def run_minhash_dedup_stream(
     ``new_docs`` is a STREAMING DataFrame of ingest batches
     (``id_col, text_col``). ``corpus`` is the initial batch corpus; on
     first run its :func:`~k8e_fetch_spark.operators.similarity.
-    minhash_store_relations` — shingle sets and LSH band keys, NOT the
-    text — are materialized ONCE into two incremental manifest tables
-    under ``store_dir`` (``plans/snapshots.py`` append-delta +
-    manifest-pointer machinery: O(delta) writes, atomic publishes,
-    crash-orphan = garbage never corruption). Each micro-batch then:
+    minhash_store_relation` — one row per doc: shingle set + LSH band
+    keys, NOT the text — is materialized ONCE into an incremental
+    manifest table at ``store_dir`` (``plans/snapshots.py``
+    append-delta + manifest-pointer machinery: O(delta) writes, atomic
+    publishes, crash-orphan = garbage never corruption). Each
+    micro-batch then:
 
-    1. flags the batch against the CURRENT store —
+    1. computes the batch's OWN relation once, flags it against the
+       CURRENT store —
        :func:`~k8e_fetch_spark.operators.similarity.
-       minhash_pairs_vs_store` (band-restricted candidates,
-       mega-bucket anchors, exact-Jaccard verify) — and writes the
-       pairs to ``results_dir/batch-<n>`` with OVERWRITE, so an
-       at-least-once re-run of the same micro-batch rewrites its own
-       ledger entry instead of duplicating pairs;
-    2. merges the batch's own relations into the store
+       minhash_pairs_rel_vs_store` (band-restricted candidates,
+       mega-bucket anchors, exact-Jaccard verify; the store scan
+       column-prunes per stage: bands for the bucket join, sh for the
+       verify) — and writes the pairs to ``results_dir/batch-<n>``
+       with OVERWRITE, so an at-least-once re-run of the same
+       micro-batch rewrites its own ledger entry instead of
+       duplicating pairs;
+    2. merges the SAME batch relation into the store
        (``merge_insert_ignore_incremental`` — the anti-join makes a
        redelivered batch an empty delta, so store growth is idempotent
        too), which is what lets a batch-2 doc match a batch-1 doc: the
@@ -562,8 +566,8 @@ def run_minhash_dedup_stream(
     import os
 
     from k8e_fetch_spark.operators.similarity import (
-        minhash_pairs_vs_store,
-        minhash_store_relations,
+        minhash_pairs_rel_vs_store,
+        minhash_store_relation,
     )
     from k8e_fetch_spark.plans.snapshots import (
         current_manifest,
@@ -576,14 +580,14 @@ def run_minhash_dedup_stream(
         raise ValueError("run_minhash_dedup_stream: retain_manifests must be >= 1")
 
     spark = new_docs.sparkSession
-    sh_dir = os.path.join(store_dir, "sh")
-    bands_dir = os.path.join(store_dir, "bands")
-    if current_manifest(sh_dir) is None:
-        sh0, bands0 = minhash_store_relations(
-            corpus, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
+    if current_manifest(store_dir) is None:
+        merge_insert_ignore_incremental(
+            spark,
+            store_dir,
+            minhash_store_relation(
+                corpus, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
+            ),
         )
-        merge_insert_ignore_incremental(spark, sh_dir, sh0)
-        merge_insert_ignore_incremental(spark, bands_dir, bands0)
 
     result_schema = T.StructType(
         [
@@ -596,18 +600,11 @@ def run_minhash_dedup_stream(
     def flag_and_absorb(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        sh_store = read_manifest_table(spark, sh_dir)
-        bands_store = read_manifest_table(spark, bands_dir)
-        pairs = minhash_pairs_vs_store(
-            batch_df,
-            sh_store,
-            bands_store,
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            num_bands=num_bands,
-            max_bucket=max_bucket,
+        rel_b = minhash_store_relation(
+            batch_df, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
         )
+        store = read_manifest_table(spark, store_dir)
+        pairs = minhash_pairs_rel_vs_store(rel_b, store, max_bucket=max_bucket)
         # the ledger write MUST land before the store absorbs the batch
         # (read_manifest_table resolved the pre-batch manifest above,
         # and this write materializes the pairs plan now)
@@ -620,13 +617,8 @@ def run_minhash_dedup_stream(
             .write.mode("overwrite")
             .parquet(os.path.join(results_dir, f"batch-{batch_id:05d}"))
         )
-        sh_b, bands_b = minhash_store_relations(
-            batch_df, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands
-        )
-        merge_insert_ignore_incremental(spark, sh_dir, sh_b)
-        merge_insert_ignore_incremental(spark, bands_dir, bands_b)
-        vacuum_manifest(sh_dir, keep=retain_manifests)
-        vacuum_manifest(bands_dir, keep=retain_manifests)
+        merge_insert_ignore_incremental(spark, store_dir, rel_b)
+        vacuum_manifest(store_dir, keep=retain_manifests)
 
     q = (
         new_docs.writeStream.foreachBatch(flag_and_absorb)

@@ -907,7 +907,7 @@ def test_binary_rescore_is_exact_cosine_over_hamming_candidates(spark):
 
 def test_minhash_store_form_matches_inplan_form(spark):
     """r18 (VERDICT r17 #5a): deduping a batch against the PERSISTED
-    store relations (minhash_store_relations -> minhash_pairs_vs_store)
+    store relation (minhash_store_relation -> minhash_pairs_vs_store)
     must be row-identical to the in-plan form that recomputes the
     existing side from text — same shared body, same geometry, so the
     only difference is where the old side's relations come from. Pins
@@ -917,7 +917,7 @@ def test_minhash_store_form_matches_inplan_form(spark):
     from k8e_fetch_spark.operators.similarity import (
         minhash_incremental_pairs,
         minhash_pairs_vs_store,
-        minhash_store_relations,
+        minhash_store_relation,
     )
 
     old_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
@@ -934,10 +934,10 @@ def test_minhash_store_form_matches_inplan_form(spark):
         [(500, new_text), (501, "exactly this text arrives again in the batch")],
         "doc_id long, text string",
     )
-    sh, bands = minhash_store_relations(existing)
+    store = minhash_store_relation(existing)
     got_store = sorted(
         (r["new_doc"], r["old_doc"], r["jaccard"])
-        for r in minhash_pairs_vs_store(new, sh, bands).collect()
+        for r in minhash_pairs_vs_store(new, store).collect()
     )
     got_inplan = sorted(
         (r["new_doc"], r["old_doc"], r["jaccard"])
@@ -947,3 +947,36 @@ def test_minhash_store_form_matches_inplan_form(spark):
     as_dict = {(a, b): j for a, b, j in got_store}
     assert as_dict[(501, 3)] == 1.0
     assert abs(as_dict[(500, 1)] - 9 / 11) < 1e-5
+
+
+def test_store_relation_bands_match_signature_agg(spark):
+    """The one-pass store-relation aggregate mirrors
+    minhash_signature_agg's arithmetic inline (same coefficients, same
+    pmod chain) instead of sharing code — this pin keeps the two from
+    drifting: band structs must be BIT-IDENTICAL per doc, and the
+    stored shingle set must equal the hashed_shingles set."""
+    from pyspark.sql import functions as F
+
+    from k8e_fetch_spark.io import load
+    from k8e_fetch_spark.operators.similarity import (
+        hashed_shingles,
+        lsh_bands,
+        minhash_signature_agg,
+        minhash_store_relation,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(200).select("doc_id", "text")
+    rel = minhash_store_relation(docs).select(
+        F.col("doc"), F.col("sh").alias("sh_rel"), F.col("bands").alias("b_rel")
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), hashed_shingles(F.col("text")).alias("sh")
+    )
+    ref = minhash_signature_agg(sh).select(
+        "doc", lsh_bands(F.col("sig"), 8, 32).alias("b_ref")
+    )
+    ref_sh = sh.select("doc", F.sort_array(F.array_distinct("sh")).alias("sh_ref"))
+    joined = rel.join(ref, on="doc").join(ref_sh, on="doc")
+    assert joined.count() == 200
+    assert joined.filter(F.col("b_rel") != F.col("b_ref")).count() == 0
+    assert joined.filter(F.col("sh_rel") != F.col("sh_ref")).count() == 0

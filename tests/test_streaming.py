@@ -820,20 +820,19 @@ def test_minhash_stream_retains_manifest_window(spark, tmp_path):
     stays readable: the final results still include every pair."""
     got = _run_minhash_stream(spark, tmp_path, _CORPUS, [_B1, _B2], retain=1)
     assert got == sorted(_EXPECT)
-    for sub in ("sh", "bands"):
-        manifests = [
-            f
-            for f in os.listdir(tmp_path / "store" / sub)
-            if f.startswith("manifest-")
-        ]
-        # corpus build + 2 absorbed batches = 3 manifests written; only
-        # the newest survives
-        assert len(manifests) == 1, manifests
+    manifests = [
+        f
+        for f in os.listdir(tmp_path / "store")
+        if f.startswith("manifest-")
+    ]
+    # corpus build + 2 absorbed batches = 3 manifests written; only
+    # the newest survives
+    assert len(manifests) == 1, manifests
     from k8e_fetch_spark.plans.snapshots import read_manifest_table
 
     store_docs = {
         r["doc"]
-        for r in read_manifest_table(spark, str(tmp_path / "store" / "sh"))
+        for r in read_manifest_table(spark, str(tmp_path / "store"))
         .select("doc")
         .collect()
     }
