@@ -70,7 +70,7 @@ def md5_32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def hashed_shingles(text: Column, k: int = 3, hash_mode: str = "xxhash64") -> Column:
+def hashed_shingles(text: Column | str, k: int = 3, hash_mode: str = "xxhash64") -> Column:
     """Distinct k-word shingles as 64-bit identities — the set-identity
     form the pair pipelines store and intersect.
 
@@ -96,7 +96,39 @@ def hashed_shingles(text: Column, k: int = 3, hash_mode: str = "xxhash64") -> Co
     shared by both engines, so parity is unaffected). The short-doc
     whole-text fallback cannot cross-collide with grams in either
     mode: multi-arg xxhash64 seeds per field, and a <k-token trimmed
-    text never string-equals a k-token space-joined gram."""
+    text never string-equals a k-token space-joined gram.
+
+    ``text`` may be a Column (original API) or a column NAME: the name
+    form renders the whole shingle expression as ONE ``F.expr`` string
+    (r18 — a single Py4J round trip instead of ~50; the parsed tree is
+    the same CASE/transform/xxhash64 chain, with the split subexpression
+    textually repeated exactly as the Column form repeats its tree)."""
+    if isinstance(text, str):
+        c = f"`{text}`"
+        toks_s = f"split(trim({c}), '\\\\s+')"
+        if hash_mode == "md5_32":
+
+            def m5(x: str) -> str:
+                return f"CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+            gram = m5(
+                "concat_ws(' ', "
+                + ", ".join(f"element_at({toks_s}, i + {j + 1})" for j in range(k))
+                + ")"
+            )
+            short = f"array({m5(f'trim({c})')})"
+        else:
+            gram = (
+                "xxhash64("
+                + ", ".join(f"element_at({toks_s}, i + {j + 1})" for j in range(k))
+                + ")"
+            )
+            short = f"array(xxhash64(trim({c})))"
+        return F.expr(
+            f"CASE WHEN size({toks_s}) >= {k} THEN array_distinct("
+            f"transform(sequence(0, size({toks_s}) - {k}), i -> {gram})) "
+            f"ELSE {short} END"
+        )
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)
@@ -153,22 +185,25 @@ def minhash_signature_agg(
     aggregation reduces the explode to one ``num_hashes``-long row per
     doc per partition, and when the input is already hash-partitioned
     by ``id_col`` the aggregation adds no exchange."""
+    # The whole signature aggregate is rendered as ONE F.expr string
+    # (r18): the Column-API chain (32 x F.min(F.pmod(col*lit+lit,
+    # lit))) cost ~200 Py4J round trips per call, and even 32 separate
+    # F.expr strings paid 32 parser invocations (~0.25 s of driver-side
+    # DataFrame construction per minhash query). array(min(...), ...)
+    # in aggregate position plans exactly like 32 named min-aggregates
+    # + a result-projection array — identical arithmetic, identical
+    # hash-checked output (SQL int literals promote through bigint h
+    # exactly like F.lit ints).
     coeffs = _coefficients(num_hashes)
     ex = sh.select(id_col, F.explode(sh_col).alias("h64")).select(
         id_col, F.pmod("h64", F.lit(1 << 32)).alias("h")
     )
-    return (
-        ex.groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
-                    f"_s{i}"
-                )
-                for i, (a, b) in enumerate(coeffs)
-            ]
-        )
-        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("sig"))
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(pmod(h * {a} + {b}, {MERSENNE_P}))" for a, b in coeffs)
+        + ") AS sig"
     )
+    return ex.groupBy(id_col).agg(F.expr(sig_expr))
 
 
 def minhash_signature_arrow(num_hashes: int = 32):
@@ -216,7 +251,7 @@ def minhash_signature_arrow(num_hashes: int = 32):
 
 
 def lsh_bands(
-    sig_col: Column,
+    sig_col: Column | str,
     num_bands: int = 8,
     num_hashes: int = 32,
     band_key: str = "xxhash64",
@@ -229,10 +264,29 @@ def lsh_bands(
     the comma-joined value string as the key — the cross-engine form a
     SQL oracle reproduces verbatim (identical band membership either
     way: equal value tuples iff equal keys; the hash adds only a
-    2^-64 collision that the concat form doesn't have)."""
+    2^-64 collision that the concat form doesn't have).
+
+    ``sig_col`` may be a Column (the original API) or a column NAME:
+    the name form renders the whole band array as ONE ``F.expr``
+    string — a single Py4J round trip instead of ~12 per band (r18:
+    ~0.1 s of driver-side construction per minhash query). Both forms
+    produce identical band membership (element_at(sig, abs_idx) ==
+    slice(sig, ...)[rel_idx]); the equivalence is pinned in
+    tests/test_similarity.py's store-relation cross-check, which
+    compares a name-form caller against a Column-form reference."""
     if num_hashes % num_bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by num_bands={num_bands}")
     rows_per_band = num_hashes // num_bands
+    if isinstance(sig_col, str):
+        structs = []
+        for bi in range(num_bands):
+            joined = "concat_ws(',', " + ", ".join(
+                f"element_at({sig_col}, {bi * rows_per_band + j + 1})"
+                for j in range(rows_per_band)
+            ) + ")"
+            key = f"xxhash64({joined})" if band_key == "xxhash64" else joined
+            structs.append(f"named_struct('band_idx', {bi}, 'band_hash', {key})")
+        return F.expr("array(" + ", ".join(structs) + ")")
     band_structs = []
     for bi in range(num_bands):
         band = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
@@ -322,7 +376,7 @@ def minhash_candidate_pairs(
         width = 32
     sh = df.repartition(width, F.col(id_col)).select(
         F.col(id_col).alias("doc"),
-        hashed_shingles(F.col(text_col), hash_mode=hash_mode).alias("sh"),
+        hashed_shingles(text_col, hash_mode=hash_mode).alias("sh"),
     )
     try:
         sp_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -348,7 +402,7 @@ def minhash_candidate_pairs(
         "doc",
         F.explode(
             lsh_bands(
-                F.col("sig"),
+                "sig",
                 num_bands,
                 num_hashes,
                 band_key="concat" if hash_mode == "md5_32" else "xxhash64",
@@ -385,18 +439,13 @@ def minhash_candidate_pairs(
         .groupBy("b")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     )
-    ds, m = F.col("ds"), F.size("ds")
-    clique = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), m - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, m - 1),
-                lambda j: F.struct(
-                    F.element_at(ds, i + 1).alias("doc_a"),
-                    F.element_at(ds, j + 1).alias("doc_b"),
-                ),
-            ),
-        )
+    # ONE F.expr string (r18): the nested-lambda Column form cost ~40
+    # Py4J round trips; the parsed HOF tree is identical.
+    clique = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> "
+        "transform(sequence(i + 1, size(ds) - 1), j -> "
+        "named_struct('doc_a', element_at(ds, i + 1), "
+        "'doc_b', element_at(ds, j + 1)))))"
     )
     clique_pairs = small.select(F.explode(clique).alias("p")).select("p.doc_a", "p.doc_b")
     star_pairs = tagged.filter(
@@ -919,7 +968,7 @@ def minhash_incremental_pairs(
         "minhash_inc.shingles_old",
         _land(
             existing.repartition(width, F.col(id_col)).select(
-                F.col(id_col).alias("old_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+                F.col(id_col).alias("old_doc"), hashed_shingles(text_col).alias("sh")
             )
         ),
     )
@@ -927,18 +976,18 @@ def minhash_incremental_pairs(
         "minhash_inc.shingles_new",
         _land(
             new.repartition(width, F.col(id_col)).select(
-                F.col(id_col).alias("new_doc"), hashed_shingles(F.col(text_col)).alias("sh")
+                F.col(id_col).alias("new_doc"), hashed_shingles(text_col).alias("sh")
             )
         ),
     )
     bands_old = (
         minhash_signature_agg(sh_old.withColumnRenamed("old_doc", "doc"), num_hashes=num_hashes)
-        .select("doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b"))
+        .select("doc", F.explode(lsh_bands("sig", num_bands, num_hashes)).alias("b"))
         .withColumnRenamed("doc", "old_doc")
     )
     bands_new = (
         minhash_signature_agg(sh_new.withColumnRenamed("new_doc", "doc"), num_hashes=num_hashes)
-        .select("doc", F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("b"))
+        .select("doc", F.explode(lsh_bands("sig", num_bands, num_hashes)).alias("b"))
         .withColumnRenamed("doc", "new_doc")
     )
     return _pairs_new_vs_old(sh_new, bands_new, sh_old, bands_old, max_bucket)
@@ -1043,20 +1092,21 @@ def minhash_store_relation(
     coeffs = _coefficients(num_hashes)
     ex = fan_out(docs).select(
         F.col(id_col).alias("doc"),
-        F.explode(hashed_shingles(F.col(text_col))).alias("h64"),
+        F.explode(hashed_shingles(text_col)).alias("h64"),
     ).select("doc", "h64", F.pmod("h64", F.lit(1 << 32)).alias("h"))
-    agg = ex.groupBy("doc").agg(
-        F.sort_array(F.collect_set("h64")).alias("sh"),
-        *[
-            F.min(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
-            ).alias(f"_s{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
+    # ONE F.expr per aggregate output (r18, same rationale as
+    # minhash_signature_agg): the per-coefficient Column chains cost
+    # ~200 Py4J round trips per relation build; arithmetic unchanged.
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(pmod(h * {a} + {b}, {MERSENNE_P}))" for a, b in coeffs)
+        + ") AS sig"
     )
-    sig = F.array(*[f"_s{i}" for i in range(num_hashes)])
-    return agg.select(
-        "doc", "sh", lsh_bands(sig, num_bands, num_hashes).alias("bands")
+    rel = ex.groupBy("doc").agg(
+        F.expr("sort_array(collect_set(h64)) AS sh"), F.expr(sig_expr)
+    )
+    return rel.select(
+        "doc", "sh", lsh_bands("sig", num_bands, num_hashes).alias("bands")
     )
 
 

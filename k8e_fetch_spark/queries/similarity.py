@@ -2913,22 +2913,23 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _binary_sig_spark(col, half: int):
+def _binary_sig_spark(col_name: str, half: int):
     """Spark column: pack sign bits (embedding[i] > 0) of one 32-dim
-    half into a BIGINT. Generated by the same loop as the SQL twin."""
-    import functools
-    import operator
-
+    half into a BIGINT. Generated by the same loop as the SQL twin —
+    rendered as ONE ``F.expr`` string (a single Py4J round trip) instead
+    of a 32-term ``F.when`` reduce chain, which cost ~190 driver round
+    trips per half (r18: ~0.9 s of the row's warm wall was DataFrame
+    CONSTRUCTION). CASE WHEN is exactly ``F.when().otherwise()`` and the
+    left-assoc ``+`` chain matches the old ``reduce(operator.add)``
+    fold, so the analyzed plan — and the hash-checked output — is
+    unchanged (element_at is 1-based on both forms)."""
     base = half * 32
-    return functools.reduce(
-        operator.add,
-        [
-            F.when(
-                F.element_at(col, base + i + 1) > 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            for i in range(32)
-        ],
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col_name}, {base + i + 1}) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
     )
+    return F.expr(terms)
 
 
 def _binary_sig_sql(expr: str, half: int) -> str:
@@ -3016,8 +3017,8 @@ def sim_topk_binary_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = emb.select(
         "vec_id",
         "embedding",
-        _binary_sig_spark(F.col("embedding"), 0).alias("s_lo"),
-        _binary_sig_spark(F.col("embedding"), 1).alias("s_hi"),
+        _binary_sig_spark("embedding", 0).alias("s_lo"),
+        _binary_sig_spark("embedding", 1).alias("s_hi"),
     )
     qsig = sigs.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").cast("int").alias("q_id"),

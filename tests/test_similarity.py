@@ -852,8 +852,8 @@ def test_binary_sig_packing_matches_numpy_reference(spark):
         r["vec_id"]: (r["lo"], r["hi"])
         for r in emb.select(
             "vec_id",
-            _binary_sig_spark(F.col("embedding"), 0).alias("lo"),
-            _binary_sig_spark(F.col("embedding"), 1).alias("hi"),
+            _binary_sig_spark("embedding", 0).alias("lo"),
+            _binary_sig_spark("embedding", 1).alias("hi"),
         )
         .limit(50)
         .collect()
