@@ -56,7 +56,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
@@ -135,60 +135,67 @@ def scd2_apply(
             + (" + op_col" if op_col is not None else "")
             + hint
         )
-    cur = current.select(
-        key, *attrs, "effective_from", "effective_to", F.lit(True).alias("_in_c")
+    # Plan construction rendered as parsed SQL strings where the form
+    # is generated anyway (r18): the Column-API guard/emit chains cost
+    # ~1500 Py4J round trips PER APPLY (~0.35 s of driver wall each —
+    # chained queries pay it per batch). The parsed expressions are the
+    # same analyzed tree the Column forms built; semantics are pinned by
+    # the closed-form oracles and the pure-Python property reference in
+    # tests/test_scd.py.
+    kq = f"`{key}`"
+    cur = current.selectExpr(
+        kq,
+        *[f"`{a}`" for a in attrs],
+        "effective_from",
+        "effective_to",
+        "TRUE AS _in_c",
     )
-    ktype = updates.schema[key].dataType
+    ktype = updates.schema[key].dataType.simpleString()
     # batch guards, asserted inside the join key so execution cannot
     # proceed past a violation: (a) NULL keys rejected explicitly
     # (ADVICE r16 — a single NULL-keyed row has _dup=1 and would
     # otherwise slip the dup guard, never equi-match, and silently
     # insert a NULL-keyed open row); (b) dup-key count per key over the
     # BATCH only (batch-sized window, never the dimension)
-    dup = F.count(F.lit(1)).over(Window.partitionBy(key))
-    guarded_key = F.coalesce(
-        F.assert_true(
-            F.col(key).isNotNull(),
-            F.lit(
-                "scd2_apply: update batch carries a NULL-keyed row — an "
-                "SCD2 batch key must be non-NULL (a NULL key never "
-                "equi-matches and would insert untracked NULL history)"
-            ),
-        ).cast(ktype),
-        F.assert_true(
-            F.col("_dup") <= 1,
-            F.concat(
-                F.lit("scd2_apply: update batch has duplicate rows for key "),
-                F.col(key).cast("string"),
-                F.lit(" — an SCD2 batch must carry at most one row per key"),
-            ),
-        ).cast(ktype),
-        F.col(key),
+    guarded_key = (
+        "coalesce("
+        f"CAST(assert_true({kq} IS NOT NULL, "
+        "'scd2_apply: update batch carries a NULL-keyed row — an "
+        "SCD2 batch key must be non-NULL (a NULL key never "
+        "equi-matches and would insert untracked NULL history)'"
+        f") AS {ktype}), "
+        "CAST(assert_true(_dup <= 1, "
+        "concat('scd2_apply: update batch has duplicate rows for key ', "
+        f"CAST({kq} AS STRING), "
+        "' — an SCD2 batch must carry at most one row per key')"
+        f") AS {ktype}), "
+        f"{kq}) AS _u_k"
     )
     upd_cols = [
-        guarded_key.alias("_u_k"),
-        *[F.col(a).alias(f"_u_{a}") for a in attrs],
-        F.lit(True).alias("_in_u"),
+        guarded_key,
+        *[f"`{a}` AS `_u_{a}`" for a in attrs],
+        "TRUE AS _in_u",
     ]
     in_cols = [key, *attrs]
     if op_col is not None:
         # op values validated the same way as the key guards: asserted
         # inline, so a garbage op fails the job instead of silently
         # defaulting to either branch
-        guarded_op = F.coalesce(
-            F.assert_true(
-                F.col(op_col).isin("upsert", "delete"),
-                F.concat(
-                    F.lit(f"scd2_apply: {op_col} must be 'upsert' or "
-                          "'delete', got "),
-                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
-                ),
-            ).cast("string"),
-            F.col(op_col),
+        guarded_op = (
+            "coalesce("
+            f"CAST(assert_true(`{op_col}` IN ('upsert', 'delete'), "
+            f"concat('scd2_apply: {op_col} must be ''upsert'' or "
+            f"''delete'', got ', coalesce(CAST(`{op_col}` AS STRING), 'NULL'))"
+            ") AS STRING), "
+            f"`{op_col}`) AS _u_op"
         )
-        upd_cols.append(guarded_op.alias("_u_op"))
+        upd_cols.append(guarded_op)
         in_cols.append(op_col)
-    upd = updates.select(*in_cols).withColumn("_dup", dup).select(*upd_cols)
+    upd = (
+        updates.select(*in_cols)
+        .selectExpr("*", f"count(1) OVER (PARTITION BY {kq}) AS _dup")
+        .selectExpr(*upd_cols)
+    )
     # closed rows fail the isNull arm, so they surface as unmatched
     # left rows in the SAME join — one pass over the dimension
     j = cur.join(
@@ -197,54 +204,49 @@ def scd2_apply(
         "full_outer",
     )
 
-    in_c = F.col("_in_c").isNotNull()
-    in_u = F.col("_in_u").isNotNull()
-    differs = None
-    for a in attrs:
-        d = ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
-        differs = d if differs is None else (differs | d)
-    changed = in_c & in_u & differs
-
     out_fields = [key, *attrs, "effective_from", "effective_to"]
 
-    def row(key_col, attr_cols, eff_from, eff_to):
-        parts = [key_col.alias(key)]
-        parts += [c.alias(a) for c, a in zip(attr_cols, attrs)]
+    def row_sql(key_expr: str, attr_exprs: list[str], eff_from: str, eff_to: str) -> str:
+        parts = [f"'{key}', {key_expr}"]
+        parts += [f"'{a}', {x}" for a, x in zip(attrs, attr_exprs)]
         parts += [
-            eff_from.cast("int").alias("effective_from"),
-            eff_to.cast("int").alias("effective_to"),
+            f"'effective_from', CAST({eff_from} AS INT)",
+            f"'effective_to', CAST({eff_to} AS INT)",
         ]
-        return F.struct(*parts)
+        return "named_struct(" + ", ".join(parts) + ")"
 
-    self_row = row(
-        F.col(key),
-        [F.col(a) for a in attrs],
-        F.col("effective_from"),
-        F.col("effective_to"),
+    self_row_s = row_sql(
+        kq, [f"`{a}`" for a in attrs], "effective_from", "effective_to"
     )
-    closed_self = row(
-        F.col(key),
-        [F.col(a) for a in attrs],
-        F.col("effective_from"),
-        F.lit(version),
+    closed_self_s = row_sql(
+        kq, [f"`{a}`" for a in attrs], "effective_from", str(version)
     )
-    new_open = row(
-        F.coalesce(F.col(key), F.col("_u_k")),
-        [F.col(f"_u_{a}") for a in attrs],
-        F.lit(version),
-        F.lit(None),
+    new_open_s = row_sql(
+        f"coalesce({kq}, _u_k)",
+        [f"`_u_{a}`" for a in attrs],
+        str(version),
+        "NULL",
     )
+    differs_s = " OR ".join(f"(NOT (`{a}` <=> `_u_{a}`))" for a in attrs)
+    changed_s = f"(_in_c IS NOT NULL AND _in_u IS NOT NULL AND ({differs_s}))"
     if op_col is None:
-        emitted = (
-            # open row whose attributes changed: close it + insert new open
-            F.when(changed, F.array(closed_self, new_open))
-            # closed history (unmatched by construction) and no-op open rows
-            .when(in_c, F.array(self_row))
-            # unmatched batch row: brand-new key OR re-activation of a key
-            # whose history is entirely closed — first/new open row
-            .otherwise(F.array(new_open))
+        emitted = F.expr(
+            # open row whose attributes changed: close it + insert new
+            # open; closed history (unmatched by construction) and no-op
+            # open rows pass through; an unmatched batch row (brand-new
+            # key OR re-activation of a key whose history is entirely
+            # closed) inserts its first/new open row
+            f"CASE WHEN {changed_s} THEN array({closed_self_s}, {new_open_s}) "
+            f"WHEN _in_c IS NOT NULL THEN array({self_row_s}) "
+            f"ELSE array({new_open_s}) END"
         )
     else:
+        in_c = F.col("_in_c").isNotNull()
+        in_u = F.col("_in_u").isNotNull()
+        changed = F.expr(changed_s)
+        self_row = F.expr(self_row_s)
+        closed_self = F.expr(closed_self_s)
+        new_open = F.expr(new_open_s)
         is_del = F.col("_u_op") == F.lit("delete")
         # empty array OF THE OUTPUT STRUCT TYPE: a tombstone for a key
         # with no open row emits nothing (idempotent redelivery). Typed
@@ -264,9 +266,8 @@ def scd2_apply(
             .when(in_u & is_del, empty)
             .otherwise(F.array(new_open))
         )
-    return (
-        j.select(F.explode(emitted).alias("_r"))
-        .select(*[F.col(f"_r.{f}").alias(f) for f in out_fields])
+    return j.select(F.explode(emitted).alias("_r")).selectExpr(
+        *[f"_r.`{f}` AS `{f}`" for f in out_fields]
     )
 
 

@@ -762,48 +762,49 @@ def _scd2_chain_parts(
     its streaming CDC twin (stream_scd2_chain): the 3-state initial
     dimension (open keys + RETIRED closed-only keys) and the two
     update batches, keyed by the version they commit as."""
+    # selectExpr string forms (r18): the Column-API selects cost ~400
+    # Py4J round trips per call (this helper runs on every scd2 query
+    # build); the parsed projections are identical.
     cust = load(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    seg0 = F.col("c_mktsegment")
 
-    retired = cust.filter(k % 5 == 2).select(
-        k.alias("custkey"),
-        seg0.alias("segment"),
-        F.lit(0).cast("int").alias("effective_from"),
-        F.lit(1).cast("int").alias("effective_to"),
+    retired = cust.filter("c_custkey % 5 = 2").selectExpr(
+        "c_custkey AS custkey",
+        "c_mktsegment AS segment",
+        "CAST(0 AS INT) AS effective_from",
+        "CAST(1 AS INT) AS effective_to",
     )
-    live = cust.filter(k % 5 != 2).select(
-        k.alias("custkey"),
-        seg0.alias("segment"),
-        F.lit(0).cast("int").alias("effective_from"),
-        F.lit(None).cast("int").alias("effective_to"),
+    live = cust.filter("c_custkey % 5 != 2").selectExpr(
+        "c_custkey AS custkey",
+        "c_mktsegment AS segment",
+        "CAST(0 AS INT) AS effective_from",
+        "CAST(NULL AS INT) AS effective_to",
     )
     dim = retired.unionByName(live)
 
-    r2 = F.concat(F.lit("R2_"), (k % 4).cast("string"))
-    c2 = F.concat(F.lit("C2_"), (k % 3).cast("string"))
-    newk = cust.filter(k % 97 == 5).select(
-        (k + 20_000_000).alias("custkey"), F.lit("NEW2").alias("segment")
+    r2 = "concat('R2_', CAST(c_custkey % 4 AS STRING)) AS segment"
+    c2 = "concat('C2_', CAST(c_custkey % 3 AS STRING)) AS segment"
+    newk = cust.filter("c_custkey % 97 = 5").selectExpr(
+        "c_custkey + 20000000 AS custkey", "'NEW2' AS segment"
     )
     batch2 = (
-        cust.filter(k % 10 == 2).select(k.alias("custkey"), r2.alias("segment"))
+        cust.filter("c_custkey % 10 = 2").selectExpr("c_custkey AS custkey", r2)
         .unionByName(
-            cust.filter(k % 5 == 0).select(k.alias("custkey"), c2.alias("segment"))
+            cust.filter("c_custkey % 5 = 0").selectExpr("c_custkey AS custkey", c2)
         )
         .unionByName(
-            cust.filter(k % 5 == 1).select(
-                k.alias("custkey"), seg0.alias("segment")
+            cust.filter("c_custkey % 5 = 1").selectExpr(
+                "c_custkey AS custkey", "c_mktsegment AS segment"
             )
         )
         .unionByName(newk)
     )
 
-    r3 = F.concat(F.lit("R3_"), (k % 4).cast("string"))
-    c3 = F.concat(F.lit("C3_"), (k % 3).cast("string"))
+    r3 = "concat('R3_', CAST(c_custkey % 4 AS STRING)) AS segment"
+    c3 = "concat('C3_', CAST(c_custkey % 3 AS STRING)) AS segment"
     batch3 = (
-        cust.filter(k % 10 == 2).select(k.alias("custkey"), r3.alias("segment"))
+        cust.filter("c_custkey % 10 = 2").selectExpr("c_custkey AS custkey", r3)
         .unionByName(
-            cust.filter(k % 10 == 0).select(k.alias("custkey"), c3.alias("segment"))
+            cust.filter("c_custkey % 10 = 0").selectExpr("c_custkey AS custkey", c3)
         )
         .unionByName(newk)
     )
