@@ -2866,6 +2866,11 @@ def sim_retrieval_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 shared scans — persist_tokens on the BM25 leg + the shared
     # emb frame above — documents x1 / embeddings x1). The frame is
     # pool-sized: <=30 rows/query + embedding.
+    # fused is rank-bounded (<=60 rows/query) — broadcast it explicitly
+    # so the pool join probes the embeddings scan instead of relying on
+    # the size estimate to pick a build side (r18, guide §3.1; at 100 TB
+    # the estimate would flip this into a corpus shuffle). Rows unchanged.
+    fused = F.broadcast(fused)
     pool = persist_scoped(
         "retrieval_pipeline.pool",
         fused.join(emb, fused["doc_id"] == emb["vec_id"])
@@ -3051,6 +3056,13 @@ def sim_topk_binary_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").cast("int").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    # the candidate side is rank-bounded (<=100/query = 300 rows) — mark
+    # it broadcast EXPLICITLY so the corpus-sized embeddings side is
+    # probe-only at any scale (r18, guide §3.1: the planner's size
+    # estimate broadcast the CORPUS here at bench SF, which inverts at
+    # 100 TB into a sort-merge shuffle of the full table; the hint pins
+    # the build side to the bounded relation). Same inner join rows.
+    cand = F.broadcast(cand)
     resc = (
         cand.join(emb, cand["doc_id"] == emb["vec_id"])
         .join(F.broadcast(qv), on="q_id")
