@@ -99,6 +99,30 @@ def merge_spans(dp: Column, min_len: int) -> Column:
     return F.aggregate(dp, init, step, finish)
 
 
+def _merge_spans_sql(dp_expr: str, min_len: int) -> str:
+    """SQL-string rendering of :func:`merge_spans` (r18): the Column
+    fold cost ~120 Py4J round trips per call; this is the same parsed
+    HOF tree in one round trip. Equivalence with the Column form is
+    pinned in tests/test_substring.py."""
+    flush = (
+        "CASE WHEN acc.cs >= 0 "
+        "THEN concat(acc.sp, array(named_struct('s', acc.cs, 'e', acc.ce))) "
+        "ELSE acc.sp END"
+    )
+    return (
+        f"aggregate({dp_expr}, "
+        "named_struct("
+        f"'sp', CAST(array() AS {_SPAN_ARR}), 'cs', -1, 'ce', -1), "
+        "(acc, p) -> named_struct("
+        # start a new span when cs < 0 or p > ce; flush the previous
+        # span first (exactly merge_spans' fresh/flushed logic)
+        f"'sp', CASE WHEN ((acc.cs < 0) OR (p > acc.ce)) THEN {flush} ELSE acc.sp END, "
+        "'cs', CASE WHEN ((acc.cs < 0) OR (p > acc.ce)) THEN p ELSE acc.cs END, "
+        f"'ce', p + {min_len}), "
+        f"acc -> {flush})"
+    )
+
+
 def duplicated_span_removal(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,57 +139,56 @@ def duplicated_span_removal(
     ``cleaned_text`` is the surviving tokens joined by single spaces
     (whitespace-normalized — the tokenizer's view of the text).
     """
+    # expression chains rendered as parsed SQL strings (r18): the
+    # Column-API construction cost ~0.45 s of driver round trips per
+    # call; the parsed trees are identical (equivalence of the span
+    # fold pinned in tests/test_substring.py, output hash-checked by
+    # the declared query's oracle)
     toks = df.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    n = F.size("t")
     # guarded descending-sequence edge, as in _hashed_gram_index: docs
     # shorter than min_len emit no windows (they can neither cover nor
     # be covered — span removal has no whole-text fallback, by design)
-    idx = F.when(
-        n >= min_len, F.sequence(F.lit(0), n - min_len)
-    ).otherwise(F.array().cast("array<int>"))
+    gram = (
+        "xxhash64("
+        + ", ".join(f"element_at(t, i + {j + 1})" for j in range(min_len))
+        + ")"
+    )
     grams = toks.select(
         id_col,
         F.posexplode(
-            F.transform(idx, lambda i: _gram_hash(F.col("t"), i, min_len))
+            F.expr(
+                f"transform(CASE WHEN size(t) >= {min_len} "
+                f"THEN sequence(0, size(t) - {min_len}) "
+                f"ELSE CAST(array() AS array<int>) END, i -> {gram})"
+            )
         ).alias("pos", "h"),
     )
     # ONE shuffle on the 8-byte gram hash: tag occurrence counts with a
     # window (no join, no second text scan; see module docstring for
     # the spill/skew argument)
-    wh = Window.partitionBy("h")
     dpos = (
-        grams.withColumn("m", F.count(F.lit(1)).over(wh))
+        grams.selectExpr("*", "count(1) OVER (PARTITION BY h) AS m")
         .filter(F.col("m") >= min_count)
         .select(id_col, "pos")
     )
     # per-doc duplicated positions; buffer bounded by the doc's own
     # token count (the doc text row is strictly larger)
-    dp = dpos.groupBy(id_col).agg(F.sort_array(F.collect_list("pos")).alias("dp"))
+    dp = dpos.groupBy(id_col).agg(
+        F.expr("sort_array(collect_list(pos)) AS dp")
+    )
     joined = toks.join(dp, on=id_col, how="left")
-    spans = merge_spans(
-        F.coalesce(F.col("dp"), F.array().cast("array<int>")), min_len
+    spans_s = _merge_spans_sql(
+        "coalesce(dp, CAST(array() AS array<int>))", min_len
     )
-    out = joined.select(
-        id_col, "t", spans.alias("spans")
-    )
-    n_removed = F.aggregate(
-        "spans", F.lit(0), lambda acc, sp: acc + (sp["e"] - sp["s"])
-    )
-    jseq = F.sequence(F.lit(0), F.size("t") - 1)
-    kept = F.filter(
-        jseq,
-        lambda j: ~F.exists(
-            F.col("spans"), lambda sp: (sp["s"] <= j) & (j < sp["e"])
-        ),
-    )
-    cleaned = F.concat_ws(
-        " ", F.transform(kept, lambda j: F.element_at(F.col("t"), j + 1))
-    )
-    return out.select(
-        id_col,
-        F.size("t").cast("bigint").alias("n_tokens"),
-        n_removed.cast("bigint").alias("n_removed"),
-        cleaned.alias("cleaned_text"),
+    out = joined.select(id_col, "t", F.expr(spans_s).alias("spans"))
+    return out.selectExpr(
+        f"`{id_col}`",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        "CAST(aggregate(spans, 0, (acc, sp) -> acc + (sp.e - sp.s)) "
+        "AS BIGINT) AS n_removed",
+        "concat_ws(' ', transform(filter(sequence(0, size(t) - 1), "
+        "j -> NOT exists(spans, sp -> sp.s <= j AND j < sp.e)), "
+        "j -> element_at(t, j + 1))) AS cleaned_text",
     )

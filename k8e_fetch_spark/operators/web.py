@@ -130,7 +130,7 @@ PUBLIC_SUFFIXES_2: tuple[str, ...] = (
 )
 
 
-def registered_domain_psl(host: Column) -> Column:
+def registered_domain_psl(host: Column | str) -> Column:
     """Public-suffix-aware registered domain: longest matching public
     suffix + one label. ``shop.acme.co.uk`` -> ``acme.co.uk`` (the
     naive last-two-labels rule folds it to ``co.uk``, merging every
@@ -140,7 +140,29 @@ def registered_domain_psl(host: Column) -> Column:
     the single-label fallback (plain last-two-labels). Pure scan-local
     column expression — the suffix set inlines as a literal ``isin``,
     no join, no shuffle; identical CASE logic is emitted for the
-    DuckDB oracle by :func:`sql_registered_domain_psl`."""
+    DuckDB oracle by :func:`sql_registered_domain_psl`.
+
+    ``host`` may be a Column (original API) or a column NAME: the name
+    form renders the whole CASE as ONE ``F.expr`` string (r18 — the
+    two literal ``isin`` lists alone cost ~170 Py4J round trips per
+    call; the parsed IN-list predicate is identical)."""
+    if isinstance(host, str):
+        h = f"`{host}`"
+        parts = f"split({h}, '\\\\.')"
+
+        def last(n: int) -> str:
+            return f"concat_ws('.', slice({parts}, -{n}, {n}))"
+
+        s3 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_3)
+        s2 = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+        return F.expr(
+            f"CASE WHEN {last(3)} IN ({s3}) THEN "
+            f"(CASE WHEN size({parts}) >= 4 THEN {last(4)} ELSE {h} END) "
+            f"WHEN {last(2)} IN ({s2}) THEN "
+            f"(CASE WHEN size({parts}) >= 3 THEN {last(3)} ELSE {h} END) "
+            f"WHEN size({parts}) >= 2 THEN {last(2)} "
+            f"ELSE {h} END"
+        )
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.slice(parts, -2, 2))

@@ -1673,7 +1673,7 @@ def text_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = urls.select("doc_id", host_of(F.col("url")).alias("host"))
     dom = parsed.select(
-        "doc_id", "host", registered_domain_psl(F.col("host")).alias("domain")
+        "doc_id", "host", registered_domain_psl("host").alias("domain")
     )
     kept = domain_blocklist_filter(dom, "domain", ["spamlist.net"])
     return domain_cap(kept, "domain", "doc_id", 40).select("doc_id", "host", "domain")

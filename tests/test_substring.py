@@ -88,3 +88,36 @@ def test_merge_spans_expression(spark):
         merge_spans(F.array().cast("array<int>"), 4).alias("sp")
     )
     assert empty.collect()[0]["sp"] == []
+
+
+def test_merge_spans_sql_twin_matches_column_form(spark):
+    """The r18 SQL-string rendering (_merge_spans_sql — the form the
+    operator's hot path parses in one round trip) folds identically to
+    the Column-API merge_spans on overlapping/adjacent/disjoint/empty
+    position arrays."""
+    from k8e_fetch_spark.operators.substring import _merge_spans_sql
+
+    cases = [
+        [0, 2, 6, 20],
+        [],
+        [5],
+        [0, 1, 2, 3],
+        [0, 8, 16, 17, 40],
+    ]
+    for dp in cases:
+        arr = (
+            F.array(*[F.lit(p) for p in dp]) if dp else F.array()
+        ).cast("array<int>")
+        df = spark.range(1).select(
+            merge_spans(arr, 4).alias("col_form"),
+            F.expr(
+                _merge_spans_sql(
+                    "CAST(array(" + ",".join(str(p) for p in dp) + ") AS array<int>)"
+                    if dp
+                    else "CAST(array() AS array<int>)",
+                    4,
+                )
+            ).alias("sql_form"),
+        )
+        row = df.collect()[0]
+        assert row["col_form"] == row["sql_form"], dp
