@@ -76,6 +76,29 @@ def register(
                     RuntimeWarning,
                     stacklevel=2,
                 )
+            # r18: several operators render generated expression chains
+            # as parsed SQL strings (F.expr/selectExpr) whose regex
+            # literals ('\\s+', '\\.') assume the DEFAULT backslash-
+            # escaping parse. A caller session with
+            # spark.sql.parser.escapedStringLiterals=true would parse
+            # them differently — pin the default, same contract as the
+            # tz pin above. Conditional: setting this (deprecated) conf
+            # unconditionally would log a Spark deprecation warning per
+            # query; the read is warning-free and the set only fires on
+            # a session that actually flipped it (probed in
+            # tests/test_registry_invariants.py).
+            try:
+                if (
+                    spark.conf.get(
+                        "spark.sql.parser.escapedStringLiterals", "false"
+                    )
+                    == "true"
+                ):
+                    spark.conf.set(
+                        "spark.sql.parser.escapedStringLiterals", "false"
+                    )
+            except Exception:
+                pass
             ship_package(spark)
             return fn(spark, sf_dir)
 

@@ -212,3 +212,27 @@ def test_write_side_effect_queries_stay_closed():
         f"write-side-effect set drifted: new={sorted(found - ALLOWED)} "
         f"removed={sorted(ALLOWED - found)}"
     )
+
+
+def test_wrapper_pins_escaped_string_literals(spark):
+    """r18: parsed-SQL operator forms (F.expr regex literals like
+    '\\s+') assume the default backslash-escaping parse. The registry
+    wrapper must reset a session that flipped
+    spark.sql.parser.escapedStringLiterals=true — and must do it
+    CONDITIONALLY (an unconditional set of this deprecated conf logs a
+    Spark warning on every query)."""
+    from k8e_fetch_spark.queries import REGISTRY
+
+    key = "spark.sql.parser.escapedStringLiterals"
+    before = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "true")
+        # any registry fn routes through the wrapper; a parsed-SQL one
+        # proves end-to-end that the reset precedes expression parsing
+        df = REGISTRY["dedup_substring_spans"].fn(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get(key) == "false"
+        # the regex literal parsed as \s+ (not literal backslash-s):
+        # tokenization found real tokens, so n_tokens > 1 somewhere
+        assert df.agg({"n_tokens": "max"}).collect()[0][0] > 1
+    finally:
+        spark.conf.set(key, before)
