@@ -47,16 +47,10 @@ of the mandated LLM-training-data extension surface (SURVEY.md §2.6).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SPAN_ARR = "array<struct<s:int,e:int>>"
-
-
-def _gram_hash(t: Column, i: Column, min_len: int) -> Column:
-    """64-bit identity of the ``min_len``-token window starting at
-    0-based position ``i`` of token array ``t``."""
-    return F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(min_len)])
 
 
 def merge_spans(dp: Column, min_len: int) -> Column:
