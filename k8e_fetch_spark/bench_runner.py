@@ -367,12 +367,43 @@ def main() -> None:
             fh.write("\n")
     except Exception:
         pass  # the sidecar must never kill the driver-facing record
+    for line in emit_lines(record):
+        print(line)
+    spark.stop()
+
+
+def emit_lines(record: dict) -> list[str]:
+    """Render the two stdout lines of the bench contract.
+
+    Line 1 is the full one-line record (unchanged format; detail shed
+    over 3800 chars exactly as before). Line 2 (VERDICT r18 #2) is a
+    compact TOTALS-ONLY summary: the recording driver keeps only a
+    ~2000-char stdout tail, and at 58+ per-query entries the full line
+    outgrows it — BENCH_r17's line did, so PERF_r18's round-over-round
+    parser saw nothing. The summary (~300 chars, printed LAST so it
+    always survives a tail capture) carries the headline numbers plus
+    the sf/unit context needed to read them. Additions only: the full
+    line keeps its format and position for any parser anchored to it.
+    Pinned by tests/test_bench_contract.py."""
+    record = dict(record)
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 3800:  # belt-and-braces: shed detail, never the headline
         record.pop("duckdb_queries", None)
         line = json.dumps(record, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    summary = {
+        "metric": "headline-suite wall time, warm (summary)",
+        "value": record.get("value"),
+        "unit": "sec",
+        "sf": record.get("sf"),
+        "n_queries": record.get("n_queries"),
+        "load_avg_start": record.get("load_avg_start"),
+        "duckdb_total": record.get("duckdb_total"),
+        "warm_ratio_vs_duckdb": record.get("warm_ratio_vs_duckdb"),
+        "real_work_subtotal": record.get("real_work_subtotal"),
+        "real_work_ratio_vs_duckdb": record.get("real_work_ratio_vs_duckdb"),
+        "streaming_wall": record.get("streaming_wall"),
+    }
+    return [line, json.dumps(summary, separators=(",", ":"))]
 
 
 if __name__ == "__main__":

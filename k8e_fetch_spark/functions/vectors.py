@@ -14,6 +14,34 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# --- per-context pandas-UDF cache (VERDICT r18 #4) ------------------
+# pandas_udf(...) builds a fresh UserDefinedFunction whose JVM handle
+# (_judf) is pickled+registered on first use — ~15-30 ms of driver wall
+# PER CALL for a function whose body never changes. STATELESS udf
+# factories (cosine_arrow, pq_adc_score_arrow, and the deterministic-
+# by-parameters minhash/LSH twins in operators/similarity.py) route
+# through this cache so one UDF object per (key, SparkContext) serves
+# every query build in the process. Keyed on the live SparkContext
+# IDENTITY: a stopped/restarted context (test sessions do this) gets a
+# fresh UDF instead of a stale JVM handle. This caches plan-construction
+# machinery only — never data or results.
+_UDF_CACHE: dict[str, tuple[object, object]] = {}
+
+
+def per_context_udf(key: str, make):
+    """Return ``make()`` memoized per (key, active SparkContext)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no live context: nothing safe to key on
+        return make()
+    hit = _UDF_CACHE.get(key)
+    if hit is not None and hit[0] is sc:
+        return hit[1]
+    u = make()
+    _UDF_CACHE[key] = (sc, u)
+    return u
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -93,7 +121,9 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     # `from __future__ import annotations` would stringify inline hints,
     # which the pandas_udf type inferrer cannot resolve
     _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
-    return pandas_udf(_cos, "double")(a, b)
+    # stateless body -> one UDF object (and one JVM pickle+register) per
+    # SparkContext instead of per call site
+    return per_context_udf("cosine_arrow", lambda: pandas_udf(_cos, "double"))(a, b)
 
 
 def validate_finite_centroids(rows: list[tuple[int, list[float]]]) -> None:
@@ -193,7 +223,10 @@ def pq_adc_score_arrow(code: Column, lut: Column) -> Column:
         return pd.Series(acc)
 
     _score.__annotations__ = {"codes": pd.Series, "luts": pd.Series, "return": pd.Series}
-    return pandas_udf(_score, "double")(code, lut)
+    # stateless body -> cached per SparkContext, same as cosine_arrow
+    return per_context_udf(
+        "pq_adc_score_arrow", lambda: pandas_udf(_score, "double")
+    )(code, lut)
 
 
 def coarse_assign_arrow(units) -> Column:

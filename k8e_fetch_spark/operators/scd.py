@@ -58,7 +58,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType
+
+
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into parsed SQL,
+    doubling embedded backticks (ADVICE r18: a column name carrying a
+    backtick previously broke parsing or escaped the quoting)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qlit(text: str) -> str:
+    """Render ``text`` as a SQL string literal under Spark's DEFAULT
+    backslash-escaping parse (the registry pins that mode): backslashes
+    doubled, embedded single quotes doubled."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def scd2_apply(
@@ -142,10 +155,10 @@ def scd2_apply(
     # same analyzed tree the Column forms built; semantics are pinned by
     # the closed-form oracles and the pure-Python property reference in
     # tests/test_scd.py.
-    kq = f"`{key}`"
+    kq = _qid(key)
     cur = current.selectExpr(
         kq,
-        *[f"`{a}`" for a in attrs],
+        *[_qid(a) for a in attrs],
         "effective_from",
         "effective_to",
         "TRUE AS _in_c",
@@ -173,7 +186,7 @@ def scd2_apply(
     )
     upd_cols = [
         guarded_key,
-        *[f"`{a}` AS `_u_{a}`" for a in attrs],
+        *[f"{_qid(a)} AS {_qid('_u_' + a)}" for a in attrs],
         "TRUE AS _in_u",
     ]
     in_cols = [key, *attrs]
@@ -181,13 +194,14 @@ def scd2_apply(
         # op values validated the same way as the key guards: asserted
         # inline, so a garbage op fails the job instead of silently
         # defaulting to either branch
+        oq = _qid(op_col)
+        op_msg = _qlit(f"scd2_apply: {op_col} must be 'upsert' or 'delete', got ")
         guarded_op = (
             "coalesce("
-            f"CAST(assert_true(`{op_col}` IN ('upsert', 'delete'), "
-            f"concat('scd2_apply: {op_col} must be ''upsert'' or "
-            f"''delete'', got ', coalesce(CAST(`{op_col}` AS STRING), 'NULL'))"
+            f"CAST(assert_true({oq} IN ('upsert', 'delete'), "
+            f"concat({op_msg}, coalesce(CAST({oq} AS STRING), 'NULL'))"
             ") AS STRING), "
-            f"`{op_col}`) AS _u_op"
+            f"{oq}) AS _u_op"
         )
         upd_cols.append(guarded_op)
         in_cols.append(op_col)
@@ -207,8 +221,8 @@ def scd2_apply(
     out_fields = [key, *attrs, "effective_from", "effective_to"]
 
     def row_sql(key_expr: str, attr_exprs: list[str], eff_from: str, eff_to: str) -> str:
-        parts = [f"'{key}', {key_expr}"]
-        parts += [f"'{a}', {x}" for a, x in zip(attrs, attr_exprs)]
+        parts = [f"{_qlit(key)}, {key_expr}"]
+        parts += [f"{_qlit(a)}, {x}" for a, x in zip(attrs, attr_exprs)]
         parts += [
             f"'effective_from', CAST({eff_from} AS INT)",
             f"'effective_to', CAST({eff_to} AS INT)",
@@ -216,18 +230,20 @@ def scd2_apply(
         return "named_struct(" + ", ".join(parts) + ")"
 
     self_row_s = row_sql(
-        kq, [f"`{a}`" for a in attrs], "effective_from", "effective_to"
+        kq, [_qid(a) for a in attrs], "effective_from", "effective_to"
     )
     closed_self_s = row_sql(
-        kq, [f"`{a}`" for a in attrs], "effective_from", str(version)
+        kq, [_qid(a) for a in attrs], "effective_from", str(version)
     )
     new_open_s = row_sql(
         f"coalesce({kq}, _u_k)",
-        [f"`_u_{a}`" for a in attrs],
+        [_qid("_u_" + a) for a in attrs],
         str(version),
         "NULL",
     )
-    differs_s = " OR ".join(f"(NOT (`{a}` <=> `_u_{a}`))" for a in attrs)
+    differs_s = " OR ".join(
+        f"(NOT ({_qid(a)} <=> {_qid('_u_' + a)}))" for a in attrs
+    )
     changed_s = f"(_in_c IS NOT NULL AND _in_u IS NOT NULL AND ({differs_s}))"
     if op_col is None:
         emitted = F.expr(
@@ -241,33 +257,35 @@ def scd2_apply(
             f"ELSE array({new_open_s}) END"
         )
     else:
-        in_c = F.col("_in_c").isNotNull()
-        in_u = F.col("_in_u").isNotNull()
-        changed = F.expr(changed_s)
-        self_row = F.expr(self_row_s)
-        closed_self = F.expr(closed_self_s)
-        new_open = F.expr(new_open_s)
-        is_del = F.col("_u_op") == F.lit("delete")
-        # empty array OF THE OUTPUT STRUCT TYPE: a tombstone for a key
-        # with no open row emits nothing (idempotent redelivery). Typed
-        # via a plan-only schema probe + cast — a higher-order
-        # F.filter(...) here would leave whole-stage codegen for the
-        # entire emit projection (HOFs are interpreted), measured ~2x
-        # wall on the 100x dimension probe
-        row_type = j.select(new_open.alias("_probe")).schema["_probe"].dataType
-        empty = F.array().cast(ArrayType(row_type))
-        emitted = (
+        # ONE parsed expression, same pattern as the op_col=None arm
+        # (r19 — the last Column-API chain of the r18 construction
+        # sweep). Empty array OF THE OUTPUT STRUCT TYPE: a tombstone
+        # for a key with no open row emits nothing (idempotent
+        # redelivery). slice(array(row), 1, 0) yields that typed empty
+        # array as a PLAIN codegen expression — it replaces the
+        # per-apply schema probe (an eager analysis pass of the whole
+        # join subtree, ~0.3 s per apply, multiplying per micro-batch
+        # through the CDC drains) that the old
+        # F.array().cast(ArrayType(probe)) form needed, and unlike a
+        # higher-order F.filter(...) it keeps whole-stage codegen for
+        # the emit projection (HOFs are interpreted — measured ~2x wall
+        # on the 100x dimension probe).
+        is_del_s = "(_u_op = 'delete')"
+        emitted = F.expr(
             # tombstone against the open row: close it, insert nothing —
-            # a delete's attribute payload is ignored by construction
-            F.when(in_c & in_u & is_del, F.array(closed_self))
-            .when(changed, F.array(closed_self, new_open))
-            .when(in_c, F.array(self_row))
-            # unmatched tombstone (retired or never-seen key): no-op
-            .when(in_u & is_del, empty)
-            .otherwise(F.array(new_open))
+            # a delete's attribute payload is ignored by construction;
+            # an unmatched tombstone (retired or never-seen key) is the
+            # empty-array no-op arm
+            f"CASE WHEN _in_c IS NOT NULL AND _in_u IS NOT NULL AND {is_del_s} "
+            f"THEN array({closed_self_s}) "
+            f"WHEN {changed_s} THEN array({closed_self_s}, {new_open_s}) "
+            f"WHEN _in_c IS NOT NULL THEN array({self_row_s}) "
+            f"WHEN _in_u IS NOT NULL AND {is_del_s} "
+            f"THEN slice(array({new_open_s}), 1, 0) "
+            f"ELSE array({new_open_s}) END"
         )
     return j.select(F.explode(emitted).alias("_r")).selectExpr(
-        *[f"_r.`{f}` AS `{f}`" for f in out_fields]
+        *[f"_r.{_qid(f)} AS {_qid(f)}" for f in out_fields]
     )
 
 

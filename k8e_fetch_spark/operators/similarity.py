@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from k8e_fetch_spark.functions.vectors import cosine, cosine_arrow, dot
+from k8e_fetch_spark.functions.vectors import (
+    cosine,
+    cosine_arrow,
+    dot,
+    per_context_udf,
+)
 from k8e_fetch_spark.io import fan_out
 
 # Affine minhash coefficients: pairwise-independent-ish family
@@ -102,7 +107,14 @@ def hashed_shingles(text: Column | str, k: int = 3, hash_mode: str = "xxhash64")
     form renders the whole shingle expression as ONE ``F.expr`` string
     (r18 — a single Py4J round trip instead of ~50; the parsed tree is
     the same CASE/transform/xxhash64 chain, with the split subexpression
-    textually repeated exactly as the Column form repeats its tree)."""
+    textually repeated exactly as the Column form repeats its tree).
+
+    Name-form caveats (ADVICE r18): the name must be a TOP-LEVEL column
+    (it is backtick-quoted whole, so ``"meta.text"`` will not resolve a
+    nested field — pass a Column for those), and direct callers must be
+    on the default string-literal parse (registry-routed queries pin it;
+    spark.sql.parser.escapedStringLiterals=true changes what the
+    rendered regex literals mean)."""
     if isinstance(text, str):
         c = f"`{text}`"
         toks_s = f"split(trim({c}), '\\\\s+')"
@@ -247,7 +259,12 @@ def minhash_signature_arrow(num_hashes: int = 32):
         return pd.Series(list(out))
 
     _sig.__annotations__ = {"hs": pd.Series, "return": pd.Series}
-    return pandas_udf(_sig, "array<bigint>")
+    # deterministic-by-num_hashes body -> one UDF object (one JVM
+    # pickle+register) per (num_hashes, SparkContext), not per call site
+    return per_context_udf(
+        f"minhash_signature_arrow:{num_hashes}",
+        lambda: pandas_udf(_sig, "array<bigint>"),
+    )
 
 
 def lsh_bands(
@@ -273,7 +290,9 @@ def lsh_bands(
     produce identical band membership (element_at(sig, abs_idx) ==
     slice(sig, ...)[rel_idx]); the equivalence is pinned in
     tests/test_similarity.py's store-relation cross-check, which
-    compares a name-form caller against a Column-form reference."""
+    compares a name-form caller against a Column-form reference.
+    Name-form caveat (ADVICE r18): top-level column names only — the
+    name is interpolated whole, so pass a Column for nested fields."""
     if num_hashes % num_bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by num_bands={num_bands}")
     rows_per_band = num_hashes // num_bands
@@ -724,7 +743,11 @@ def cosine_lsh_band_keys_arrow(
         return pd.Series(list(keys))
 
     _keys.__annotations__ = {"xs": pd.Series, "return": pd.Series}
-    return pandas_udf(_keys, "array<bigint>")
+    # deterministic-by-parameters body -> cached per SparkContext
+    return per_context_udf(
+        f"cosine_lsh_band_keys_arrow:{dim}:{n_bands}:{bits_per_band}:{seed}",
+        lambda: pandas_udf(_keys, "array<bigint>"),
+    )
 
 
 def cosine_lsh_pairs(

@@ -132,6 +132,11 @@ def duplicated_span_removal(
     (``id_col``, n_tokens, n_removed, cleaned_text) where
     ``cleaned_text`` is the surviving tokens joined by single spaces
     (whitespace-normalized — the tokenizer's view of the text).
+
+    Direct callers must be on the default string-literal parse
+    (ADVICE r18): the operator builds parsed-SQL regex literals, so a
+    session with spark.sql.parser.escapedStringLiterals=true silently
+    changes tokenization. Registry-routed queries pin the default.
     """
     # expression chains rendered as parsed SQL strings (r18): the
     # Column-API construction cost ~0.45 s of driver round trips per

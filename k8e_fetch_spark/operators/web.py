@@ -145,7 +145,13 @@ def registered_domain_psl(host: Column | str) -> Column:
     ``host`` may be a Column (original API) or a column NAME: the name
     form renders the whole CASE as ONE ``F.expr`` string (r18 — the
     two literal ``isin`` lists alone cost ~170 Py4J round trips per
-    call; the parsed IN-list predicate is identical)."""
+    call; the parsed IN-list predicate is identical).
+
+    Name-form caveats (ADVICE r18): the name must be a TOP-LEVEL column
+    (backtick-quoted whole — pass a Column for nested fields), and
+    direct callers must be on the default string-literal parse
+    (registry-routed queries pin it; escapedStringLiterals=true changes
+    the meaning of the rendered ``split`` regex)."""
     if isinstance(host, str):
         h = f"`{host}`"
         parts = f"split({h}, '\\\\.')"

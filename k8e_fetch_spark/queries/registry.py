@@ -87,20 +87,48 @@ def register(
             # query; the read is warning-free and the set only fires on
             # a session that actually flipped it (probed in
             # tests/test_registry_invariants.py).
+            #
+            # Unlike the tz pin, this one is RESTORED after fn returns
+            # (VERDICT r18 #8): string parsing happens entirely inside
+            # fn (F.expr/selectExpr parse eagerly at construction), so
+            # the caller's parser mode comes back intact. The tz pin
+            # CANNOT be restored the same way — toPandas()/collect()
+            # convert TIMESTAMP columns under the session tz AT COLLECT
+            # TIME, which is after this wrapper exits (probed: restoring
+            # America/New_York after fn shifts collected timestamps by
+            # the UTC offset and breaks every timestamp oracle hash).
+            # The probe-value comparison is case/space-normalized
+            # (ADVICE r18: Spark accepts "True"/"TRUE" via builder
+            # .config or spark-defaults), and a failed probe WARNS
+            # instead of silently passing — in that state the parsed
+            # regex literals may silently change meaning.
+            esc_key = "spark.sql.parser.escapedStringLiterals"
+            esc_was_true = False
             try:
-                if (
-                    spark.conf.get(
-                        "spark.sql.parser.escapedStringLiterals", "false"
-                    )
+                esc_was_true = (
+                    str(spark.conf.get(esc_key, "false")).strip().lower()
                     == "true"
-                ):
-                    spark.conf.set(
-                        "spark.sql.parser.escapedStringLiterals", "false"
-                    )
-            except Exception:
-                pass
+                )
+                if esc_was_true:
+                    spark.conf.set(esc_key, "false")
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"could not probe/pin {esc_key} ({e!r}); parsed-SQL "
+                    "string literals may be misread in this session",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             ship_package(spark)
-            return fn(spark, sf_dir)
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                if esc_was_true:
+                    try:
+                        spark.conf.set(esc_key, "true")
+                    except Exception:
+                        pass  # session may be stopped; nothing to restore onto
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

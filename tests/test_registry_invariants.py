@@ -220,19 +220,25 @@ def test_wrapper_pins_escaped_string_literals(spark):
     wrapper must reset a session that flipped
     spark.sql.parser.escapedStringLiterals=true — and must do it
     CONDITIONALLY (an unconditional set of this deprecated conf logs a
-    Spark warning on every query)."""
+    Spark warning on every query). r19 (VERDICT r18 #8): the pin is
+    also RESTORED after fn returns — parsing happens inside fn, so the
+    caller gets its parser mode back — and the probe comparison is
+    case-insensitive (ADVICE r18: builder .config can deliver "True")."""
     from k8e_fetch_spark.queries import REGISTRY
 
     key = "spark.sql.parser.escapedStringLiterals"
     before = spark.conf.get(key, "false")
     try:
-        spark.conf.set(key, "true")
+        # mixed case: Spark treats "True" as true, the guard must too
+        spark.conf.set(key, "True")
         # any registry fn routes through the wrapper; a parsed-SQL one
         # proves end-to-end that the reset precedes expression parsing
         df = REGISTRY["dedup_substring_spans"].fn(spark, "/root/testdata/sf0.001")
-        assert spark.conf.get(key) == "false"
-        # the regex literal parsed as \s+ (not literal backslash-s):
-        # tokenization found real tokens, so n_tokens > 1 somewhere
+        # caller conf unchanged after the declared query returns
+        assert spark.conf.get(key) == "true"
+        # the regex literal parsed as \s+ (not literal backslash-s)
+        # DESPITE the session flag, because the reset was live during
+        # fn's eager expression parse: tokenization found real tokens
         assert df.agg({"n_tokens": "max"}).collect()[0][0] > 1
     finally:
         spark.conf.set(key, before)
