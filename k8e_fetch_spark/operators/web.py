@@ -234,7 +234,15 @@ QUERY_RE = r"\?([^#]*)"
 TRACKING_PARAM_RE = r"^(utm_|fbclid=|gclid=)"
 
 
-def canonical_url(url: Column) -> Column:
+def _spark_lit(text: str) -> str:
+    """Render ``text`` as a Spark SQL string literal under the DEFAULT
+    backslash-escaping parse (the registry pins that mode): backslashes
+    doubled, single quotes doubled. Needed for the regex constants
+    above, which carry ``\\[``-class escapes."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def canonical_url(url: Column | str) -> Column:
     """Canonical form of a URL: lowercase scheme and host, default
     port stripped (http:80 / https:443), fragment dropped, tracking
     params (``utm_*``, ``fbclid``, ``gclid``) dropped, remaining query
@@ -247,7 +255,44 @@ def canonical_url(url: Column) -> Column:
     ``'://'``-prefixed empties — filter upstream if they matter.
 
     RE2-compatible patterns and engine-paired list functions only, so
-    :func:`sql_canonical_url` renders the identical rule for DuckDB."""
+    :func:`sql_canonical_url` renders the identical rule for DuckDB.
+
+    ``url`` may be a Column (original API) or a TOP-LEVEL column NAME:
+    the name form renders the whole canonicalization as ONE ``F.expr``
+    string (r19, the r18 one-expr pattern — the Column form costs ~60
+    gateway calls per build; the parsed tree is the same
+    extract/CASE/filter/sort/concat chain, with the extract
+    subexpressions textually repeated exactly as the Column form
+    repeats its tree). Name-form caveats as elsewhere: top-level
+    column names only; direct callers must be on the default
+    string-literal parse (registry-routed queries pin it)."""
+    if isinstance(url, str):
+        u = f"`{url}`"
+        scheme_s = f"lower(regexp_extract({u}, {_spark_lit(SCHEME_RE)}, 1))"
+        host_s = f"lower(regexp_extract({u}, {_spark_lit(HOST_RE)}, 1))"
+        port_s = f"regexp_extract({u}, {_spark_lit(PORT_RE)}, 1)"
+        path_s = (
+            f"regexp_replace(regexp_extract({u}, {_spark_lit(PATH_RE)}, 1), "
+            "'/$', '')"
+        )
+        qs_s = f"regexp_extract({u}, {_spark_lit(QUERY_RE)}, 1)"
+        keep_port_s = (
+            f"({port_s} <> '' AND NOT (({scheme_s} = 'http' AND {port_s} = '80') "
+            f"OR ({scheme_s} = 'https' AND {port_s} = '443')))"
+        )
+        port_part_s = (
+            f"CASE WHEN {keep_port_s} THEN concat(':', {port_s}) ELSE '' END"
+        )
+        params_s = (
+            f"array_sort(filter(split({qs_s}, '&'), "
+            f"x -> x <> '' AND NOT (x RLIKE {_spark_lit(TRACKING_PARAM_RE)})))"
+        )
+        qs_norm_s = f"concat_ws('&', {params_s})"
+        return F.expr(
+            f"concat({scheme_s}, '://', {host_s}, {port_part_s}, {path_s}, "
+            f"CASE WHEN {qs_norm_s} <> '' THEN concat('?', {qs_norm_s}) "
+            "ELSE '' END)"
+        )
     scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, HOST_RE, 1))
     port = F.regexp_extract(url, PORT_RE, 1)

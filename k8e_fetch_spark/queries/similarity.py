@@ -1329,7 +1329,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    quality = corpus.select("doc_id", quality_score("text").alias("quality"))
     return keep_best_per_cluster(clusters, quality)
 
 
@@ -1496,7 +1496,7 @@ def dedup_apply_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    quality = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    quality = corpus.select("doc_id", quality_score("text").alias("quality"))
     keep = keep_best_per_cluster(clusters, quality)
     dropped = clusters.join(
         keep.select(F.col("keep_doc_id").alias("doc_id")), on="doc_id", how="left_anti"

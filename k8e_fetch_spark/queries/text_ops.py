@@ -177,9 +177,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        round_fixed(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        round_fixed(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        round_fixed(punct_ratio("text"), 6).alias("punct_ratio"),
+        round_fixed(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
     )
 
 
@@ -251,7 +251,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
-        quality_score(F.col("text")).alias("quality"),
+        quality_score("text").alias("quality"),
         fingerprint(F.col("text")).alias("fp"),
         n_tokens(F.col("text")).alias("ws_tokens"),
     ).filter(F.col("quality") > 0.5)
@@ -1165,7 +1165,7 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(nt).cast("bigint").alias("total_tokens"),
-        round_fixed(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
+        round_fixed(F.avg(quality_score("text")), 6).alias("mean_quality"),
         F.countDistinct("lang").alias("n_langs"),
     )
 
@@ -1405,7 +1405,7 @@ def corpus_clean_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_kept",
-            round_fixed(quality_score(F.col("cleaned_text")), 6).alias("quality"),
+            round_fixed(quality_score("cleaned_text"), 6).alias("quality"),
         )
         .filter(F.col("quality") >= 0.5),
     )
@@ -2399,7 +2399,12 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select(d.alias("doc_id"), canonical_url(url).alias("canonical_url"))
+        # two-step select: project the synthetic url once, then apply
+        # the one-expr name form (r19) — CollapseProject folds the two
+        # Projects back into one, so the physical plan is unchanged
+        # while the canonicalization chain builds in a single parse
+        docs.select(d.alias("doc_id"), url.alias("_url"))
+        .select("doc_id", canonical_url("_url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),

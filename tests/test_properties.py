@@ -436,3 +436,49 @@ def test_gif_lzw_deferred_clear_stream_decodes():
 
     assert next_code >= 4096  # the table genuinely filled
     assert _lzw_decode(mcs, bytes(out), _MAX_PIXELS) == data
+
+
+# --- r19: quality-heuristic name forms ------------------------------
+# The one-expr parsed renderings (quality_score / punct_ratio /
+# stopword_ratio accepting a column NAME) must stay BIT-equal to the
+# Column-API forms on arbitrary text — the dual-form drift guard every
+# r18/r19 name form carries.
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_quality_name_forms_match_column_forms(spark_session_holder, texts):
+    from k8e_fetch_spark.functions.rounding import round_fixed
+    from k8e_fetch_spark.operators.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    a = df.select(
+        "i",
+        quality_score(F.col("text")).alias("q"),
+        round_fixed(punct_ratio(F.col("text")), 6).alias("p"),
+        round_fixed(stopword_ratio(F.col("text")), 6).alias("s"),
+    )
+    b = df.select(
+        "i",
+        quality_score("text").alias("q"),
+        round_fixed(punct_ratio("text"), 6).alias("p"),
+        round_fixed(stopword_ratio("text"), 6).alias("s"),
+    )
+    assert a.schema == b.schema
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

@@ -151,6 +151,23 @@ def test_canonical_url_pinned_cases(spark):
         assert got[i] == want, (raw, got[i], want)
 
 
+def test_canonical_url_name_form_matches_column_form(spark):
+    """r19 one-expr name form: same pinned cases, bit equality with the
+    Column form (the dual-form drift guard the r18 name forms carry)."""
+    from k8e_fetch_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CANON_CASES)],
+        "i int, url string",
+    )
+    a = df.select("i", canonical_url(F.col("url")).alias("c"))
+    b = df.select("i", canonical_url("url").alias("c"))
+    assert a.schema == b.schema
+    ra = {r["i"]: r["c"] for r in a.collect()}
+    rb = {r["i"]: r["c"] for r in b.collect()}
+    assert ra == rb
+
+
 def test_sql_canonical_url_twin_matches_spark(spark):
     """The DuckDB rendering is generated from the same regexes; run it
     on the same fixtures and require bit equality with the Spark side
