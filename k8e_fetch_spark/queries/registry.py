@@ -155,106 +155,122 @@ _PRIORITY = (
     # carry their round number (r7 post-mortem rule); per-round
     # rationale for rounds 8-15 lives in git history of this block
     # (r13 tree: 720f224; r14 tree: 262d18d; r16 tree: 3a216e4;
-    # r17 tree: b18876e).
+    # r17 tree: b18876e; r18 tree: fef36a4).
     #
-    # ROUND-18 ROTATION (VERDICT r17 next-round #1). Groups:
+    # ROUND-19 ROTATION (VERDICT r18 next-round #9). Groups:
     #
-    # FIRST GREENS (2, VERDICT r17 #1): maintenance_scd2_as_of +
-    # join_scd2_point_in_time — the only zero-driver-history
-    # oracle-bearing rows (declared late r17, judge-greened at both
-    # SFs under hostile-session conditions; this seats their first
-    # driver record).
+    # FIRST GREEN (1, VERDICT r18 #9): stream_dedup_incremental_minhash
+    # — the r18-declared 186th query (streaming dedup against the
+    # persisted MinHash store), the only zero-driver-history
+    # oracle-bearing row.
     #
-    # SECOND GREENS (2, VERDICT r17 #1): maintenance_scd2_tombstones
-    # + stream_scd2_tombstones — the only single-green rows.
+    # ORDERED STRAGGLERS (5, VERDICT r18 #9): the five r14 TPC-H rows
+    # the r18 backfill ran out of seats for (q20/q21/q2/q8/q9 — all
+    # 5+ greens, per-session pytest parity since).
     #
-    # CHANGED-CODE RESEATS (4, standing policy; the two tombstone
-    # rows above double as changed-code reseats): ADVICE r17 added a
-    # strict batch-schema guard to scd2_apply (reject-on-extra-column
-    # — behavior-identical for every valid batch) and a scratch-attr
-    # guard to scd2_point_in_time_join, so every query flowing
-    # through scd2_apply reseats: maintenance_scd2_chain,
-    # stream_scd2_chain, maintenance_scd2_merge (all r17 greens, but
-    # changed-code policy beats freshness, r14 precedent). r18's new
-    # op (VERDICT r17 #5a) factored minhash_incremental_pairs' join+
-    # verify body into the shared _pairs_new_vs_old so the persisted-
-    # store form reuses it — behavior-identical (pinned by
-    # test_minhash_store_form_matches_inplan_form + 3-SF inline
-    # re-verify), but dedup_incremental_minhash flows through the
-    # factored body and reseats too.
+    # CHANGED-CODE RESEATS (23, standing policy — changed-code beats
+    # freshness, r14 precedent). r19 touched three code surfaces:
+    # (a) operators/scd.py — scd2_apply's identifier escaping (_qid/
+    #     _qlit on every path) and the op_col CDC emit arm rendered as
+    #     one parsed expression with the slice()-typed empty array
+    #     replacing the per-apply schema probe. Every query flowing
+    #     through scd2_apply reseats: maintenance_scd2_merge/_chain/
+    #     _tombstones/_as_of, join_scd2_point_in_time,
+    #     stream_scd2_chain, stream_scd2_tombstones (7).
+    # (b) one-expr NAME FORMS for quality_score/punct_ratio/
+    #     stopword_ratio (operators/text.py) and canonical_url
+    #     (operators/web.py), callers switched: text_quality_score,
+    #     corpus_prep_pipeline, corpus_clean_mix_pipeline,
+    #     web_url_canonical_dedup, dedup_cluster_keep_best,
+    #     corpus_source_profile (6; dedup_clusters_star_planted also
+    #     flows through but is a COMPACTION_POOL row — no seat outside
+    #     an ordered refresh; its parity rides pytest + the subsuming
+    #     dedup_clusters_minhash seat).
+    # (c) per-context pandas-UDF caching (functions/vectors.py +
+    #     operators/similarity.py): construction-identity only (the
+    #     same UDF object reused per SparkContext), cross-form pinned —
+    #     FLAGSHIPS of each cached factory reseat rather than every
+    #     consumer (the window is 50; per-session pytest parity covers
+    #     the rest): minhash_signature_arrow -> dedup_minhash_lsh,
+    #     dedup_clusters_minhash, dedup_incremental_minhash;
+    #     cosine_lsh_band_keys_arrow ->
+    #     sim_cosine_lsh; cosine_arrow ->
+    #     sim_topk_cosine_exact, dedup_semantic_semdedup,
+    #     sim_retrieval_pipeline_multi, sim_topk_binary_rescore;
+    #     pq_adc_score_arrow -> sim_topk_pq_adc, sim_topk_ivfpq_adc
+    #     (10; the _planted LSH twins also flow through but are
+    #     COMPACTION_POOL rows — excluded, same rule as above).
     #
-    # BACKFILL (42, VERDICT r17 #1 staleness sweep): the seven r13
-    # stragglers first (text_sequence_packing ...
-    # tpch_q10_returned_items), then the r14 cohort alphabetically as
-    # far as seats allow — 35 of 40. The remaining five r14 rows
-    # (tpch_q20_potential_promotion, tpch_q21_waiting_supplier,
-    # tpch_q2_min_cost_supplier, tpch_q8_market_share,
-    # tpch_q9_product_profit — all 5+ greens, per-session pytest
-    # parity) head the r19 queue behind the r18-declared
-    # stream_dedup_incremental_minhash first green; the verdict's own
-    # arithmetic accepts changed-code reseats pushing stragglers to
-    # r19.
+    # BACKFILL (21, the staleness sweep): rows absent from every
+    # r16-r18 window (oldest current-form evidence), alphabetical as
+    # far as seats allow; agg_approx_sketches is skipped (rows-only —
+    # every seat must stay oracle-bearing), sim_kmeans_assign takes its
+    # seat. The rest of the <=r15 cohort (string_funcs_parts,
+    # text_bpe_*, text_compression_ratio, text_domain_filter,
+    # text_lm_perplexity_filter, text_winnowing_fingerprint,
+    # top_customers_by_revenue, tpch_q11/q12/q13/q14/q15/q16/q19/q22/
+    # q4/q6/q7) heads the r20 queue.
     #
     # The COMPACTION_POOL exclusion stands (no refresh ordered;
     # COMPACTION_REFRESH_VERDICT below stays None).
     # Every seat is oracle-bearing: the window stays 50/50 comparable.
     #
-    # -- first greens (zero driver history) --
+    # -- first green (zero driver history) --
+    "stream_dedup_incremental_minhash",
+    # -- ordered stragglers (VERDICT r18 #9) --
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # -- changed-code reseats: scd2_apply surface --
+    "maintenance_scd2_merge",
+    "maintenance_scd2_chain",
+    "maintenance_scd2_tombstones",
     "maintenance_scd2_as_of",
     "join_scd2_point_in_time",
-    # -- second greens for the r17 firsts (double as changed-code
-    # reseats: scd2_apply strict-schema guard, ADVICE r17) --
-    "maintenance_scd2_tombstones",
-    "stream_scd2_tombstones",
-    # -- changed-code reseats (scd2_apply guard; minhash body factor) --
-    "maintenance_scd2_chain",
     "stream_scd2_chain",
-    "maintenance_scd2_merge",
-    "dedup_incremental_minhash",
-    # -- backfill: the seven r13 stragglers --
-    "text_sequence_packing",
-    "text_shingle_novelty",
-    "text_stats_per_lang",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "text_vocabulary",
-    "tpch_q10_returned_items",
-    # -- backfill: the ROUND-14 cohort, alphabetical (35 of 40) --
-    "agg_percentiles",
-    "agg_statistics",
-    "bag_set_ops_orders",
-    "catalog_flatten_tree",
-    "compress_insert_ignore_manifest",
-    "correlated_min_supplier",
-    "date_arithmetic_orders",
-    "dedup_clusters_minhash",
+    "stream_scd2_tombstones",
+    # -- changed-code reseats: quality/url name forms --
+    "text_quality_score",
+    "corpus_prep_pipeline",
+    "corpus_clean_mix_pipeline",
+    "web_url_canonical_dedup",
+    "dedup_cluster_keep_best",
+    "corpus_source_profile",
+    # -- changed-code reseats: cached-UDF factory flagships --
     "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
+    "dedup_incremental_minhash",
+    "sim_cosine_lsh",
+    "sim_topk_cosine_exact",
     "dedup_semantic_semdedup",
-    "dedup_simhash",
-    "disjunctive_part_filter",
-    "events_json_extract",
-    "exists_late_shipments",
-    "having_big_orders",
-    "join_anti_customers",
-    "join_bucketed_colocated",
-    "join_semi_customers",
-    "maintenance_zorder_layout",
-    "mm_decode_video_real",
-    "mm_jvm_image_decode",
-    "null_semantics_customer",
-    "orders_by_month",
-    "pipeline_end_to_end",
-    "pivot_event_types",
-    "profile_customer_table",
-    "sample_dsir_importance",
-    "sim_hybrid_rrf",
-    "stream_enrich_dimension",
-    "text_bm25_search",
-    "text_decontaminate_bloom",
-    "text_line_cleaning",
-    "text_pii_scrub",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
+    "sim_retrieval_pipeline_multi",
+    "sim_topk_binary_rescore",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq_adc",
+    # -- backfill: the <=r15 staleness cohort, alphabetical --
+    "array_funcs_embeddings",
+    "catalog_include_keys",
+    "catalog_skip_unknown",
+    "catalog_sync_delta",
+    "catalog_temporal_prune",
+    "catalog_version_latest",
+    "compress_add_column",
+    "compress_component_union",
+    "compress_concat_expr",
+    "compress_distinct_status",
+    "compress_insert_ignore",
+    "compress_insert_ignore_occ",
+    "events_anomaly_zscore",
+    "join_asof_tolerance",
+    "quality_outlier_robust",
+    "scalar_subquery_rich_idle",
+    "set_ops_customers",
+    "sim_kmeans_assign",
+    "sim_topk_ivf",
+    "sim_topk_pq_trained",
+    "stream_session_window",
 )
 
 

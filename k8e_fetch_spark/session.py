@@ -36,13 +36,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Spark's documented production recommendation: size shuffle
-        # partitions by advisory bytes, not cluster parallelism — at
-        # small SF this folds 32 near-empty post-shuffle partitions into
-        # one; at 100 TB it keeps partitions ~64 MB regardless of
-        # whatever shuffle.partitions was set to (A/B at sf0.1: q1
-        # 0.78->0.63 s, q3 1.03->0.94 s warm, rest neutral).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # r19: parallelismFirst back to TRUE (the Spark default). The
+        # r12-era A/B that set it false (q1 0.78->0.63 s at sf0.1)
+        # measured bench-SF rows under ALWAYS-ON AQE — a regime that no
+        # longer exists: AQE has been input-size-gated off below 1 GB
+        # since, so bench SFs never coalesce at all and that win's
+        # conditions are gone. What false DOES still do is serialize
+        # compute-dense compact-byte exchanges on AQE-on (>1 GB) runs:
+        # the 64 MB byte advisory coalesced the LSH candidate-pair
+        # (id,id) exchange to ONE partition and the Arrow cosine verify
+        # behind it ran serially (r19 event-log stage timeline: a 4.8 s
+        # 1-task stage). A/B at 20x replication, warm best-of-3, AQE on:
+        # sim_cosine_lsh 10.2 -> 3.95 s, dedup_substring_spans 9.1 ->
+        # 2.77 s. Scale-honest: with true, AQE's calculated target is
+        # min(advisory, max(totalBytes/defaultParallelism, minSize)) —
+        # for 100 TB shuffles totalBytes/parallelism >= 64 MB, so the
+        # advisory rule is IDENTICAL at scale; true only floors
+        # parallelism where shuffles are small in bytes but possibly
+        # CPU-dense (exactly the measured pathology).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -106,7 +118,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # true (Spark default) — see get_spark: byte-advisory coalescing
+        # with false serialized compute-dense compact-byte exchanges
+        # (r19 A/B at 20x: cosine-LSH 10.2 -> 3.95 s); identical to
+        # false at 100 TB widths where totalBytes/parallelism >= 64 MB
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }.items():

@@ -189,11 +189,47 @@ def materialize(spark, out_dir: str, n: int) -> None:
             copies = copies.withColumn(
                 "text", F.concat(F.col("text"), F.lit(" v"), F.col("_copy").cast("string"))
             )
-        copies.drop("_copy").write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        # r19: write MULTIPLE files (hash-partitioned on the shifted key,
+        # deterministic). The previous single-file write also produced a
+        # SINGLE ROW GROUP, and a parquet scan cannot split below a row
+        # group — every 20x scan stage ran as ONE task, so the 8-vs-32-
+        # core ratios this harness fed SCALE.md measured a serial-scan
+        # artifact, not the operators (probed r19: sim_cosine_lsh exec
+        # was ~6 s at ANY core count / shuffle width, rdd partitions = 1
+        # on a 40k-row 1 MB file). 32 files at 20x keeps splits well
+        # under the 128 MB cluster default while giving every core real
+        # input — the layout a production table would have anyway.
+        copies.drop("_copy").repartition(32, F.col(key)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
 
 
 def run(sf_dir: str, label: str) -> dict[str, float]:
-    spark = get_spark(app_name=f"stress-{label}")
+    # r19: BENCH-PARITY session (AQE gated on input size, shuffle width
+    # derived from bytes) instead of get_spark defaults. The default
+    # session runs AQE unconditionally, and with parallelismFirst=false
+    # the 64 MB byte advisory coalesces compact-bytes shuffles (e.g.
+    # the LSH candidate-pair (id,id) exchange) to ONE partition — which
+    # serializes the compute-dense Arrow cosine verify that follows
+    # (probed r19 via event-log stage timeline: a 4.8 s 1-task verify
+    # stage dominated sim_cosine_lsh's 20x wall at every core count).
+    # The bench gates AQE off below 1 GB for exactly this class of
+    # reason; the stress probes must measure the same methodology the
+    # bench does or their core-scaling ratios are artifacts.
+    from k8e_fetch_spark.session import (
+        adaptive_enabled_for_dir,
+        shuffle_partitions_for_dir,
+    )
+
+    spark = get_spark(
+        app_name=f"stress-{label}",
+        shuffle_partitions=shuffle_partitions_for_dir(sf_dir),
+        extra_conf={
+            "spark.sql.adaptive.enabled": str(
+                adaptive_enabled_for_dir(sf_dir)
+            ).lower()
+        },
+    )
     qs = queries()
     qs["compress_distinct_status"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out = {}
